@@ -1,0 +1,320 @@
+"""Deterministic synthetic web-page corpus (Common-Crawl-style).
+
+Generates the input table required by BASELINE.json ``input_hint``:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+Every byte is a pure function of ``(doc_id, text, source)`` — no wall clock,
+no RNG state, no external data — so the Spark job, the pure-Python oracle and
+the DuckDB oracle SQL can all regenerate / predict the same payloads.
+
+Route mix (cf. FIXTURES.md §1): ``doc_id % 20`` → 0..13 HTML (70%),
+14..18 PDF (25%), 19 malformed (5%).  The HTML route wraps the document's
+main text in boilerplate (link-dense nav/header/aside/ads/footer — the
+ground truth for the text-density/link-density classifier, the web-native
+analogue of the reference's histogram-valley separators,
+``/root/reference/grid_detector_v1.py:24-85``).  The PDF route emits a
+closed PDF-1.4 subset (uncompressed streams, ``BT/Tf/Td/Tj/TJ/ET`` only,
+1–3 columns) mirroring the block/column geometry the reference parses
+(``/root/reference/new_approaches/final.py:44-100``).
+
+Main-content ground truth: the document text split into 10-word lines
+(``chunk_text``).  The SQL-expressible form of that transform is
+``regexp_replace(text, '((?:\\S+ ){9}\\S+) ', '\\1' || chr(10), 'g')`` —
+used by the driver's DuckDB cross-check.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+WORDS_PER_LINE = 10
+
+# ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
+# ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
+N_HOSTS = 50
+HOSTS = [f"site{i:02d}.example.org" for i in range(N_HOSTS)]
+
+EPOCH = datetime.datetime(2025, 1, 1, 0, 0, 0)
+
+LANGS = ["en", "es", "de", "zh", "si"]
+
+# Closed word list for standalone synthetic text (pipeline/scale tests).
+_SYNTH_WORDS = (
+    "the data spark table scan filter join group order window hash sort "
+    "merge shuffle batch stream row column value key index page block text "
+    "density link anchor span region grid column gap margin layout parse "
+    "extract token fast slow small large query plan stage task core byte"
+).split()
+
+
+def host_for(doc_id: int) -> str:
+    """Skewed host assignment: cubic inverse-CDF over 50 hosts."""
+    x = (doc_id % 1000) / 1000.0
+    return HOSTS[min(N_HOSTS - 1, int(N_HOSTS * x * x * x))]
+
+
+def url_for(doc_id: int, source: str = "src") -> str:
+    return f"https://{host_for(doc_id)}/{source}/{doc_id}"
+
+
+def ts_for(doc_id: int) -> datetime.datetime:
+    return EPOCH + datetime.timedelta(seconds=int(doc_id))
+
+
+def route_for(doc_id: int) -> str:
+    """Payload route by doc_id: 70% html, 25% pdf, 5% malformed."""
+    m = doc_id % 20
+    if m < 14:
+        return "html"
+    if m < 19:
+        return "pdf"
+    return "junk"
+
+
+def chunk_text(text: str, words_per_line: int = WORDS_PER_LINE) -> list[str]:
+    """Split clean single-spaced text into lines of N words.
+
+    This defines the main-content ground truth: ``'\\n'.join(chunk_text(t))``
+    is the byte-identical extraction target for a page generated from ``t``.
+    """
+    words = text.split(" ")
+    return [
+        " ".join(words[i : i + words_per_line])
+        for i in range(0, len(words), words_per_line)
+    ]
+
+
+# --------------------------------------------------------------------------
+# HTML generator
+# --------------------------------------------------------------------------
+
+_NAV_ITEMS = [
+    "Home", "News", "Sports", "World", "Business", "Tech",
+    "Science", "Health", "Travel", "Opinion", "Video", "More",
+]
+_ASIDE_ITEMS = [
+    "Trending now", "Most read", "Editor picks", "Related stories",
+    "From the wire", "Top videos", "Newsletters", "Podcasts",
+]
+
+
+def make_html(doc_id: int, text: str) -> bytes:
+    """One HTML page: link-dense boilerplate around the main paragraphs.
+
+    Boilerplate blocks are short and/or link-dense; main paragraphs are
+    10 plain words each — an unambiguous ground truth for the
+    Readability/Boilerpipe-style classifier (SURVEY.md §7.1).
+    Every 5th document renders its paragraphs as ``<li>`` list items to
+    exercise the list path (reference analogue: Docling list groups,
+    ``/root/reference/parse_cv_docling.py:150-160``).
+    """
+    paras = chunk_text(text)
+    nav = "".join(
+        f'<a href="/{w.lower()}">{w}</a> ' for w in _NAV_ITEMS
+    )
+    aside = "".join(
+        f'<li><a href="/s/{i}">{w}</a></li>'
+        for i, w in enumerate(_ASIDE_ITEMS)
+    )
+    if doc_id % 5 == 0:
+        main = "<ul>" + "".join(f"\n    <li>{p}</li>" for p in paras) + "</ul>"
+    else:
+        main = "".join(f"\n    <p>{p}</p>" for p in paras)
+    ad = (
+        '<div class="ad"><a href="https://ads.example.com/click?id=%d">'
+        "Buy now! Limited offer — click here</a></div>" % (doc_id,)
+    )
+    page = f"""<!DOCTYPE html>
+<html lang="en">
+<head>
+  <title>Document {doc_id}</title>
+  <style>body {{ margin: 0; }} .ad {{ color: red; }}</style>
+  <script>var docId = {doc_id}; // tracking stub
+    function track() {{ return docId * 2; }}</script>
+</head>
+<body>
+  <nav>{nav}</nav>
+  <header><h1>Document {doc_id}</h1></header>
+  <aside><ul>{aside}</ul></aside>
+  {ad}
+  <main>{main}
+  </main>
+  <footer><a href="/about">About</a> <a href="/terms">Terms</a>
+    <a href="/privacy">Privacy</a> &copy; 2025 Example Corp</footer>
+</body>
+</html>"""
+    return page.encode("utf-8")
+
+
+# --------------------------------------------------------------------------
+# PDF generator — PDF 1.4 subset, uncompressed content streams
+# --------------------------------------------------------------------------
+
+PAGE_W, PAGE_H = 612.0, 792.0
+MARGIN = 72.0
+LINE_H = 14.0
+FONT_SIZE = 11
+TOP_Y = 720.0
+COL_X = [72.0, 260.0, 448.0]       # column x-origins; gaps 188pt >> 40pt
+MAX_LINES_PER_COL = 40
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def n_columns_for(doc_id: int) -> int:
+    return 1 + (doc_id % 3)
+
+
+def make_pdf(doc_id: int, text: str) -> bytes:
+    """A PDF-1.4 file whose text layer carries the 10-word lines.
+
+    Lines are laid out column-major (all of column 1 top→bottom, then
+    column 2, …), across 1–3 columns and as many pages as needed, so the
+    correct reading order (column detection → per-column y-sort,
+    ``/root/reference/new_approaches/final.py:75-104``) recovers the
+    original line order.  Every 3rd line is emitted as a ``TJ`` array with
+    a kerning split to exercise TJ parsing
+    (``/root/reference`` never parses content streams — it delegates to
+    MuPDF; our from-scratch parser is the honest Spark-side equivalent).
+    """
+    lines = chunk_text(text)
+    ncols = n_columns_for(doc_id)
+    per_page = ncols * MAX_LINES_PER_COL
+
+    # page -> list of (x, y, line)
+    pages: list[list[tuple[float, float, str]]] = []
+    for p_start in range(0, len(lines), per_page):
+        chunk = lines[p_start : p_start + per_page]
+        placed = []
+        n_per_col = (len(chunk) + ncols - 1) // ncols
+        for i, ln in enumerate(chunk):
+            col, row = divmod(i, n_per_col)
+            placed.append((COL_X[col], TOP_Y - row * LINE_H, ln))
+        pages.append(placed)
+    if not pages:
+        pages = [[]]
+
+    streams = []
+    for pi, placed in enumerate(pages):
+        ops = []
+        for li, (x, y, ln) in enumerate(placed):
+            esc = _pdf_escape(ln)
+            if li % 3 == 2 and len(esc) > 4:
+                mid = len(esc) // 2
+                # avoid splitting inside an escape sequence
+                while mid < len(esc) and esc[mid - 1] == "\\":
+                    mid += 1
+                show = f"[({esc[:mid]}) -15 ({esc[mid:]})] TJ"
+            else:
+                show = f"({esc}) Tj"
+            ops.append(f"BT /F1 {FONT_SIZE} Tf {x:.1f} {y:.1f} Td {show} ET")
+        streams.append("\n".join(ops).encode("latin-1"))
+
+    npages = len(pages)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode()
+    )
+    font_obj_num = 3 + 2 * npages
+    for i, content in enumerate(streams):
+        page_dict = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << /F1 {font_obj_num} 0 R >> >> >>"
+        ).encode()
+        objs.append(page_dict)
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_pos)
+    )
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Malformed payloads
+# --------------------------------------------------------------------------
+
+def make_junk(doc_id: int) -> bytes:
+    """Malformed payloads: must yield ``status='parse_failure'`` rows,
+    never job failures (reference error-row protocol,
+    ``/root/reference/batch_multi_column.py:573-592``)."""
+    v = doc_id % 3
+    if v == 0:
+        return b""
+    if v == 1:
+        # PDF magic but truncated mid-structure
+        return b"%PDF-1.4\n1 0 obj\n<< /Type /Cat"
+    # \x00\xff prefix guarantees the sniffer routes this 'unknown'
+    return b"\x00\xff" + hashlib.md5(str(doc_id).encode()).digest() * 8
+
+
+# --------------------------------------------------------------------------
+# Row assembly
+# --------------------------------------------------------------------------
+
+def payload_for(doc_id: int, text: str) -> bytes:
+    route = route_for(doc_id)
+    if route == "html":
+        return make_html(doc_id, text)
+    if route == "pdf":
+        return make_pdf(doc_id, text)
+    return make_junk(doc_id)
+
+
+def make_page(doc_id: int, text: str, source: str = "src",
+              lang: str | None = None) -> dict:
+    """One input-table row from a (doc_id, text) pair."""
+    return {
+        "url": url_for(doc_id, source),
+        "warc_ts": ts_for(doc_id),
+        "html": payload_for(doc_id, text),
+        "text": text,
+        "lang": lang if lang is not None else LANGS[doc_id % len(LANGS)],
+    }
+
+
+def synth_text(doc_id: int, min_words: int = 8, max_words: int = 120) -> str:
+    """Deterministic word-soup text for standalone corpora (seedless:
+    derived from md5(doc_id))."""
+    h = hashlib.md5(b"text:%d" % doc_id).digest()
+    n = min_words + (int.from_bytes(h[:4], "big") % (max_words - min_words))
+    words = []
+    stream = b""
+    i = 0
+    while len(words) < n:
+        if not stream:
+            stream = hashlib.md5(b"w:%d:%d" % (doc_id, i)).digest()
+            i += 1
+        words.append(_SYNTH_WORDS[stream[0] % len(_SYNTH_WORDS)])
+        stream = stream[1:]
+    return " ".join(words)
+
+
+def synth_rows(n: int, big_doc_every: int = 97):
+    """Generator of n input rows; every ``big_doc_every``-th doc is large
+    enough to span multiple PDF pages / long HTML."""
+    for doc_id in range(n):
+        if big_doc_every and doc_id % big_doc_every == 96:
+            text = synth_text(doc_id, 600, 1200)
+        else:
+            text = synth_text(doc_id)
+        yield make_page(doc_id, text)

@@ -1,0 +1,494 @@
+"""Pure-Python single-document reference extractor (the golden source).
+
+Role: the analogue of the reference repo's committed golden outputs
+(``/root/reference/extracted_regions_final.txt``,
+``grid_analysis_v4_results.csv`` …) — every Spark execution path must match
+this module **byte-identically per url** at every scale and parallelism
+(SURVEY.md §5).  It is deliberately simple, sequential, per-document code;
+the vectorized batch form lives in ``kernels.py``.
+
+Semantics kept from the reference (the "what", SURVEY.md §7.1):
+
+* content routing by magic-byte sniffing (suffix dispatch analogue,
+  ``/root/reference/approach4_v1.py:188-193``);
+* layout pipeline: block detection → column boundaries from coordinate
+  gaps (>40pt, ``/root/reference/new_approaches/final.py:44-73``) →
+  per-column reading-order sort (``final.py:96-98``) → span concatenation
+  (``grid_detector_v2.py:336-349``);
+* boilerplate vs main content via density scoring — the web-native form of
+  "histogram valley = separator" (``grid_detector_v1.py:24-85``): per-block
+  link-density (anchor chars / total chars) with boilerplate-ancestor
+  containers, Readability/Boilerpipe family;
+* regex field families (``final.py:199-222``, ``approach4_v1.py:44-83``);
+* error rows, never exceptions escaping per-document work
+  (``batch_multi_column.py:573-592``).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+PARSER_VERSION = "dte-spark-0.1"
+
+# ---------------------------------------------------------------------------
+# Routing (content sniff)
+# ---------------------------------------------------------------------------
+
+def sniff(data: bytes) -> str:
+    """Route by payload magic: ``pdf`` | ``html`` | ``unknown``."""
+    if data is None:
+        return "unknown"
+    head = data[:1024].lstrip()
+    if head.startswith(b"%PDF-"):
+        return "pdf"
+    low = head[:256].lower()
+    if low.startswith((b"<!doctype", b"<html", b"<")):
+        return "html"
+    return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction
+# ---------------------------------------------------------------------------
+
+# Containers whose entire subtree is boilerplate.
+BOILER_CONTAINERS = frozenset(
+    {"nav", "header", "footer", "aside", "form", "head", "title"}
+)
+# Tags that open/close a text block (flush points).
+BLOCK_TAGS = frozenset(
+    {"p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+     "main", "body", "article", "section", "nav", "header", "footer",
+     "aside", "table", "tr", "td", "th", "br", "blockquote", "pre",
+     "title", "head", "html", "form"}
+)
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+LINK_DENSITY_MAX = 0.35          # block is boilerplate above this
+CONTENT_KINDS = frozenset({"main", "heading", "list_item"})
+COLUMN_GAP_PT = 40.0             # final.py:61 gap threshold
+
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+_DECL_RE = re.compile(rb"<![^>]*>")  # <!DOCTYPE ...> and other declarations
+_SCRIPT_RE = re.compile(rb"<script\b.*?</script\s*>", re.S | re.I)
+_STYLE_RE = re.compile(rb"<style\b.*?</style\s*>", re.S | re.I)
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)[^>]*?(/?)>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _norm_ws(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_html(data: bytes) -> tuple[str, list[dict]]:
+    """Tokenize HTML, segment into blocks, classify each block.
+
+    Returns ``(extracted_text, spans)`` where extracted_text joins the
+    content-kind blocks with ``'\\n'`` in document order and spans carry
+    every non-empty block with its kind.
+    """
+    raw = _COMMENT_RE.sub(b" ", data)
+    raw = _DECL_RE.sub(b" ", raw)
+    raw = _SCRIPT_RE.sub(b" ", raw)
+    raw = _STYLE_RE.sub(b" ", raw)
+    doc = raw.decode("utf-8", errors="replace")
+
+    spans: list[dict] = []
+    boiler_depth = 0
+    link_depth = 0
+    base_kind = "text"            # kind hint from the opening block tag
+    pieces: list[tuple[str, bool, bool]] = []   # (text, in_link, in_boiler)
+
+    def flush() -> None:
+        nonlocal pieces, base_kind
+        if not pieces:
+            return
+        full = _norm_ws("".join(p[0] for p in pieces))
+        if not full:
+            pieces = []
+            return
+        link_chars = len(_norm_ws("".join(p[0] for p in pieces if p[1])))
+        any_boiler = any(p[2] for p in pieces)
+        density = link_chars / len(full)
+        if any_boiler or density > LINK_DENSITY_MAX:
+            kind = "boilerplate"
+        elif base_kind == "heading":
+            kind = "heading"
+        elif base_kind == "list_item":
+            kind = "list_item"
+        else:
+            kind = "main"
+        spans.append({
+            "page": 0, "block": len(spans),
+            "x0": 0.0, "y0": 0.0, "x1": 0.0, "y1": 0.0,
+            "kind": kind, "text": full,
+        })
+        pieces = []
+
+    pos = 0
+    for m in _TAG_RE.finditer(doc):
+        txt = doc[pos : m.start()]
+        if txt:
+            t = _htmllib.unescape(txt)
+            if t:
+                pieces.append((t, link_depth > 0, boiler_depth > 0))
+        closing, name, _selfclose = m.group(1), m.group(2).lower(), m.group(3)
+        if name in BLOCK_TAGS:
+            flush()
+            if not closing:
+                if name in HEADING_TAGS:
+                    base_kind = "heading"
+                elif name == "li":
+                    base_kind = "list_item"
+                else:
+                    base_kind = "text"
+            else:
+                base_kind = "text"
+        if name in BOILER_CONTAINERS:
+            if closing:
+                boiler_depth = max(0, boiler_depth - 1)
+            else:
+                boiler_depth += 1
+        elif name == "a":
+            if closing:
+                link_depth = max(0, link_depth - 1)
+            else:
+                link_depth += 1
+        pos = m.end()
+    tail = doc[pos:]
+    if tail:
+        t = _htmllib.unescape(tail)
+        if t:
+            pieces.append((t, link_depth > 0, boiler_depth > 0))
+    flush()
+
+    text = "\n".join(s["text"] for s in spans if s["kind"] in CONTENT_KINDS)
+    return text, spans
+
+
+# ---------------------------------------------------------------------------
+# PDF extraction — from-scratch content-stream parser
+# ---------------------------------------------------------------------------
+
+class PdfParseError(ValueError):
+    pass
+
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _scan_string(buf: bytes, i: int) -> tuple[str, int]:
+    """Scan a PDF literal string starting at ``buf[i] == '('``.
+
+    Handles escape sequences (\\( \\) \\\\ \\n \\r \\t \\b \\f \\ddd) and
+    balanced unescaped parentheses per PDF 1.4 §3.2.3.
+    """
+    assert buf[i : i + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i += 1
+    esc_map = {
+        ord("n"): 10, ord("r"): 13, ord("t"): 9,
+        ord("b"): 8, ord("f"): 12,
+        ord("("): 40, ord(")"): 41, ord("\\"): 92,
+    }
+    while i < len(buf):
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= len(buf):
+                break
+            c2 = buf[i]
+            if c2 in esc_map:
+                out.append(esc_map[c2])
+                i += 1
+            elif 0x30 <= c2 <= 0x37:  # octal
+                oct_digits = bytearray([c2])
+                i += 1
+                while i < len(buf) and len(oct_digits) < 3 and 0x30 <= buf[i] <= 0x37:
+                    oct_digits.append(buf[i])
+                    i += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+            elif c2 in (10, 13):  # line continuation
+                i += 1
+                if c2 == 13 and i < len(buf) and buf[i] == 10:
+                    i += 1
+            else:
+                out.append(c2)
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                i += 1
+                break
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return out.decode("latin-1"), i
+
+
+def _tokenize_content(buf: bytes):
+    """Yield ('num', float) | ('str', str) | ('name', str) | ('op', str)
+    | ('[', None) | (']', None) tokens from a content stream."""
+    i, n = 0, len(buf)
+    while i < n:
+        c = buf[i : i + 1]
+        if c in b" \t\r\n\x00\x0c":
+            i += 1
+            continue
+        if c == b"(":
+            s, i = _scan_string(buf, i)
+            yield ("str", s)
+        elif c == b"[":
+            yield ("[", None)
+            i += 1
+        elif c == b"]":
+            yield ("]", None)
+            i += 1
+        elif c == b"/":
+            m = _NAME_RE.match(buf, i)
+            yield ("name", m.group().decode("latin-1"))
+            i = m.end()
+        elif c == b"%":
+            j = buf.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == b"<":
+            # hex string or dict — skip to matching close (not emitted by
+            # our generator; tolerated for robustness)
+            if buf[i : i + 2] == b"<<":
+                j = buf.find(b">>", i)
+                i = n if j < 0 else j + 2
+            else:
+                j = buf.find(b">", i)
+                if j < 0:
+                    i = n
+                else:
+                    yield ("str", bytes.fromhex(
+                        re.sub(rb"\s", b"", buf[i + 1 : j]).decode()
+                    ).decode("latin-1"))
+                    i = j + 1
+        else:
+            m = _NUM_RE.match(buf, i)
+            if m and m.end() > i:
+                yield ("num", float(m.group()))
+                i = m.end()
+                continue
+            m = _OP_RE.match(buf, i)
+            if m and m.end() > i:
+                yield ("op", m.group().decode("latin-1"))
+                i = m.end()
+            else:
+                i += 1  # unknown byte — skip
+
+
+def _interpret_page(content: bytes, page: int) -> list[dict]:
+    """Interpret text operators of one page's content stream into raw
+    show-spans ``{page, x, y, text}`` (text line matrix semantics for
+    BT/Td/TD/T*; Tm supported with translation part)."""
+    shows: list[dict] = []
+    stack: list = []
+    in_array: list | None = None
+    lx = ly = 0.0          # current line start (text line matrix translation)
+    cx = cy = 0.0
+    leading = 0.0
+    in_text = False
+    for kind, val in _tokenize_content(content):
+        if kind == "[":
+            in_array = []
+            continue
+        if kind == "]":
+            stack.append(in_array)
+            in_array = None
+            continue
+        if in_array is not None:
+            if kind in ("num", "str"):
+                in_array.append(val)
+            continue
+        if kind in ("num", "str", "name"):
+            stack.append(val)
+            continue
+        op = val
+        if op == "BT":
+            in_text = True
+            lx = ly = cx = cy = 0.0
+            leading = 0.0
+        elif op == "ET":
+            in_text = False
+        elif op in ("Td", "TD"):
+            if len(stack) >= 2:
+                ty = stack[-1]
+                tx = stack[-2]
+                if isinstance(tx, float) and isinstance(ty, float):
+                    lx += tx
+                    ly += ty
+                    cx, cy = lx, ly
+                    if op == "TD":
+                        leading = -ty
+        elif op == "Tm":
+            if len(stack) >= 6:
+                e, f = stack[-2], stack[-1]
+                if isinstance(e, float) and isinstance(f, float):
+                    lx, ly = e, f
+                    cx, cy = lx, ly
+        elif op == "T*":
+            ly -= leading
+            cx, cy = lx, ly
+        elif op == "TL":
+            if stack and isinstance(stack[-1], float):
+                leading = stack[-1]
+        elif op == "Tj" or op == "'":
+            if op == "'":
+                ly -= leading
+                cx, cy = lx, ly
+            if stack and isinstance(stack[-1], str) and in_text:
+                shows.append({"page": page, "x": cx, "y": cy,
+                              "text": stack[-1]})
+        elif op == "TJ":
+            if stack and isinstance(stack[-1], list) and in_text:
+                txt = "".join(e for e in stack[-1] if isinstance(e, str))
+                shows.append({"page": page, "x": cx, "y": cy, "text": txt})
+        stack.clear()
+    return shows
+
+
+def _column_clusters(xs: list[float], gap: float = COLUMN_GAP_PT) -> list[float]:
+    """Cluster sorted unique x-origins; a new column starts when the gap to
+    the previous origin exceeds ``gap`` (O29, ``final.py:44-69``).
+    Returns the cluster start boundaries."""
+    uniq = sorted(set(xs))
+    if not uniq:
+        return []
+    starts = [uniq[0]]
+    prev = uniq[0]
+    for x in uniq[1:]:
+        if x - prev > gap:
+            starts.append(x)
+        prev = x
+    return starts
+
+
+def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
+    """Parse the PDF text layer; returns (extracted_text, spans, n_pages).
+
+    Streams are taken in byte order as page order (valid for the closed
+    generator grammar; a general reader would walk the /Pages tree).
+    Reading order: page → column (x-gap clustering, >40pt) → y descending
+    → x — the total deterministic key required for byte-identity (O36).
+    """
+    if not data.lstrip()[:5] == b"%PDF-":
+        raise PdfParseError("missing %PDF- magic")
+    streams = _STREAM_RE.findall(data)
+    if not streams:
+        raise PdfParseError("no content streams")
+    shows: list[dict] = []
+    for page, content in enumerate(streams):
+        shows.extend(_interpret_page(content, page))
+    spans: list[dict] = []
+    for page in sorted({s["page"] for s in shows}):
+        page_shows = [s for s in shows if s["page"] == page]
+        starts = _column_clusters([s["x"] for s in page_shows])
+        for s in page_shows:
+            col = 0
+            for ci, cs in enumerate(starts):
+                if s["x"] >= cs - 1e-9:
+                    col = ci
+            s["col"] = col
+        page_shows.sort(key=lambda s: (s["col"], -s["y"], s["x"]))
+        for s in page_shows:
+            t = s["text"].strip()
+            if not t:
+                continue
+            spans.append({
+                "page": s["page"], "block": len(spans),
+                "x0": float(s["x"]), "y0": float(s["y"]),
+                "x1": float(s["x"]), "y1": float(s["y"]),
+                "kind": "block", "text": t,
+            })
+    text = "\n".join(s["text"] for s in spans)
+    return text, spans, len(streams)
+
+
+# ---------------------------------------------------------------------------
+# Regex field library (O44–O54 families)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b")
+PHONE_RES = [
+    re.compile(r"\+?\d{1,3}[-.\s]?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}"),
+    re.compile(r"\(\d{3}\)\s?\d{3}[-.\s]?\d{4}"),
+]
+LINK_RES = [
+    re.compile(r"linkedin\.com/in/[\w-]+"),
+    re.compile(r"github\.com/[\w-]+"),
+    re.compile(r"https?://[^\s\"'<>]+"),
+]
+_PHONE_CLEAN_RE = re.compile(r"[^\d+]")
+
+
+def extract_fields(text: str, spans: list[dict]) -> dict:
+    """Typed field families from extracted text (reference regexes:
+    emails ``final.py:199-200``, phones ``final.py:202-212`` with
+    post-clean + len>=10, links ``final.py:214-222``)."""
+    emails = sorted(set(EMAIL_RE.findall(text)))
+    phones = set()
+    for rx in PHONE_RES:
+        for m in rx.findall(text):
+            cleaned = _PHONE_CLEAN_RE.sub("", m)
+            if len(cleaned) >= 10:
+                phones.add(cleaned)
+    links = set()
+    for rx in LINK_RES:
+        links.update(rx.findall(text))
+    headings = [s["text"] for s in spans if s["kind"] == "heading"]
+    return {
+        "emails": emails,
+        "phones": sorted(phones),
+        "links": sorted(links),
+        "headings": headings,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Per-document driver (the pure map the whole engine distributes)
+# ---------------------------------------------------------------------------
+
+EMPTY_FIELDS = {"emails": [], "phones": [], "links": [], "headings": []}
+
+
+def extract_document(data: bytes) -> dict:
+    """bytes → extraction record; never raises (EP3 error-row protocol)."""
+    route = sniff(data)
+    try:
+        if route == "html":
+            text, spans = extract_html(data)
+            n_pages = 1
+        elif route == "pdf":
+            text, spans, n_pages = extract_pdf(data)
+        else:
+            return {
+                "status": "parse_failure", "route": route,
+                "extracted_text": "", "spans": [],
+                "fields": dict(EMPTY_FIELDS), "n_pages": 0, "n_blocks": 0,
+            }
+        return {
+            "status": "ok", "route": route,
+            "extracted_text": text, "spans": spans,
+            "fields": extract_fields(text, spans),
+            "n_pages": n_pages, "n_blocks": len(spans),
+        }
+    except Exception:
+        return {
+            "status": "parse_failure", "route": route,
+            "extracted_text": "", "spans": [],
+            "fields": dict(EMPTY_FIELDS), "n_pages": 0, "n_blocks": 0,
+        }

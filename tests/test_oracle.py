@@ -1,0 +1,182 @@
+"""Unit tests for the pure-Python oracle against generated fixtures.
+
+Mirrors FIXTURES.md §5: the corpus generator provides known ground truth
+(main content == 10-word chunking of the source text); the oracle must
+recover it byte-identically for every route.
+"""
+
+import pytest
+
+from document_text_extraction_spark import corpus, oracle
+
+
+def golden_text(text: str) -> str:
+    return "\n".join(corpus.chunk_text(text))
+
+
+# ---------------------------------------------------------------------------
+# sniff
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "payload,route",
+    [
+        (b"%PDF-1.4\nxx", "pdf"),
+        (b"  \n%PDF-1.7", "pdf"),
+        (b"<!DOCTYPE html><html></html>", "html"),
+        (b"<html><body>x</body></html>", "html"),
+        (b"   <div>x</div>", "html"),
+        (b"", "unknown"),
+        (b"\x00\xffbinary", "unknown"),
+        (None, "unknown"),
+    ],
+)
+def test_sniff(payload, route):
+    assert oracle.sniff(payload) == route
+
+
+# ---------------------------------------------------------------------------
+# HTML
+# ---------------------------------------------------------------------------
+
+def test_html_minimal():
+    doc = b"<html><body><main><p>hello plain world</p></main></body></html>"
+    text, spans = oracle.extract_html(doc)
+    assert text == "hello plain world"
+    assert [s["kind"] for s in spans] == ["main"]
+
+
+def test_html_boilerplate_classified():
+    doc_id, words = 7, " ".join(["alpha"] * 25)
+    data = corpus.make_html(doc_id, words)
+    text, spans = oracle.extract_html(data)
+    assert text == golden_text(words)
+    kinds = {s["kind"] for s in spans}
+    assert "boilerplate" in kinds and "main" in kinds
+    # nav/footer/ad text never leaks into content
+    assert "Buy now" not in text and "Privacy" not in text
+    assert "Document" not in text  # h1 title is under <header>
+
+
+def test_html_list_items():
+    words = " ".join(f"w{i}" for i in range(30))
+    data = corpus.make_html(10, words)  # doc_id % 5 == 0 → <li> layout
+    text, spans = oracle.extract_html(data)
+    assert text == golden_text(words)
+    assert {s["kind"] for s in spans if s["text"].startswith("w")} == {"list_item"}
+
+
+def test_html_heading_kept_entities_decoded():
+    doc = (b"<html><body><article><h2>Results &amp; Methods</h2>"
+           b"<p>one two three</p></article></body></html>")
+    text, spans = oracle.extract_html(doc)
+    assert text == "Results & Methods\none two three"
+    assert spans[0]["kind"] == "heading"
+
+
+def test_html_link_dense_block_dropped():
+    doc = (b"<html><body><div><a href='/a'>lots of linked words here</a>"
+           b" ok</div><p>real content stays here now</p></body></html>")
+    text, _ = oracle.extract_html(doc)
+    assert text == "real content stays here now"
+
+
+# ---------------------------------------------------------------------------
+# PDF
+# ---------------------------------------------------------------------------
+
+def test_pdf_single_column():
+    words = " ".join(f"tok{i}" for i in range(40))
+    data = corpus.make_pdf(15, words)  # 15 % 3 == 0 → 1 column
+    text, spans, n_pages = oracle.extract_pdf(data)
+    assert text == golden_text(words)
+    assert n_pages == 1
+    ys = [s["y0"] for s in spans]
+    assert ys == sorted(ys, reverse=True)  # reading order top→bottom
+
+
+def test_pdf_multi_column_reading_order():
+    words = " ".join(f"tok{i}" for i in range(120))  # 12 lines
+    data = corpus.make_pdf(16, words)  # 16 % 3 == 1 → 2 columns
+    text, spans, _ = oracle.extract_pdf(data)
+    assert text == golden_text(words)
+    xs = sorted({s["x0"] for s in spans})
+    assert len(xs) == 2 and xs[1] - xs[0] > oracle.COLUMN_GAP_PT
+
+
+def test_pdf_three_columns():
+    words = " ".join(f"tok{i}" for i in range(150))
+    data = corpus.make_pdf(17, words)  # 17 % 3 == 2 → 3 columns
+    text, _, _ = oracle.extract_pdf(data)
+    assert text == golden_text(words)
+
+
+def test_pdf_multi_page():
+    words = " ".join(f"tok{i}" for i in range(900))  # 90 lines > 40/col
+    data = corpus.make_pdf(15, words)  # 1 column → 40 lines/page → 3 pages
+    text, spans, n_pages = oracle.extract_pdf(data)
+    assert text == golden_text(words)
+    assert n_pages == 3
+    pages = [s["page"] for s in spans]
+    assert pages == sorted(pages)
+
+
+def test_pdf_escapes_and_tj():
+    words = "open ( close ) back \\ slash plus (x) done ok yes"
+    data = corpus.make_pdf(14, words)
+    text, _, _ = oracle.extract_pdf(data)
+    assert text == golden_text(words)
+
+
+def test_pdf_truncated_raises():
+    with pytest.raises(oracle.PdfParseError):
+        oracle.extract_pdf(b"%PDF-1.4\n1 0 obj\n<< /Type /Cat")
+
+
+# ---------------------------------------------------------------------------
+# fields
+# ---------------------------------------------------------------------------
+
+def test_fields_regexes():
+    text = ("contact a.b+c@example.com or x@y.org call +1 (555) 123-4567 "
+            "or 5551234567 see linkedin.com/in/jane-d and github.com/jane")
+    f = oracle.extract_fields(text, [])
+    assert f["emails"] == ["a.b+c@example.com", "x@y.org"]
+    assert "+15551234567" in f["phones"] and "5551234567" in f["phones"]
+    assert "linkedin.com/in/jane-d" in f["links"]
+    assert "github.com/jane" in f["links"]
+
+
+# ---------------------------------------------------------------------------
+# extract_document end-to-end over every route
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("doc_id", range(0, 60))
+def test_document_roundtrip_all_routes(doc_id):
+    text = corpus.synth_text(doc_id)
+    payload = corpus.payload_for(doc_id, text)
+    rec = oracle.extract_document(payload)
+    route = corpus.route_for(doc_id)
+    if route == "junk":
+        assert rec["status"] == "parse_failure"
+        assert rec["extracted_text"] == "" and rec["spans"] == []
+    else:
+        assert rec["status"] == "ok", (doc_id, route)
+        assert rec["route"] == route
+        assert rec["extracted_text"] == golden_text(text), doc_id
+        assert rec["n_blocks"] == len(rec["spans"]) > 0
+
+
+def test_document_never_raises_on_junk_family():
+    for doc_id in range(19, 400, 20):
+        rec = oracle.extract_document(corpus.make_junk(doc_id))
+        assert rec["status"] == "parse_failure"
+
+
+def test_big_doc_multipage():
+    text = corpus.synth_text(96, 600, 1200)
+    payload = corpus.payload_for(96, text)  # 96 % 20 = 16 → pdf
+    rec = oracle.extract_document(payload)
+    assert rec["status"] == "ok"
+    assert rec["extracted_text"] == golden_text(text)
+    assert rec["n_pages"] >= 2
