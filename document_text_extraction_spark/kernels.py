@@ -1,0 +1,377 @@
+"""Vectorized (pandas/Arrow-batch) form of the oracle's extraction.
+
+This is the hot path that runs inside ``mapInPandas``: one call receives a
+pandas batch of documents and returns the full extraction record for each.
+Design contract (SURVEY.md §4 "what needs explicit engineering" #1):
+
+* the only per-document Python is the unavoidable parser scan (HTML tag
+  tokenizer / PDF content-stream tokenizer — both single C-regex passes);
+* everything after the scan is **batch-level**: whitespace normalization,
+  link-density classification, field regexes and span ordering run as
+  pandas ``.str`` / numpy array ops over *all blocks of all documents in
+  the batch at once*;
+* output is byte-identical to ``oracle.extract_document`` per document —
+  enforced by the ``test_kernels`` equivalence property test.
+
+Reference provenance: batch drivers ``/root/reference/batch_multi_column.py
+:496-611`` and ``grid_detector_v4.py:342-418`` loop documents one at a
+time; this module is their Arrow-batch re-expression.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import time
+
+import numpy as np
+import pandas as pd
+
+from . import oracle
+from .oracle import (
+    BLOCK_TAGS,
+    BOILER_CONTAINERS,
+    COLUMN_GAP_PT,
+    CONTENT_KINDS,
+    EMAIL_RE,
+    HEADING_TAGS,
+    LINK_DENSITY_MAX,
+    LINK_RES,
+    PARSER_VERSION,
+    PHONE_RES,
+    _COMMENT_RE,
+    _DECL_RE,
+    _PHONE_CLEAN_RE,
+    _SCRIPT_RE,
+    _STREAM_RE,
+    _STYLE_RE,
+    _TAG_RE,
+    _interpret_page,
+)
+
+_KIND_BOILER, _KIND_MAIN, _KIND_HEADING, _KIND_LIST = 0, 1, 2, 3
+_KIND_NAMES = np.array(["boilerplate", "main", "heading", "list_item"])
+
+
+# ---------------------------------------------------------------------------
+# Per-document scanners (emit raw pieces; no classification here)
+# ---------------------------------------------------------------------------
+
+def _scan_html_doc(data: bytes) -> list[tuple[int, str, str]]:
+    """One regex pass over a document → raw blocks.
+
+    Returns ``[(base_kind_code, full_raw, link_raw)]`` per block with
+    entity-unescaped but *un-normalized* text; ``base_kind_code`` already
+    folds in the boilerplate-ancestor rule (cheap to track in the scan,
+    and it keeps the batch stage purely numeric).
+    """
+    raw = _COMMENT_RE.sub(b" ", data)
+    raw = _DECL_RE.sub(b" ", raw)
+    raw = _SCRIPT_RE.sub(b" ", raw)
+    raw = _STYLE_RE.sub(b" ", raw)
+    doc = raw.decode("utf-8", errors="replace")
+
+    blocks: list[tuple[int, str, str]] = []
+    boiler_depth = 0
+    link_depth = 0
+    base_kind = _KIND_MAIN
+    pieces: list[str] = []
+    link_pieces: list[str] = []
+    any_boiler = False
+
+    def flush() -> None:
+        nonlocal pieces, link_pieces, any_boiler, base_kind
+        if pieces:
+            kind = _KIND_BOILER if any_boiler else base_kind
+            blocks.append(("".join(pieces), "".join(link_pieces), kind))
+        pieces = []
+        link_pieces = []
+        any_boiler = False
+
+    pos = 0
+    for m in _TAG_RE.finditer(doc):
+        txt = doc[pos : m.start()]
+        if txt:
+            t = _htmllib.unescape(txt)
+            if t:
+                pieces.append(t)
+                if link_depth > 0:
+                    link_pieces.append(t)
+                if boiler_depth > 0:
+                    any_boiler = True
+        closing, name = m.group(1), m.group(2).lower()
+        if name in BLOCK_TAGS:
+            flush()
+            if not closing and name in HEADING_TAGS:
+                base_kind = _KIND_HEADING
+            elif not closing and name == "li":
+                base_kind = _KIND_LIST
+            else:
+                base_kind = _KIND_MAIN
+        if name in BOILER_CONTAINERS:
+            boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
+        elif name == "a":
+            link_depth = max(0, link_depth - 1) if closing else link_depth + 1
+        pos = m.end()
+    tail = doc[pos:]
+    if tail:
+        t = _htmllib.unescape(tail)
+        if t:
+            pieces.append(t)
+            if link_depth > 0:
+                link_pieces.append(t)
+            if boiler_depth > 0:
+                any_boiler = True
+    flush()
+    return blocks
+
+
+def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int]:
+    """Content-stream scan → raw shows ``{page,x,y,text}`` + page count."""
+    if not data.lstrip()[:5] == b"%PDF-":
+        raise oracle.PdfParseError("missing %PDF- magic")
+    streams = _STREAM_RE.findall(data)
+    if not streams:
+        raise oracle.PdfParseError("no content streams")
+    shows: list[dict] = []
+    for page, content in enumerate(streams):
+        shows.extend(_interpret_page(content, page))
+    return shows, len(streams)
+
+
+# ---------------------------------------------------------------------------
+# Batch-level stages
+# ---------------------------------------------------------------------------
+
+def _sniff_batch(payloads: pd.Series) -> np.ndarray:
+    """Route per document (vector of 'html' | 'pdf' | 'unknown')."""
+    return np.array(
+        [oracle.sniff(p) for p in payloads], dtype=object
+    )
+
+
+_WS_PAT = r"\s+"
+
+
+def _classify_html_blocks(
+    doc_idx: np.ndarray, fulls: pd.Series, links: pd.Series,
+    base_kinds: np.ndarray,
+) -> pd.DataFrame:
+    """Vectorized classification of every HTML block in the batch.
+
+    Normalization + density + kind assignment are single pandas/numpy
+    expressions over the all-blocks arrays (the batch analogue of
+    ``oracle.extract_html``'s per-block logic).
+    """
+    full_n = fulls.str.replace(_WS_PAT, " ", regex=True).str.strip()
+    link_n = links.str.replace(_WS_PAT, " ", regex=True).str.strip()
+    full_len = full_n.str.len().to_numpy()
+    link_len = link_n.str.len().to_numpy()
+    nonempty = full_len > 0
+    density = np.where(full_len > 0, link_len / np.maximum(full_len, 1), 0.0)
+    kind = np.where(
+        (base_kinds == _KIND_BOILER) | (density > LINK_DENSITY_MAX),
+        _KIND_BOILER,
+        base_kinds,
+    )
+    out = pd.DataFrame({
+        "doc": doc_idx[nonempty],
+        "text": full_n.to_numpy()[nonempty],
+        "kind": _KIND_NAMES[kind[nonempty]],
+    })
+    return out
+
+
+def _order_pdf_shows(shows_df: pd.DataFrame) -> pd.DataFrame:
+    """Reading-order sort of every PDF show in the batch.
+
+    Column clustering per (doc, page) on unique x-origins (gap > 40pt,
+    O29) then a single stable lexsort over the whole batch by
+    (doc, page, col, -y, x, seq) — the total deterministic key (O36).
+    """
+    if shows_df.empty:
+        return shows_df.assign(col=np.array([], dtype=np.int64))
+    df = shows_df
+    # cluster x per (doc, page): sort by (doc,page,x); new cluster when the
+    # gap to the previous unique x within the group exceeds COLUMN_GAP_PT
+    order = np.lexsort((df["x"].to_numpy(), df["page"].to_numpy(),
+                        df["doc"].to_numpy()))
+    x_s = df["x"].to_numpy()[order]
+    d_s = df["doc"].to_numpy()[order]
+    p_s = df["page"].to_numpy()[order]
+    new_group = np.ones(len(df), dtype=bool)
+    new_group[1:] = (d_s[1:] != d_s[:-1]) | (p_s[1:] != p_s[:-1])
+    gap = np.empty(len(df))
+    gap[0] = np.inf
+    gap[1:] = x_s[1:] - x_s[:-1]
+    new_col = new_group | (gap > COLUMN_GAP_PT)
+    col_s = np.cumsum(new_col)  # global running id
+    # per-group re-base: subtract the group's first id
+    group_id = np.cumsum(new_group)
+    first_col_of_group = np.zeros(group_id.max() + 1, dtype=np.int64)
+    first_idx = np.searchsorted(group_id, np.arange(1, group_id.max() + 1))
+    first_col_of_group[1:] = col_s[first_idx]
+    col_rebased = col_s - first_col_of_group[group_id]
+    col = np.empty(len(df), dtype=np.int64)
+    col[order] = col_rebased
+    df = df.assign(col=col)
+    final = np.lexsort((
+        df["seq"].to_numpy(), df["x"].to_numpy(), -df["y"].to_numpy(),
+        df["col"].to_numpy(), df["page"].to_numpy(), df["doc"].to_numpy(),
+    ))
+    return df.iloc[final]
+
+
+def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
+    """Batch regex field extraction over the extracted-text Series
+    (pandas .str.findall = one compiled-regex C pass per family)."""
+    emails = texts.str.findall(EMAIL_RE).map(lambda v: sorted(set(v)))
+    phone_lists = None
+    for rx in PHONE_RES:
+        found = texts.str.findall(rx)
+        phone_lists = found if phone_lists is None else phone_lists + found
+    phones = phone_lists.map(
+        lambda ms: sorted({
+            c for c in (_PHONE_CLEAN_RE.sub("", m) for m in ms)
+            if len(c) >= 10
+        })
+    )
+    link_lists = None
+    for rx in LINK_RES:
+        found = texts.str.findall(rx)
+        link_lists = found if link_lists is None else link_lists + found
+    links = link_lists.map(lambda v: sorted(set(v)))
+    return pd.Series(
+        [
+            {"emails": e, "phones": p, "links": l, "headings": h}
+            for e, p, l, h in zip(emails, phones, links, headings)
+        ],
+        index=texts.index,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The batch kernel
+# ---------------------------------------------------------------------------
+
+def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
+    """(url, html-bytes) batch → full extraction records.
+
+    Output columns: url, status, route, extracted_text, spans (list of
+    span dicts), fields (dict), n_pages, n_blocks, elapsed_ms.
+    """
+    n = len(payloads)
+    routes = _sniff_batch(payloads)
+    status = np.full(n, "ok", dtype=object)
+    n_pages = np.zeros(n, dtype=np.int64)
+    elapsed = np.zeros(n, dtype=np.float64)
+
+    # ---- per-doc scans (the unavoidable parser loop) ------------------
+    html_blocks_doc: list[int] = []
+    html_blocks_full: list[str] = []
+    html_blocks_link: list[str] = []
+    html_blocks_kind: list[int] = []
+    pdf_rows: list[tuple] = []  # (doc, page, x, y, seq, text)
+
+    payload_arr = payloads.to_numpy()
+    for i in range(n):
+        r = routes[i]
+        t0 = time.perf_counter()
+        try:
+            if r == "html":
+                for full, link, kind in _scan_html_doc(payload_arr[i]):
+                    html_blocks_doc.append(i)
+                    html_blocks_full.append(full)
+                    html_blocks_link.append(link)
+                    html_blocks_kind.append(kind)
+                n_pages[i] = 1
+            elif r == "pdf":
+                shows, np_pages = _scan_pdf_doc(payload_arr[i])
+                n_pages[i] = np_pages
+                for seq, s in enumerate(shows):
+                    pdf_rows.append((i, s["page"], s["x"], s["y"], seq,
+                                     s["text"]))
+            else:
+                status[i] = "parse_failure"
+        except Exception:
+            status[i] = "parse_failure"
+            n_pages[i] = 0
+        elapsed[i] = (time.perf_counter() - t0) * 1000.0
+
+    # ---- batch classification: HTML ----------------------------------
+    spans_per_doc: dict[int, list[dict]] = {}
+    content_text: dict[int, list[str]] = {}
+    headings_per_doc: dict[int, list[str]] = {}
+
+    if html_blocks_doc:
+        hb = _classify_html_blocks(
+            np.array(html_blocks_doc),
+            pd.Series(html_blocks_full),
+            pd.Series(html_blocks_link),
+            np.array(html_blocks_kind),
+        )
+        for doc, text, kind in zip(
+            hb["doc"].to_numpy(), hb["text"].to_numpy(), hb["kind"].to_numpy()
+        ):
+            sp = spans_per_doc.setdefault(doc, [])
+            sp.append({
+                "page": 0, "block": len(sp),
+                "x0": 0.0, "y0": 0.0, "x1": 0.0, "y1": 0.0,
+                "kind": kind, "text": text,
+            })
+            if kind in CONTENT_KINDS:
+                content_text.setdefault(doc, []).append(text)
+            if kind == "heading":
+                headings_per_doc.setdefault(doc, []).append(text)
+
+    # ---- batch ordering: PDF ------------------------------------------
+    if pdf_rows:
+        pdf_df = pd.DataFrame(
+            pdf_rows, columns=["doc", "page", "x", "y", "seq", "text"]
+        )
+        # cluster/sort over ALL shows (oracle does), then drop empties
+        ordered = _order_pdf_shows(pdf_df)
+        ordered = ordered.assign(text=ordered["text"].str.strip())
+        ordered = ordered[ordered["text"].str.len() > 0]
+        for doc, page, x, y, text in zip(
+            ordered["doc"].to_numpy(), ordered["page"].to_numpy(),
+            ordered["x"].to_numpy(), ordered["y"].to_numpy(),
+            ordered["text"].to_numpy(),
+        ):
+            sp = spans_per_doc.setdefault(doc, [])
+            sp.append({
+                "page": int(page), "block": len(sp),
+                "x0": float(x), "y0": float(y),
+                "x1": float(x), "y1": float(y),
+                "kind": "block", "text": text,
+            })
+            content_text.setdefault(doc, []).append(text)
+
+    # ---- assemble ------------------------------------------------------
+    texts = pd.Series(
+        ["\n".join(content_text.get(i, [])) if status[i] == "ok" else ""
+         for i in range(n)]
+    )
+    headings = pd.Series(
+        [headings_per_doc.get(i, []) if status[i] == "ok" else []
+         for i in range(n)]
+    )
+    spans = [spans_per_doc.get(i, []) if status[i] == "ok" else []
+             for i in range(n)]
+    fields = _fields_batch(texts, headings)
+    empty_fields = dict(oracle.EMPTY_FIELDS)
+    fields = pd.Series(
+        [f if status[i] == "ok" else dict(empty_fields)
+         for i, f in enumerate(fields)]
+    )
+    n_pages = np.where(status == "ok", n_pages, 0)
+    return pd.DataFrame({
+        "url": urls.to_numpy(),
+        "status": status,
+        "route": routes,
+        "extracted_text": texts.to_numpy(),
+        "spans": spans,
+        "fields": fields.to_numpy(),
+        "n_pages": n_pages,
+        "n_blocks": np.array([len(s) for s in spans], dtype=np.int64),
+        "elapsed_ms": elapsed,
+    })

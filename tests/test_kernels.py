@@ -1,0 +1,89 @@
+"""Property: the vectorized batch kernel is byte-identical to the
+per-document oracle over mixed batches (FIXTURES.md §5 ``batch_equivalence``).
+"""
+
+import pandas as pd
+import pytest
+
+from document_text_extraction_spark import corpus, kernels, oracle
+
+
+def _batch(rows):
+    urls = pd.Series([r["url"] for r in rows])
+    payloads = pd.Series([r["html"] for r in rows])
+    return kernels.extract_batch(urls, payloads)
+
+
+def _check_equivalence(rows):
+    out = _batch(rows)
+    assert list(out["url"]) == [r["url"] for r in rows]
+    for i, r in enumerate(rows):
+        ref = oracle.extract_document(r["html"])
+        got = out.iloc[i]
+        assert got["status"] == ref["status"], (i, r["url"])
+        assert got["route"] == ref["route"], i
+        assert got["extracted_text"] == ref["extracted_text"], i
+        assert int(got["n_pages"]) == ref["n_pages"], i
+        assert int(got["n_blocks"]) == ref["n_blocks"], i
+        assert got["spans"] == ref["spans"], i
+        assert got["fields"] == ref["fields"], i
+
+
+def test_batch_equivalence_200_mixed_docs():
+    _check_equivalence(list(corpus.synth_rows(200)))
+
+
+def test_batch_equivalence_big_docs():
+    rows = [corpus.make_page(d, corpus.synth_text(d, 500, 900))
+            for d in range(90, 120)]
+    _check_equivalence(rows)
+
+
+def test_batch_all_junk():
+    rows = [corpus.make_page(d, corpus.synth_text(d))
+            for d in range(19, 419, 20)]
+    out = _batch(rows)
+    assert (out["status"] == "parse_failure").all()
+    assert (out["extracted_text"] == "").all()
+
+
+def test_batch_order_independence():
+    rows = list(corpus.synth_rows(60))
+    fwd = _batch(rows).sort_values("url").reset_index(drop=True)
+    rev = _batch(rows[::-1]).sort_values("url").reset_index(drop=True)
+    for c in ["url", "status", "route", "extracted_text", "n_blocks"]:
+        assert list(fwd[c]) == list(rev[c]), c
+
+
+def test_fields_planted():
+    text = "reach me at jane.doe@example.com or +1 (555) 123-4567 ok fine"
+    rows = [corpus.make_page(3, text)]
+    out = _batch(rows)
+    f = out.iloc[0]["fields"]
+    assert f["emails"] == ["jane.doe@example.com"]
+    # both reference phone patterns fire (intl + parenthesized local) —
+    # union semantics, matching final.py:202-212
+    assert f["phones"] == ["+15551234567", "5551234567"]
+
+
+def test_empty_batch():
+    out = kernels.extract_batch(pd.Series([], dtype=object),
+                                pd.Series([], dtype=object))
+    assert len(out) == 0
+    assert list(out.columns)[:4] == ["url", "status", "route",
+                                     "extracted_text"]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hypothesis_like_fuzz_payloads(seed):
+    """Arbitrary byte payloads never raise and match the oracle."""
+    import hashlib
+    rows = []
+    for i in range(50):
+        h = hashlib.md5(b"%d:%d" % (seed, i)).digest() * (i % 7 + 1)
+        rows.append({"url": f"u{i}", "html": h, "text": ""})
+    out = _batch(rows)
+    for i, r in enumerate(rows):
+        ref = oracle.extract_document(r["html"])
+        assert out.iloc[i]["status"] == ref["status"]
+        assert out.iloc[i]["extracted_text"] == ref["extracted_text"]
