@@ -1,0 +1,311 @@
+"""The Spark extraction job: read → salted bucket shuffle → vectorized
+map → partitioned, checkpoint-resumable write with per-partition counters.
+
+Physical shape (SURVEY.md §4):
+
+* **one** wide stage: ``mapInPandas(kernels.extract_batch)`` over
+  ``(url, html)`` — Catalyst prunes the scan to exactly those columns;
+* explicit bucketing: ``part_bucket = pmod(xxhash64(url), n_buckets)``.
+  The output table is partitioned by this bucket, which is also the
+  resume/commit unit;
+* **salting**: a cheap pre-aggregation measures bytes per bucket;
+  buckets above threshold get their *placement* key split
+  ``bucket * MAX_SALT + pmod(xxhash64(url, salt_seed), factor)`` so one
+  hot bucket (giant host / giant documents) cannot straggle an executor.
+  Salt affects shuffle placement only — never values, never the output
+  partition column — so per-url byte-identity is preserved;
+* **checkpoint/resume**: buckets are processed in slices; each slice
+  commits (data files + counters) into a JSON manifest via atomic
+  rename. A restart skips committed slices and wipes+redoes any
+  half-written slice — idempotent per partition. (Iceberg snapshots
+  would subsume this; the runtime jar is absent in this sandbox, so the
+  manifest emulates the same semantics behind one module.)
+
+At 100 TB / 10^12 docs: n_buckets ~ 2^16, slice_buckets sized so one
+slice ≈ one cluster wave; everything else is unchanged — the map is
+embarrassingly parallel and shuffle volume is bounded by input bytes
+once (the single repartition).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import kernels
+from .oracle import PARSER_VERSION
+
+SPAN_TYPE = T.StructType([
+    T.StructField("page", T.IntegerType()),
+    T.StructField("block", T.IntegerType()),
+    T.StructField("x0", T.DoubleType()),
+    T.StructField("y0", T.DoubleType()),
+    T.StructField("x1", T.DoubleType()),
+    T.StructField("y1", T.DoubleType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+FIELDS_TYPE = T.StructType([
+    T.StructField("emails", T.ArrayType(T.StringType())),
+    T.StructField("phones", T.ArrayType(T.StringType())),
+    T.StructField("links", T.ArrayType(T.StringType())),
+    T.StructField("headings", T.ArrayType(T.StringType())),
+])
+
+LINEAGE_TYPE = T.StructType([
+    T.StructField("status", T.StringType()),
+    T.StructField("route", T.StringType()),
+    T.StructField("parser_version", T.StringType()),
+    T.StructField("n_pages", T.IntegerType()),
+    T.StructField("n_blocks", T.IntegerType()),
+    T.StructField("bytes_in", T.LongType()),
+    T.StructField("elapsed_ms", T.DoubleType()),
+    T.StructField("partition_id", T.IntegerType()),
+])
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("extracted_text", T.StringType()),
+    T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+    T.StructField("fields", FIELDS_TYPE),
+    T.StructField("lineage", LINEAGE_TYPE),
+    T.StructField("part_bucket", T.IntegerType()),
+])
+
+MAX_SALT = 64  # upper bound on per-bucket split factor
+
+
+def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: vectorized kernel + lineage assembly."""
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+    for b in batches:
+        if len(b) == 0:
+            continue
+        out = kernels.extract_batch(b["url"], b["html"])
+        bytes_in = b["html"].map(lambda v: 0 if v is None else len(v))
+        lineage = [
+            {
+                "status": s, "route": r, "parser_version": PARSER_VERSION,
+                "n_pages": int(npg), "n_blocks": int(nb),
+                "bytes_in": int(bi), "elapsed_ms": float(el),
+                "partition_id": pid,
+            }
+            for s, r, npg, nb, bi, el in zip(
+                out["status"], out["route"], out["n_pages"],
+                out["n_blocks"], bytes_in, out["elapsed_ms"],
+            )
+        ]
+        yield pd.DataFrame({
+            "url": out["url"],
+            "extracted_text": out["extracted_text"],
+            "spans": out["spans"],
+            "fields": out["fields"],
+            "lineage": lineage,
+            "part_bucket": b["part_bucket"].to_numpy(),
+        })
+
+
+def bucket_col(n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+
+
+def plan_salting(pages: DataFrame, n_buckets: int,
+                 threshold_bytes: int | None = None) -> dict[int, int]:
+    """Cheap pre-aggregation → per-bucket salt factors.
+
+    A bucket whose payload mass exceeds ``threshold_bytes`` (default:
+    4x the mean) is split into ``ceil(mass/threshold)`` placement
+    sub-keys, capped at MAX_SALT. Reference analogue: the skew the
+    per-document map must absorb is byte skew (giant docs / hot hosts),
+    detected exactly like the reference's per-doc char counters
+    (``grid_detector_v4.py:203-207``) but as one groupBy.
+    """
+    stats = (
+        pages.select(bucket_col(n_buckets).alias("b"),
+                     F.length("html").alias("sz"))
+        .groupBy("b").agg(F.sum("sz").alias("bytes"))
+        .collect()
+    )
+    if not stats:
+        return {}
+    sizes = {r["b"]: (r["bytes"] or 0) for r in stats}
+    if threshold_bytes is None:
+        mean = sum(sizes.values()) / max(len(sizes), 1)
+        threshold_bytes = int(4 * mean) + 1
+    plan = {}
+    for b, sz in sizes.items():
+        if sz > threshold_bytes:
+            plan[b] = min(MAX_SALT, -(-sz // threshold_bytes))
+    return plan
+
+
+def _placement_key(n_buckets: int, salt_plan: dict[int, int]) -> F.Column:
+    """Shuffle-placement key: bucket, sub-split for salted buckets."""
+    b = bucket_col(n_buckets)
+    if not salt_plan:
+        return b.cast("long")
+    factor = F.lit(1)
+    # small plan → literal map lookup stays JVM-side
+    pairs: list = []
+    for k, v in sorted(salt_plan.items()):
+        pairs.extend([F.lit(k), F.lit(v)])
+    factor = F.coalesce(
+        F.element_at(F.create_map(*pairs), b.cast("int")), F.lit(1)
+    )
+    salt = F.pmod(F.xxhash64(F.col("url"), F.lit("salt")), factor)
+    return (b.cast("long") * MAX_SALT + salt).alias("placement_key")
+
+
+def extract_df(pages: DataFrame, n_buckets: int = 32,
+               salt_plan: dict[int, int] | None = None,
+               shuffle_partitions: int | None = None) -> DataFrame:
+    """The logical extraction plan: prune → salted repartition → map."""
+    n_parts = shuffle_partitions or n_buckets
+    pruned = pages.select(
+        "url", "html", bucket_col(n_buckets).alias("part_bucket")
+    )
+    keyed = pruned.repartition(
+        n_parts, _placement_key(n_buckets, salt_plan or {})
+    )
+    return keyed.mapInPandas(_extract_iter, schema=OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-resumable runner
+# ---------------------------------------------------------------------------
+
+def _manifest_path(out_dir: str, run_id: str) -> str:
+    return os.path.join(out_dir, f"_manifest_{run_id}.json")
+
+
+def _load_manifest(out_dir: str, run_id: str) -> dict:
+    p = _manifest_path(out_dir, run_id)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"run_id": run_id, "n_buckets": None, "slices": {}}
+
+
+def _commit_manifest(out_dir: str, run_id: str, manifest: dict) -> None:
+    """Atomic write: tmp file + rename (the commit point)."""
+    p = _manifest_path(out_dir, run_id)
+    fd, tmp = tempfile.mkstemp(dir=out_dir, prefix="._manifest")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str = "run1",
+    n_buckets: int = 32,
+    slice_buckets: int = 8,
+    resume: bool = True,
+    salt: bool = True,
+    max_slices: int | None = None,
+) -> dict:
+    """Execute extraction slice-by-slice with commit-after-each-slice.
+
+    Returns the final manifest. ``max_slices`` limits how many slices run
+    (test hook to simulate a mid-job kill; rerun with resume=True
+    finishes the job idempotently).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    data_dir = os.path.join(out_dir, "data")
+    manifest = _load_manifest(out_dir, run_id) if resume else {
+        "run_id": run_id, "n_buckets": None, "slices": {}}
+    if manifest["n_buckets"] not in (None, n_buckets):
+        raise ValueError("n_buckets changed mid-run; use a new run_id")
+    manifest["n_buckets"] = n_buckets
+
+    salt_plan = plan_salting(pages, n_buckets) if salt else {}
+    extracted = extract_df(pages, n_buckets, salt_plan)
+
+    slices = [
+        list(range(s, min(s + slice_buckets, n_buckets)))
+        for s in range(0, n_buckets, slice_buckets)
+    ]
+    ran = 0
+    for si, buckets in enumerate(slices):
+        key = str(si)
+        if manifest["slices"].get(key, {}).get("committed"):
+            continue
+        if max_slices is not None and ran >= max_slices:
+            break
+        # wipe any half-written output for this slice (idempotent redo)
+        for b in buckets:
+            d = os.path.join(data_dir, f"part_bucket={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        sub = extracted.filter(F.col("part_bucket").isin(buckets))
+        sub.write.mode("append").partitionBy("part_bucket").parquet(data_dir)
+        # counters from the just-written files (column-pruned lineage scan;
+        # no recomputation of the extraction)
+        if not os.path.isdir(data_dir):
+            manifest["slices"][key] = {
+                "committed": True, "buckets": buckets, "partitions": [],
+                "docs": 0, "bytes_in": 0, "parse_failures": 0,
+            }
+            _commit_manifest(out_dir, run_id, manifest)
+            ran += 1
+            continue
+        written = spark.read.parquet(data_dir).filter(
+            F.col("part_bucket").isin(buckets)
+        )
+        counters = (
+            written.groupBy("lineage.partition_id")
+            .agg(
+                F.count("*").alias("docs"),
+                F.sum("lineage.bytes_in").alias("bytes_in"),
+                F.sum(
+                    (F.col("lineage.status") == "parse_failure").cast("long")
+                ).alias("parse_failures"),
+                F.sum("lineage.elapsed_ms").alias("elapsed_ms"),
+            )
+            .collect()
+        )
+        manifest["slices"][key] = {
+            "committed": True,
+            "buckets": buckets,
+            "partitions": [r.asDict() for r in counters],
+            "docs": int(sum(r["docs"] for r in counters)),
+            "bytes_in": int(sum(r["bytes_in"] or 0 for r in counters)),
+            "parse_failures": int(
+                sum(r["parse_failures"] or 0 for r in counters)
+            ),
+        }
+        _commit_manifest(out_dir, run_id, manifest)
+        ran += 1
+    return manifest
+
+
+def partition_metrics(spark: SparkSession, out_dir: str,
+                      run_id: str = "run1") -> DataFrame:
+    """Committed per-partition counters as a DataFrame (FIXTURES.md §3)."""
+    manifest = _load_manifest(out_dir, run_id)
+    rows = []
+    for si, s in manifest["slices"].items():
+        if not s.get("committed"):
+            continue
+        for p in s["partitions"]:
+            rows.append((
+                run_id, int(si), int(p["partition_id"]), int(p["docs"]),
+                int(p["bytes_in"] or 0), int(p["parse_failures"] or 0),
+                float(p["elapsed_ms"] or 0.0),
+            ))
+    schema = ("run_id string, slice int, partition_id int, docs long, "
+              "bytes_in long, parse_failures long, elapsed_ms double")
+    return spark.createDataFrame(rows, schema=schema)

@@ -1,0 +1,132 @@
+"""End-to-end Spark pipeline tests (FIXTURES.md §5: partition_invariance,
+resume, metrics reconciliation) on local[8]."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from document_text_extraction_spark import corpus, oracle, pipeline
+from document_text_extraction_spark.sources import (
+    synth_web_pages,
+    web_pages_from_documents,
+)
+
+N_DOCS = 500
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synth_web_pages(spark, N_DOCS, partitions=8)
+    df.cache().count()
+    return df
+
+
+def golden(text: str) -> str:
+    return "\n".join(corpus.chunk_text(text))
+
+
+def test_extract_matches_oracle_all_rows(spark, pages):
+    out = pipeline.extract_df(pages, n_buckets=16).select(
+        "url", "extracted_text", "lineage.status", "lineage.route"
+    ).toPandas().set_index("url").sort_index()
+    src = pages.select("doc_id", "url", "text").toPandas()
+    assert len(out) == N_DOCS
+    for _, r in src.iterrows():
+        got = out.loc[r["url"]]
+        route = corpus.route_for(int(r["doc_id"]))
+        if route == "junk":
+            assert got["status"] == "parse_failure"
+        else:
+            assert got["status"] == "ok"
+            assert got["extracted_text"] == golden(r["text"]), r["doc_id"]
+
+
+def test_partition_invariance(spark, pages):
+    """Same rows at different bucket/partition counts → identical output."""
+    outs = []
+    for n_buckets, parts in [(4, 2), (16, 8), (64, 8)]:
+        df = pipeline.extract_df(pages, n_buckets=n_buckets,
+                                 shuffle_partitions=parts)
+        p = (df.select("url", "extracted_text", "lineage.status")
+             .toPandas().sort_values("url").reset_index(drop=True))
+        outs.append(p)
+    for other in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], other)
+
+
+def test_salting_preserves_values(spark, pages):
+    plan = {b: 4 for b in range(16)}  # force-salt every bucket
+    a = (pipeline.extract_df(pages, 16, salt_plan=None)
+         .select("url", "extracted_text").toPandas()
+         .sort_values("url").reset_index(drop=True))
+    b = (pipeline.extract_df(pages, 16, salt_plan=plan)
+         .select("url", "extracted_text").toPandas()
+         .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_run_extraction_resume_identical(spark, pages, tmp_path):
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "partial")
+    m1 = pipeline.run_extraction(spark, pages, full_dir, n_buckets=8,
+                                 slice_buckets=2, salt=False)
+    assert all(s["committed"] for s in m1["slices"].values())
+
+    # simulate a kill after 2 of 4 slices, then resume
+    m2a = pipeline.run_extraction(spark, pages, part_dir, n_buckets=8,
+                                  slice_buckets=2, salt=False, max_slices=2)
+    assert sum(s.get("committed", False)
+               for s in m2a["slices"].values()) == 2
+    m2b = pipeline.run_extraction(spark, pages, part_dir, n_buckets=8,
+                                  slice_buckets=2, salt=False)
+    assert all(s["committed"] for s in m2b["slices"].values())
+
+    a = (spark.read.parquet(full_dir + "/data")
+         .select("url", "extracted_text", "part_bucket")
+         .toPandas().sort_values("url").reset_index(drop=True))
+    b = (spark.read.parquet(part_dir + "/data")
+         .select("url", "extracted_text", "part_bucket")
+         .toPandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == N_DOCS  # no duplicates, no losses
+
+
+def test_metrics_reconcile(spark, pages, tmp_path):
+    out_dir = str(tmp_path / "m")
+    pipeline.run_extraction(spark, pages, out_dir, n_buckets=8,
+                            slice_buckets=4, salt=False)
+    metrics = pipeline.partition_metrics(spark, out_dir)
+    agg = metrics.agg(F.sum("docs"), F.sum("parse_failures")).collect()[0]
+    assert agg[0] == N_DOCS
+    data = spark.read.parquet(out_dir + "/data")
+    failures = data.filter(F.col("lineage.status") == "parse_failure").count()
+    assert agg[1] == failures
+    bytes_in = metrics.agg(F.sum("bytes_in")).collect()[0][0]
+    src_bytes = pages.select(F.sum(F.length("html"))).collect()[0][0]
+    assert bytes_in == src_bytes
+
+
+def test_web_pages_from_documents_roundtrip(spark):
+    pages = web_pages_from_documents(spark, "/root/testdata/sf0.001")
+    out = pipeline.extract_df(pages, n_buckets=8)
+    joined = (
+        pages.select("doc_id", "url", "text")
+        .join(out.select("url", "extracted_text", "lineage.status"), "url")
+        .toPandas()
+    )
+    assert len(joined) == pages.count()
+    ok = joined[joined["doc_id"] % 20 < 19]
+    for _, r in ok.iterrows():
+        assert r["extracted_text"] == golden(r["text"]), r["doc_id"]
+
+
+def test_plan_salting_detects_hot_buckets(spark):
+    # one giant doc → its bucket crosses the 4x-mean threshold
+    rows = [corpus.make_page(i, corpus.synth_text(i, 10, 20))
+            for i in range(40)]
+    rows.append(corpus.make_page(1000, corpus.synth_text(1000, 5000, 5001)))
+    pdf = pd.DataFrame([{"url": r["url"], "html": r["html"]} for r in rows])
+    df = spark.createDataFrame(pdf)
+    plan = pipeline.plan_salting(df, n_buckets=8, threshold_bytes=10_000)
+    assert plan, "expected at least one salted bucket"
+    assert all(1 < f <= pipeline.MAX_SALT for f in plan.values())
