@@ -1,0 +1,227 @@
+"""Dataset-level deduplication operators for training-data pipelines.
+
+All shuffle-conscious and JVM-side (no Python UDFs):
+
+* exact: one groupBy on an md5 fingerprint (map-side partial agg);
+* MinHash+LSH: shingle → per-hash min (array expressions, no explode for
+  the signature) → band hashes → **one** exploded band join finds
+  candidates → exact-Jaccard verification joins only the candidates;
+* SimHash: token explode → per-bit majority agg → band buckets on bit
+  ranges (Hamming-adjacent candidates without a cross join);
+* n-gram Jaccard: exploded-shingle equi-join restricted to candidate
+  pairs (a < b) with group counts — the classic
+  inter/union formulation.
+
+Scale notes (100 TB): every operator here is a hash-shuffle on a bounded
+key (fingerprint, band hash, shingle) — no cross joins anywhere; AQE skew
+handling applies to the band join; shingle explosion is the dominant
+cost and is O(tokens) per doc.
+
+Reference analogue: the per-list ``list(set(...))`` dedup (O30,
+``/root/reference/new_approaches/final.py:431-435``) generalized to
+corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array column (JVM-side)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Exact dedup by md5 fingerprint → groups with >1 member."""
+    return (
+        df.select(F.col(id_col),
+                  F.md5(F.encode(F.col(text_col), "UTF-8"))
+                  .alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"),
+             F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature_df(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 3,
+                         num_hashes: int = 32) -> DataFrame:
+    """MinHash signatures without exploding: array_min over seeded
+    xxhash64 of the shingle array, one array expression per hash."""
+    sh = F.array_distinct(shingles_col(F.col(text_col), k))
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, h=h: F.xxhash64(s, F.lit(h))))
+        for h in range(num_hashes)
+    ])
+    return df.select(F.col(id_col), sh.alias("shingles"), sig.alias("sig"))
+
+
+def minhash_near_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, num_hashes: int = 32, bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature_df(df, id_col, text_col, k, num_hashes)
+    sigs = sigs.persist()
+    banded = sigs.select(
+        F.col(id_col), "shingles",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
+                             for r in range(rows)]).alias("bh"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "shingles", "bb.band", "bb.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = (
+        cand.select("id_a", "id_b", (inter / union).alias("jac_raw"))
+        .filter(F.col("jac_raw") >= threshold)
+        .select(
+            "id_a", "id_b",
+            (F.floor(F.col("jac_raw") * 1e6) / 1e6).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing >=1 shingle.
+
+    Shuffle profile: explode (map-side) → equi-join on shingle →
+    groupBy pair. No LSH approximation — the oracle-checkable exact
+    variant; at 100 TB use minhash_near_duplicates instead.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), k)))
+        .alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    # floor-scaling (not round) so the value is bit-stable vs the DuckDB
+    # oracle: both engines divide the same exact integers
+    jac_raw = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pair_inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac_raw >= threshold)
+        .select(
+            "id_a", "id_b",
+            (F.floor(jac_raw * 1e6) / 1e6).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 60  # multiple of the band count; < 63 keeps longs positive
+
+
+def simhash_df(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash: token explode → per-bit majority vote.
+
+    The 64 per-bit sums are one groupBy with ``bits`` conditional-sum
+    aggregates (map-side combined); assembly is a sum of shifted bit
+    flags — everything whole-stage-codegen'd.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(F.col(id_col), F.xxhash64("tok").alias("th"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*bit_votes)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            bands: int = 4,
+                            max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs whose SimHashes agree on >=1 of ``bands`` bit-bands
+    (catches all pairs with Hamming distance < bands), verified by exact
+    Hamming distance <= max_hamming."""
+    bits_per_band = SIMHASH_BITS // bands
+    mask = (1 << bits_per_band) - 1
+    sh = simhash_df(df, id_col, text_col)
+    banded = sh.select(
+        F.col(id_col), "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * bits_per_band)
+                .bitwiseAND(F.lit(mask)).alias("bv"),
+            ) for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bv")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bv") == F.col("r.bv"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.simhash").alias("ha"),
+                F.col("r.simhash").alias("hb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

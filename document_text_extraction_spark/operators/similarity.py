@@ -1,0 +1,110 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* :func:`cosine_topk` — brute-force cosine top-k, all JVM-side
+  (``zip_with`` + ``aggregate`` fold for the dot product). The exact
+  baseline; one full scan, no shuffle except the final top-k
+  (``TakeOrderedAndProject``).
+* :func:`ann_lsh_topk` — random-hyperplane LSH: deterministic
+  hash-derived planes, sign-bit bucket, probe the query's bucket and all
+  Hamming<=1 neighbors, exact re-rank inside the probed buckets. The
+  scale path: at 10^12 rows the bucket column is a partition/cluster key
+  so a query touches ~(planes+1)/2^planes of the data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def _as_double(col):
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    Deterministic ordering: (score desc, id asc). Scores rounded to 6
+    decimals (both Spark and DuckDB fold the sum sequentially, but
+    rounding removes any residual FP ambiguity from the comparison).
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    emb = _as_double(F.col(vec_col))
+    score = _dot(emb, q) / (_norm(emb) * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), score.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            (F.floor(F.col("cos_raw") * 1e4) / 1e4).alias("cosine"),
+        )
+    )
+
+
+def _planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for d in range(dim):
+            h = hashlib.md5(b"plane:%d:%d" % (p, d)).digest()
+            comps.append(int.from_bytes(h[:8], "big") / 2**63 - 1.0)
+        planes.append(comps)
+    return planes
+
+
+def lsh_bucket_col(vec_col, dim: int, n_planes: int = 12):
+    """Sign-bit bucket id from ``n_planes`` deterministic hyperplanes."""
+    emb = _as_double(vec_col)
+    acc = F.lit(0).cast("long")
+    for p, plane in enumerate(_planes(dim, n_planes)):
+        lit_plane = F.array(*[F.lit(c) for c in plane])
+        acc = acc + F.when(_dot(emb, lit_plane) > 0,
+                           F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return acc
+
+
+def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 12, hamming_probe: int = 1) -> DataFrame:
+    """Approximate top-k: probe the query bucket ± Hamming<=probe buckets,
+    exact cosine re-rank inside."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_planes)
+    qbits = 0
+    for p, plane in enumerate(planes):
+        if sum(a * float(b) for a, b in zip(plane, query_vec)) > 0:
+            qbits |= 1 << p
+    probe = {qbits}
+    if hamming_probe >= 1:
+        probe.update(qbits ^ (1 << p) for p in range(n_planes))
+    if hamming_probe >= 2:
+        for p1 in range(n_planes):
+            for p2 in range(p1 + 1, n_planes):
+                probe.add(qbits ^ (1 << p1) ^ (1 << p2))
+    bucketed = df.withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col), dim, n_planes)
+    )
+    cand = bucketed.filter(F.col("bucket").isin(list(probe)))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,590 @@
+"""Driver-contract query registry: Spark implementations + DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 (O-numbers in
+the docstrings). The extraction queries derive deterministic pages from
+the ``documents`` table (``sources.web_pages_from_documents``), so the
+DuckDB oracle can predict the *extracted* text straight from the source
+text: main content is the 10-word chunking of ``text``, i.e.
+``regexp_replace(text, '((?:\\S+ ){9}\\S+) ', '\\1'||chr(10), 'g')``.
+
+Cross-engine comparability rules used throughout:
+* every computed column aliased identically in Spark and SQL;
+* integer-ish outputs cast to BIGINT on both sides;
+* doubles compared after **floor-scaling** (floor(x*10^k)/10^k), which is
+  bit-stable when both engines compute the same double, unlike
+  round-half-up vs round-half-even;
+* top-k queries carry a total ORDER BY (score desc, id asc).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import pipeline
+from .functions import fields as ff
+from .functions import textstats as ts
+from .operators import dedup, similarity
+from .operators.sessionize import mode_by, running_sum, user_session_counts
+from .sources import web_pages_from_documents
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+CHUNK_SQL = (
+    r"regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g')"
+)
+ROUTE_SQL = (
+    "CASE WHEN doc_id % 20 < 14 THEN 'html' "
+    "WHEN doc_id % 20 < 19 THEN 'pdf' "
+    "WHEN doc_id % 3 = 1 THEN 'pdf' ELSE 'unknown' END"
+)
+STATUS_SQL = (
+    "CASE WHEN doc_id % 20 < 19 THEN 'ok' ELSE 'parse_failure' END"
+)
+HOST_SQL = (
+    "'site' || lpad(CAST(least(49, CAST(floor(50 * pow((doc_id % 1000) "
+    "/ 1000.0, 3)) AS INT)) AS VARCHAR), 2, '0') || '.example.org'"
+)
+
+_N_BUCKETS = 16
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages → extraction output with doc_id recovered from the url
+    (…/{source}/{doc_id}), avoiding a second scan + join."""
+    pages = web_pages_from_documents(spark, sf_dir)
+    out = pipeline.extract_df(pages, n_buckets=_N_BUCKETS)
+    return out.withColumn(
+        "doc_id", F.element_at(F.split("url", "/"), -1).cast("long")
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 7th doc (planted exact dups)."""
+    d = _docs(spark, sf_dir)
+    extra = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.select("doc_id", "text").unionAll(extra)
+
+
+DUP_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text FROM documents "
+    "WHERE doc_id % 7 = 0"
+)
+
+
+def _near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ last-word-dropped copies of every 11th doc (planted
+    near-dups)."""
+    d = _docs(spark, sf_dir)
+    extra = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"\s\S+$", "").alias("text"),
+    )
+    return d.select("doc_id", "text").unionAll(extra)
+
+
+NEAR_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, "
+    r"regexp_replace(text, '\s\S+$', '') FROM documents "
+    "WHERE doc_id % 11 = 0"
+)
+
+SHINGLE_SQL = (
+    "list_distinct([array_to_string(words[i:least(i+2, len(words))], ' ') "
+    "for i in range(1, greatest(len(words) - 2, 1) + 1)])"
+)
+
+# ---------------------------------------------------------------------------
+# extraction queries (O1, O2, O6, O10, O31, O36, O44)
+# ---------------------------------------------------------------------------
+
+def q_extract_html_roundtrip(spark, sf_dir):
+    """O36 byte-identity on the HTML route: extracted text == 10-word
+    chunking of the source text."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("doc_id") % 20 < 14)
+        .select("doc_id", "extracted_text")
+    )
+
+
+SQL_EXTRACT_HTML = (
+    f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
+    "FROM documents WHERE doc_id % 20 < 14"
+)
+
+
+def q_extract_pdf_roundtrip(spark, sf_dir):
+    """O36 byte-identity on the PDF route (content-stream parse, column
+    clustering, reading order)."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter((F.col("doc_id") % 20 >= 14)
+                   & (F.col("doc_id") % 20 < 19))
+        .select("doc_id", "extracted_text")
+    )
+
+
+SQL_EXTRACT_PDF = (
+    f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
+    "FROM documents WHERE doc_id % 20 >= 14 AND doc_id % 20 < 19"
+)
+
+
+def q_extract_route_counts(spark, sf_dir):
+    """O31: routing rollup by sniffed content type."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.groupBy(F.col("lineage.route").alias("route"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+SQL_ROUTE_COUNTS = (
+    f"SELECT {ROUTE_SQL} AS route, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY 1"
+)
+
+
+def q_extract_status_counts(spark, sf_dir):
+    """O31: success/failure counters (error-row protocol)."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.groupBy(
+            F.col("lineage.route").alias("route"),
+            F.col("lineage.status").alias("status"),
+        ).agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+SQL_STATUS_COUNTS = (
+    f"SELECT {ROUTE_SQL} AS route, {STATUS_SQL} AS status, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1, 2"
+)
+
+
+def q_extract_volume_by_route(spark, sf_dir):
+    """O32 char totals per route over successful extractions."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("lineage.status") == "ok")
+        .groupBy(F.col("lineage.route").alias("route"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("extracted_text")).cast("long").alias("chars"),
+        )
+    )
+
+
+SQL_VOLUME_BY_ROUTE = (
+    f"SELECT {ROUTE_SQL} AS route, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(length(text)) AS BIGINT) AS chars "
+    "FROM documents WHERE doc_id % 20 < 19 GROUP BY 1"
+)
+
+
+def q_extract_pdf_block_counts(spark, sf_dir):
+    """O33/O22: per-document block counts on the PDF route — predicted
+    exactly by ceil(tokens/10)."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter((F.col("lineage.route") == "pdf")
+                   & (F.col("lineage.status") == "ok"))
+        .select("doc_id", F.col("lineage.n_blocks").cast("long")
+                .alias("n_blocks"))
+    )
+
+
+SQL_PDF_BLOCKS = (
+    "SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 10.0) "
+    "AS BIGINT) AS n_blocks FROM documents "
+    "WHERE doc_id % 20 >= 14 AND doc_id % 20 < 19"
+)
+
+
+def q_host_topk(spark, sf_dir):
+    """O37 top-k + skew visibility: busiest hosts (Zipf-skewed)."""
+    pages = web_pages_from_documents(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        pages.groupBy(host.alias("host"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("host"))
+        .limit(10)
+    )
+
+
+SQL_HOST_TOPK = (
+    f"SELECT {HOST_SQL} AS host, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY 1 ORDER BY n_docs DESC, host LIMIT 10"
+)
+
+
+def q_emails_planted(spark, sf_dir):
+    """O44 email regex family on JVM-side expressions."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com now"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract(planted, ff.EMAIL_PATTERN, 0).alias("email"),
+    )
+
+
+SQL_EMAILS = (
+    "SELECT doc_id, regexp_extract(text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com now', "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS email "
+    "FROM documents"
+)
+
+# ---------------------------------------------------------------------------
+# text analytics / training-data ops (O30, O37, O47-O50 analogues)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via md5 fingerprint groupBy over planted duplicates."""
+    groups = dedup.exact_duplicate_groups(_dup_docs(spark, sf_dir))
+    return groups.select(
+        "fingerprint",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.element_at("doc_ids", 1).cast("long").alias("min_id"),
+        F.element_at("doc_ids", -1).cast("long").alias("max_id"),
+    )
+
+
+SQL_DEDUP_EXACT = (
+    f"WITH all_docs AS ({DUP_DOCS_SQL}) "
+    "SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(min(doc_id) AS BIGINT) AS min_id, "
+    "CAST(max(doc_id) AS BIGINT) AS max_id "
+    "FROM all_docs GROUP BY 1 HAVING count(*) > 1"
+)
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace) + uniq + avg token length."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    avg_len = ts.avg_token_len_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        (F.floor(avg_len * 1e6) / 1e6).alias("avg_token_len"),
+    )
+
+
+SQL_TOKEN_STATS = (
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    "AS n_tokens, "
+    "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) "
+    "AS n_uniq_tokens, "
+    "floor(length(replace(text, ' ', '')) "
+    "/ greatest(len(string_split(text, ' ')), 1) * 1e6) / 1e6 "
+    "AS avg_token_len FROM documents"
+)
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring: length saturation + token shape + stopwords."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        (F.floor(ts.quality_score_col(F.col("text")) * 1e6) / 1e6)
+        .alias("quality"),
+    )
+
+
+_SW = "['the','and','of','to','in','is','it','that']"
+SQL_QUALITY = (
+    "WITH s AS (SELECT doc_id, "
+    "  CAST(len(string_split(text, ' ')) AS DOUBLE) AS toks, "
+    "  length(replace(text, ' ', '')) "
+    "    / greatest(len(string_split(text, ' ')), 1) AS avg_len, "
+    f"  len(list_filter(string_split(lower(text), ' '), "
+    f"      x -> list_contains({_SW}, x))) "
+    "    / greatest(len(string_split(lower(text), ' ')), 1) AS swr "
+    "FROM documents) "
+    "SELECT doc_id, floor((0.4 * least(toks / 100.0, 1.0) "
+    "+ 0.3 * greatest(0.0, 1.0 - abs(avg_len - 5.0) / 5.0) "
+    "+ 0.3 * least(swr * 5.0, 1.0)) * 1e6) / 1e6 AS quality FROM s"
+)
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language ID heuristic."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", ts.lang_id_col(F.col("text")).alias("lang_pred")
+    )
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains({lst}, x)))"
+    )
+
+
+SQL_LANG_ID = (
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(
+        f"{_lang_score_sql(w)} AS s_{lang}"
+        for lang, w in ts.LANG_STOPWORDS.items()
+    )
+    + " FROM documents) SELECT doc_id, CASE "
+    "WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und' "
+    "WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' "
+    "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' "
+    "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred FROM s"
+)
+
+
+def q_skills_match(spark, sf_dir):
+    """O49 vocabulary keyword matching, JVM-side."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(ff.skills_col(F.col("text"))).cast("long")
+        .alias("n_skills"),
+    )
+
+
+_VOCAB = "[" + ",".join(f"'{v}'" for v in ff.DEFAULT_VOCAB) + "]"
+SQL_SKILLS = (
+    f"SELECT doc_id, CAST(len(list_filter({_VOCAB}, "
+    "s -> contains(lower(text), s))) AS BIGINT) AS n_skills "
+    "FROM documents"
+)
+
+
+def q_topk_longest(spark, sf_dir):
+    """O37 dataset top-k with total ordering."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_LONGEST = (
+    "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+    "ORDER BY n_chars DESC, doc_id LIMIT 10"
+)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs over planted near-dups."""
+    return dedup.ngram_jaccard_pairs(
+        _near_docs(spark, sf_dir), threshold=0.5
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    f"WITH all_docs AS ({NEAR_DOCS_SQL}), "
+    "w AS (SELECT doc_id, string_split(text, ' ') AS words FROM all_docs), "
+    f"sh AS (SELECT doc_id, unnest({SHINGLE_SQL}) AS shingle FROM w), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+    "pair_inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "  count(*) AS inter FROM sh a JOIN sh b ON a.shingle = b.shingle "
+    "  AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, floor(inter / (na.n_sh + nb.n_sh - inter) * 1e6) "
+    "/ 1e6 AS jaccard "
+    "FROM pair_inter JOIN sizes na ON na.doc_id = id_a "
+    "JOIN sizes nb ON nb.doc_id = id_b "
+    "WHERE inter / (na.n_sh + nb.n_sh - inter) >= 0.5"
+)
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup (rows-only check: xxhash64 has no DuckDB
+    equivalent; candidate correctness is pytest-verified against the
+    exact Jaccard operator)."""
+    return dedup.minhash_near_duplicates(
+        _near_docs(spark, sf_dir), threshold=0.5
+    )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup (rows-only check, same reason as minhash)."""
+    return dedup.simhash_near_duplicates(_near_docs(spark, sf_dir))
+
+# ---------------------------------------------------------------------------
+# events: sessionization / windows (O25, O28, O34 analogues)
+# ---------------------------------------------------------------------------
+
+def q_sessions_per_user(spark, sf_dir):
+    """O25 gaps-and-islands: sessions with 10-minute inactivity gap."""
+    e = _events(spark, sf_dir)
+    return user_session_counts(e, gap_seconds=600).select(
+        "user_id",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+SQL_SESSIONS = (
+    "WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+    "d AS (SELECT user_id, us, lag(us) OVER "
+    "  (PARTITION BY user_id ORDER BY us) AS prev FROM t) "
+    "SELECT user_id, CAST(sum(CASE WHEN prev IS NULL "
+    "OR us - prev > 600000000 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_sessions, CAST(count(*) AS BIGINT) AS n_events "
+    "FROM d GROUP BY 1"
+)
+
+
+def q_running_value(spark, sf_dir):
+    """O28 prefix sums: running total of value per user over time.
+
+    Computed in integer cents: double window sums are NOT bit-stable
+    across engines (DuckDB aggregates windows via segment trees — a
+    different association order than Spark's sequential fold), so the
+    comparable form is exact integer arithmetic.
+    """
+    e = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    r = running_sum(e, "user_id", ["ts", "event_id"], "cents")
+    return r.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("running").cast("long").alias("running_cents"),
+    )
+
+
+SQL_RUNNING = (
+    "SELECT user_id, CAST(event_id AS BIGINT) AS event_id, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS running_cents FROM events"
+)
+
+
+def q_event_mode(spark, sf_dir):
+    """O34 deterministic mode: most frequent event_type per user."""
+    e = _events(spark, sf_dir)
+    return mode_by(e, "user_id", "event_type").select(
+        "user_id", "mode_value",
+        F.col("mode_count").cast("long").alias("mode_count"),
+    )
+
+
+SQL_EVENT_MODE = (
+    "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events "
+    "GROUP BY 1, 2), r AS (SELECT user_id, event_type, n, row_number() "
+    "OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn "
+    "FROM c) SELECT user_id, event_type AS mode_value, "
+    "CAST(n AS BIGINT) AS mode_count FROM r WHERE rn = 1"
+)
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    emb = _embeddings(spark, sf_dir)
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.cosine_topk(emb, qvec, k=10)
+
+
+SQL_ANN_TOPK = (
+    "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+    "WHERE vec_id = 0), s AS (SELECT e.vec_id, "
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) / "
+    "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+    "CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qe, q.qe)))"
+    " AS cos FROM embeddings e CROSS JOIN q) "
+    "SELECT vec_id, floor(cos * 1e4) / 1e4 AS cosine FROM s "
+    "ORDER BY cos DESC, vec_id LIMIT 10"
+)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-10 (rows-only; recall vs brute force
+    is pytest-verified)."""
+    emb = _embeddings(spark, sf_dir)
+    qvec = [float(v) for v in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_lsh_topk(emb, qvec, k=10, n_planes=8,
+                                   hamming_probe=2)
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_html_roundtrip": q_extract_html_roundtrip,
+    "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
+    "extract_route_counts": q_extract_route_counts,
+    "extract_status_counts": q_extract_status_counts,
+    "extract_volume_by_route": q_extract_volume_by_route,
+    "extract_pdf_block_counts": q_extract_pdf_block_counts,
+    "host_topk": q_host_topk,
+    "emails_planted": q_emails_planted,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "skills_match": q_skills_match,
+    "topk_longest": q_topk_longest,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "sessions_per_user": q_sessions_per_user,
+    "running_value": q_running_value,
+    "event_mode": q_event_mode,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "extract_html_roundtrip": SQL_EXTRACT_HTML,
+    "extract_pdf_roundtrip": SQL_EXTRACT_PDF,
+    "extract_route_counts": SQL_ROUTE_COUNTS,
+    "extract_status_counts": SQL_STATUS_COUNTS,
+    "extract_volume_by_route": SQL_VOLUME_BY_ROUTE,
+    "extract_pdf_block_counts": SQL_PDF_BLOCKS,
+    "host_topk": SQL_HOST_TOPK,
+    "emails_planted": SQL_EMAILS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_scores": SQL_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "skills_match": SQL_SKILLS,
+    "topk_longest": SQL_TOPK_LONGEST,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only
+    "sessions_per_user": SQL_SESSIONS,
+    "running_value": SQL_RUNNING,
+    "event_mode": SQL_EVENT_MODE,
+    "ann_cosine_topk": SQL_ANN_TOPK,
+}
