@@ -82,7 +82,14 @@ OUTPUT_SCHEMA = T.StructType([
     T.StructField("part_bucket", T.IntegerType()),
 ])
 
-MAX_SALT = 64  # upper bound on per-bucket split factor
+MAX_SALT = 1024  # upper bound on per-bucket split factor
+DEFAULT_BUCKETS = 256
+# target shuffle-placement grain: the extraction map costs ~0.25 core-s
+# per MB, so 8MB ≈ 2 core-seconds per placement key — fine enough that
+# wave packing stays balanced at any executor count
+DEFAULT_SALT_THRESHOLD_BYTES = 8 << 20
+
+_HOST_PATTERN = r"https?://([^/]+)"
 
 
 def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -116,20 +123,33 @@ def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
+def host_col() -> F.Column:
+    return F.regexp_extract(F.col("url"), _HOST_PATTERN, 1)
+
+
 def bucket_col(n_buckets: int) -> F.Column:
-    return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    """Output/commit bucket: hash of the url's HOST.
+
+    Host-bucketing keeps a site's pages co-located (useful for host-level
+    dedup/rate accounting and for partition-pruned re-crawl reads), at
+    the price of real skew — a Zipf-hot host concentrates one bucket —
+    which is exactly what the salting plan splits for shuffle placement.
+    """
+    return F.pmod(F.xxhash64(host_col()), F.lit(n_buckets)).cast("int")
 
 
 def plan_salting(pages: DataFrame, n_buckets: int,
                  threshold_bytes: int | None = None) -> dict[int, int]:
     """Cheap pre-aggregation → per-bucket salt factors.
 
-    A bucket whose payload mass exceeds ``threshold_bytes`` (default:
-    4x the mean) is split into ``ceil(mass/threshold)`` placement
-    sub-keys, capped at MAX_SALT. Reference analogue: the skew the
-    per-document map must absorb is byte skew (giant docs / hot hosts),
-    detected exactly like the reference's per-doc char counters
-    (``grid_detector_v4.py:203-207``) but as one groupBy.
+    A bucket whose payload mass exceeds ``threshold_bytes`` (default
+    8MB ≈ 2 core-seconds of extraction CPU) is split into
+    ``ceil(mass/threshold)`` placement sub-keys, capped at MAX_SALT.
+    Host-bucketing makes this essential: a Zipf-hot host is one bucket
+    (27% of bytes in the synthetic corpus) and without the split it
+    serializes the whole job. Reference analogue: byte skew is detected
+    exactly like the reference's per-doc char counters
+    (``grid_detector_v4.py:203-207``) but as one JVM-side groupBy.
     """
     stats = (
         pages.select(bucket_col(n_buckets).alias("b"),
@@ -141,8 +161,7 @@ def plan_salting(pages: DataFrame, n_buckets: int,
         return {}
     sizes = {r["b"]: (r["bytes"] or 0) for r in stats}
     if threshold_bytes is None:
-        mean = sum(sizes.values()) / max(len(sizes), 1)
-        threshold_bytes = int(4 * mean) + 1
+        threshold_bytes = DEFAULT_SALT_THRESHOLD_BYTES
     plan = {}
     for b, sz in sizes.items():
         if sz > threshold_bytes:
@@ -167,16 +186,29 @@ def _placement_key(n_buckets: int, salt_plan: dict[int, int]) -> F.Column:
     return (b.cast("long") * MAX_SALT + salt).alias("placement_key")
 
 
-def extract_df(pages: DataFrame, n_buckets: int = 32,
+def extract_df(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
                salt_plan: dict[int, int] | None = None,
                shuffle_partitions: int | None = None) -> DataFrame:
-    """The logical extraction plan: prune → salted repartition → map."""
-    n_parts = shuffle_partitions or n_buckets
+    """The logical extraction plan: prune → salted repartition → map.
+
+    Shuffle grain matters for the Python map stage: partitions are CPU
+    cost, not bytes, so the shuffle partition count defaults to 4x the
+    session's ``spark.sql.shuffle.partitions`` and the session sets a
+    small AQE advisory size — coalescing a CPU-bound stage to 64MB
+    chunks (the SQL default) would starve the executor waves. Measured
+    on this host: 64 placement keys into 64 slots left ~1/e of the
+    partitions empty (balls-in-bins) and halved throughput; many
+    distinct (bucket, salt) keys + AQE coalescing restores balance.
+    """
+    if shuffle_partitions is None:
+        base = int(pages.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        shuffle_partitions = 4 * base
     pruned = pages.select(
         "url", "html", bucket_col(n_buckets).alias("part_bucket")
     )
     keyed = pruned.repartition(
-        n_parts, _placement_key(n_buckets, salt_plan or {})
+        shuffle_partitions, _placement_key(n_buckets, salt_plan or {})
     )
     return keyed.mapInPandas(_extract_iter, schema=OUTPUT_SCHEMA)
 
@@ -211,8 +243,8 @@ def run_extraction(
     pages: DataFrame,
     out_dir: str,
     run_id: str = "run1",
-    n_buckets: int = 32,
-    slice_buckets: int = 8,
+    n_buckets: int = DEFAULT_BUCKETS,
+    slice_buckets: int = 32,
     resume: bool = True,
     salt: bool = True,
     max_slices: int | None = None,

@@ -487,6 +487,54 @@ SQL_RUNNING = (
 )
 
 
+def q_moving_avg(spark, sf_dir):
+    """O23 windowed smoothing (box blur analogue): centered 5-row moving
+    average of value per user. Integer cents + exact rational division
+    keep it bit-stable across engines."""
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 2))
+    ma = F.sum("cents").over(w) / F.count("cents").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.floor(ma * 1e4) / 1e4).alias("smoothed_cents"),
+    )
+
+
+SQL_MOVING_AVG = (
+    "WITH c AS (SELECT user_id, event_id, ts, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT user_id, CAST(event_id AS BIGINT) AS event_id, "
+    "floor(CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w * 1e4)"
+    " / 1e4 AS smoothed_cents FROM c "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)"
+)
+
+
+def q_user_event_types(spark, sf_dir):
+    """O30/O40 distinct-merge: sorted distinct event types per user,
+    joined to one string (array hashing differs across engines; the
+    joined string is canonical)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("types"))
+    )
+
+
+SQL_USER_EVENT_TYPES = (
+    "SELECT user_id, string_agg(DISTINCT event_type, ',' "
+    "ORDER BY event_type) AS types FROM events GROUP BY user_id"
+)
+
+
 def q_event_mode(spark, sf_dir):
     """O34 deterministic mode: most frequent event_type per user."""
     e = _events(spark, sf_dir)
@@ -561,6 +609,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "sessions_per_user": q_sessions_per_user,
     "running_value": q_running_value,
+    "moving_avg": q_moving_avg,
+    "user_event_types": q_user_event_types,
     "event_mode": q_event_mode,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -585,6 +635,8 @@ ORACLE_SQL: dict[str, str] = {
     # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only
     "sessions_per_user": SQL_SESSIONS,
     "running_value": SQL_RUNNING,
+    "moving_avg": SQL_MOVING_AVG,
+    "user_event_types": SQL_USER_EVENT_TYPES,
     "event_mode": SQL_EVENT_MODE,
     "ann_cosine_topk": SQL_ANN_TOPK,
 }

@@ -1,0 +1,52 @@
+"""Structured-Streaming form of the extraction pipeline.
+
+The reference is pure batch (SURVEY.md §2.9) and the per-document map is
+a pure function, so the streaming form costs nothing: ``readStream`` over
+the pages table → the same ``extract_df`` plan → ``foreachBatch`` writing
+with the same bucket layout. ``availableNow`` gives catch-up batch runs
+with streaming checkpoints — an alternative resume mechanism to the
+manifest (both are exposed; the manifest works without a streaming
+query, availableNow gives exactly-once sink semantics per micro-batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import pipeline
+
+
+def extraction_stream(spark: SparkSession, input_path: str,
+                      schema=None, n_buckets: int = 64,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """readStream over a pages directory → streaming extraction plan."""
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
+    reader = (
+        spark.readStream.schema(schema).format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.load(input_path)
+    return pipeline.extract_df(pages, n_buckets=n_buckets)
+
+
+def run_stream_available_now(spark: SparkSession, input_path: str,
+                             output_path: str, checkpoint_path: str,
+                             n_buckets: int = 64):
+    """Process everything currently in ``input_path`` (micro-batched),
+    then stop; restarts resume from the streaming checkpoint."""
+    out = extraction_stream(spark, input_path, n_buckets=n_buckets)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("append")
+         .partitionBy("part_bucket").parquet(output_path))
+
+    q = (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

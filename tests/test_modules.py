@@ -1,0 +1,109 @@
+"""Tests for streaming, multimodal plumbing, and section segmentation."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from document_text_extraction_spark import corpus, pipeline
+from document_text_extraction_spark.multimodal import (
+    MEDIA_SCHEMA,
+    extract_media_features,
+    frame_sample_plan,
+    sniff_media_col,
+    synth_media_rows,
+)
+from document_text_extraction_spark.operators.sections import sections_df
+from document_text_extraction_spark.sources import synth_web_pages
+from document_text_extraction_spark.streaming import (
+    run_stream_available_now,
+)
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+def test_streaming_available_now_matches_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synth_web_pages(spark, 300, partitions=4)
+    pages.write.parquet(in_dir)
+
+    run_stream_available_now(spark, in_dir, out_dir, ckpt, n_buckets=8)
+    got = (spark.read.parquet(out_dir)
+           .select("url", "extracted_text")
+           .toPandas().sort_values("url").reset_index(drop=True))
+    want = (pipeline.extract_df(spark.read.parquet(in_dir), n_buckets=8)
+            .select("url", "extracted_text")
+            .toPandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # restart with same checkpoint: no new data → no duplicates
+    run_stream_available_now(spark, in_dir, out_dir, ckpt, n_buckets=8)
+    assert spark.read.parquet(out_dir).count() == 300
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return spark.createDataFrame(synth_media_rows(90), schema=MEDIA_SCHEMA)
+
+
+def test_media_sniff_jvm_side(spark, media):
+    got = media.select("kind", sniff_media_col(F.col("payload"))
+                       .alias("sniffed")).distinct().collect()
+    pairs = {(r["kind"], r["sniffed"]) for r in got}
+    assert pairs == {("image", "png"), ("audio", "riff"), ("video", "mp4")}
+
+
+def test_media_features(spark, media):
+    feats = extract_media_features(media, partitions=8).toPandas()
+    assert len(feats) == 90
+    assert (feats["status"] == "ok").all()
+    img = feats[feats["kind"] == "image"]
+    # header parser recovers the real dimensions from the PNG IHDR
+    src = {r[0]: (r[4], r[5]) for r in synth_media_rows(90)}
+    for _, r in img.iterrows():
+        assert (r["header_width"], r["header_height"]) == src[r["media_id"]]
+    assert (feats["byte_entropy"] > 0).all()
+
+
+def test_media_decode_is_stubbed():
+    from document_text_extraction_spark.multimodal.media import (
+        _decode_pixels,
+    )
+    with pytest.raises(NotImplementedError):
+        _decode_pixels(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark, media):
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.groupBy("media_id").count().collect()
+    src = {r[0]: r[6] for r in synth_media_rows(90) if r[1] == "video"}
+    for r in rows:
+        assert r["count"] == src[r["media_id"]] // 1000 + 1
+
+
+# ---------------------------------------------------------------------------
+# sections (O58)
+# ---------------------------------------------------------------------------
+
+def test_sections_segmentation(spark):
+    html = (
+        b"<html><body><article>"
+        b"<p>intro line one</p>"
+        b"<h2>Experience</h2><p>job alpha</p><p>job beta</p>"
+        b"<h2>Skills</h2><ul><li>python</li><li>spark</li></ul>"
+        b"</article></body></html>"
+    )
+    pdf = pd.DataFrame({"url": ["https://x/1"], "html": [html]})
+    pages = spark.createDataFrame(pdf)
+    out = pipeline.extract_df(pages, n_buckets=4)
+    secs = sections_df(out).toPandas().sort_values("section_id")
+    assert list(secs["section"]) == ["_preamble", "experience", "skills"]
+    assert list(secs["body"]) == [
+        "intro line one", "job alpha\njob beta", "python\nspark"]

@@ -1,0 +1,48 @@
+"""Physical-plan regression tests: the plans we designed for are the
+plans Catalyst produces (column pruning, single shuffle, no cartesians).
+"""
+
+from pyspark.sql import functions as F
+
+from document_text_extraction_spark import pipeline
+from document_text_extraction_spark.plans import assert_pushdown, plan_report
+from document_text_extraction_spark.queries import (
+    q_sessions_per_user,
+    q_token_stats,
+    q_topk_longest,
+)
+
+
+def test_extraction_plan_pruned_and_single_shuffle(spark, tmp_path):
+    """The extraction scan must read only url+html and shuffle exactly
+    once (SURVEY.md §4: shuffle volume = input bytes, once)."""
+    p = str(tmp_path / "pages")
+    from document_text_extraction_spark.sources import synth_web_pages
+    synth_web_pages(spark, 50, partitions=2).write.parquet(p)
+    pages = spark.read.parquet(p)
+    out = pipeline.extract_df(pages, n_buckets=16)
+    rep = assert_pushdown(out, max_exchanges=1,
+                          require_pruned_to=["url", "html"])
+    joined = " ".join(rep["read_schemas"])
+    for col in ("warc_ts", "text", "lang"):
+        assert col not in joined, f"scan reads unused column {col}"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.filter(F.col("n_chars") > 300).select("doc_id", "n_chars")
+    rep = plan_report(df)
+    assert rep["pushed_filters"], "expected PushedFilters on parquet scan"
+    assert rep["n_exchanges"] == 0
+
+
+def test_analytics_queries_no_cartesian(spark):
+    for q in (q_token_stats, q_topk_longest, q_sessions_per_user):
+        assert_pushdown(q(spark, "/root/testdata/sf0.001"),
+                        forbid_cartesian=True)
+
+
+def test_topk_is_take_ordered(spark):
+    s = plan_report(q_topk_longest(spark, "/root/testdata/sf0.001"))["plan"]
+    assert "TakeOrderedAndProject" in s, (
+        "top-k should compile to TakeOrderedAndProject, not global sort")
