@@ -13,7 +13,9 @@ from .sessionize import (  # noqa: F401
     sessionize,
     user_session_counts,
 )
+from .sections import normalize_section_name, sections_df  # noqa: F401
 from .similarity import (  # noqa: F401
     ann_lsh_topk,
     cosine_topk,
+    embedding_near_duplicates,
 )

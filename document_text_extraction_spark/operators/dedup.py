@@ -54,10 +54,19 @@ def minhash_signature_df(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 3,
                          num_hashes: int = 32) -> DataFrame:
     """MinHash signatures without exploding: array_min over seeded
-    xxhash64 of the shingle array, one array expression per hash."""
+    xxhash64 of the shingle array, one array expression per hash.
+
+    NOTE: the per-hash closure must be built by a helper returning a
+    ONE-argument lambda — pyspark interprets a two-parameter lambda
+    (e.g. ``lambda s, h=h``) as (element, index), silently replacing
+    the seed with the array index (caught by the planted-pair recall
+    test: jaccard-0.92 pairs had 0/32 signature agreement)."""
+    def hash_with_seed(h: int):
+        return lambda s: F.xxhash64(s, F.lit(h))
+
     sh = F.array_distinct(shingles_col(F.col(text_col), k))
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, h=h: F.xxhash64(s, F.lit(h))))
+        F.array_min(F.transform(sh, hash_with_seed(h)))
         for h in range(num_hashes)
     ])
     return df.select(F.col(id_col), sh.alias("shingles"), sig.alias("sig"))

@@ -108,3 +108,38 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
     cand = bucketed.filter(F.col("bucket").isin(list(probe)))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95,
+                              n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket self-join → exact
+    cosine verification inside buckets (no cross join; a pair must share
+    its sign-bucket, which holds with probability ~(1-θ/π)^planes for
+    near-identical vectors).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    dim = df.select(F.size(vec_col)).first()[0]
+    b = df.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("bucket"),
+        _norm(_as_double(F.col(vec_col))).alias("nrm"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cos = _dot(_as_double(F.col(f"l.{vec_col}")),
+               _as_double(F.col(f"r.{vec_col}"))) / (
+        F.col("l.nrm") * F.col("r.nrm"))
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b",
+                (F.floor(F.col("cos_raw") * 1e4) / 1e4).alias("cosine"))
+    )

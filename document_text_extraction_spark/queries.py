@@ -576,6 +576,21 @@ SQL_ANN_TOPK = (
 )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup over planted duplicates (every 13th
+    vector re-scaled by 1.001 — same direction, cosine 1.0). Rows-only
+    check; recall of planted pairs is pytest-verified."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    extra = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias(
+            "embedding"),
+    )
+    return similarity.embedding_near_duplicates(
+        emb.unionAll(extra), threshold=0.95
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-10 (rows-only; recall vs brute force
     is pytest-verified)."""
@@ -614,6 +629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_mode": q_event_mode,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLE_SQL: dict[str, str] = {

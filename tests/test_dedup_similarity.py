@@ -1,0 +1,108 @@
+"""Dedup + similarity operator semantics: planted-duplicate recall,
+LSH vs brute-force agreement, minhash candidates vs exact Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_text_extraction_spark.operators import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def near_docs(spark, docs):
+    extra = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"\s\S+$", "").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(extra)
+
+
+def test_exact_dedup_finds_planted(spark, docs):
+    dup = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    groups = exact_duplicate_groups(dup).collect()
+    planted = docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert len(groups) == planted
+    assert all(g["n_docs"] == 2 for g in groups)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, near_docs):
+    """Every exact-Jaccard pair >= 0.9 must be caught by MinHash+LSH at
+    threshold 0.7. Band recall at j with b=8 bands, r=4 rows is
+    1-(1-j^4)^8: ~98.5% at j=0.8 (a miss among ~45 pairs is expected —
+    observed: pair (352,100352)), ~99.98% at j=0.9; the fixed corpus
+    and seeds make this deterministic."""
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(near_docs, threshold=0.9)
+             .collect()}
+    mh = {(r["id_a"], r["id_b"]) for r in
+          minhash_near_duplicates(near_docs, threshold=0.7).collect()}
+    assert exact, "expected planted near-dup pairs"
+    missed = set(exact) - mh
+    assert not missed, f"minhash missed high-jaccard pairs: {missed}"
+
+
+def test_minhash_precision_is_exact(spark, near_docs):
+    """minhash output jaccard is the *verified exact* value — every
+    reported pair must match ngram_jaccard_pairs at the same threshold."""
+    mh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+          minhash_near_duplicates(near_docs, threshold=0.7).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(near_docs, threshold=0.7).collect()}
+    for pair, j in mh.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-9
+
+
+def test_simhash_finds_planted_neardups(spark, near_docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_duplicates(near_docs, max_hamming=6).collect()}
+    planted = {(r["doc_id"], r["doc_id"] + 100000) for r in
+               near_docs.filter(F.col("doc_id") % 11 == 0)
+               .filter(F.col("doc_id") < 100000).collect()}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.7, f"simhash recall {recall}"
+
+
+def test_embedding_neardup_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    extra = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001))
+        .alias("embedding"),
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(
+        emb.unionAll(extra), threshold=0.95).collect()}
+    planted = {(r["vec_id"], r["vec_id"] + 100000) for r in
+               emb.filter(F.col("vec_id") % 13 == 0).collect()}
+    # same-direction vectors share every sign bucket → recall must be 1.0
+    assert planted <= pairs
+
+
+def test_lsh_ann_recall_vs_brute(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ann_lsh_topk(emb, q, k=10, n_planes=8,
+                           hamming_probe=2).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.5, f"LSH recall {recall} (brute={brute}, approx={approx})"
+    assert approx[0] == 0  # the query vector itself is always found
