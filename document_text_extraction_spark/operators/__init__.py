@@ -18,4 +18,6 @@ from .similarity import (  # noqa: F401
     ann_lsh_topk,
     cosine_topk,
     embedding_near_duplicates,
+    ivf_index,
+    ivf_topk,
 )

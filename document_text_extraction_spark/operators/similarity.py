@@ -110,6 +110,41 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_index(df: DataFrame, vec_col: str = "embedding",
+              n_lists: int = 16, seed: int = 42):
+    """IVF index: KMeans (pyspark.ml, fixed seed) partitions the vector
+    space; every row gets its nearest-centroid ``list_id``.
+
+    Returns (indexed_df, centroids). At 10^12 rows the output would be
+    written partitioned/clustered by ``list_id`` so a probe reads only
+    n_probe/n_lists of the data (partition pruning on the scan).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.withColumn("_v", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_v",
+                   predictionCol="list_id").fit(vecs)
+    indexed = model.transform(vecs).drop("_v")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
+             query_vec: list[float], k: int = 10, n_probe: int = 4,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Probe the ``n_probe`` nearest inverted lists, exact cosine
+    re-rank inside (driver picks the lists — centroid table is tiny)."""
+    def sq_dist(c):
+        return sum((a - float(b)) ** 2 for a, b in zip(c, query_vec))
+
+    probe = sorted(range(len(centroids)),
+                   key=lambda i: sq_dist(centroids[i]))[:n_probe]
+    cand = indexed.filter(F.col("list_id").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95,

@@ -106,3 +106,16 @@ def test_lsh_ann_recall_vs_brute(spark):
     recall = len(set(brute) & set(approx)) / 10
     assert recall >= 0.5, f"LSH recall {recall} (brute={brute}, approx={approx})"
     assert approx[0] == 0  # the query vector itself is always found
+
+def test_ivf_recall_vs_brute(spark):
+    from document_text_extraction_spark.operators import ivf_index, ivf_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed, centroids = ivf_index(emb, n_lists=8)
+    approx = [r["vec_id"] for r in
+              ivf_topk(indexed, centroids, q, k=10, n_probe=3).collect()]
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert approx[0] == 0
+    assert recall >= 0.6, f"IVF recall {recall}"

@@ -1,0 +1,112 @@
+"""Hypothesis property tests: the vectorized kernel equals the oracle on
+*arbitrary* byte inputs (not just generator output), and core kernels
+hold their invariants under adversarial structure."""
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from document_text_extraction_spark import corpus, kernels, oracle
+
+_SETTINGS = dict(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# fragments that stress the HTML tokenizer: nesting, entities, unclosed
+# tags, comments, scripts, weird attributes
+_HTML_BITS = st.sampled_from([
+    "<p>", "</p>", "<div class='x y'>", "</div>", "<a href='/x'>",
+    "</a>", "<nav>", "</nav>", "<li>", "</li>", "<ul>", "</ul>",
+    "<h2>", "</h2>", "<br>", "<script>var x=1;</script>",
+    "<style>p{}</style>", "<!-- c -->", "&amp;", "&lt;", "&#65;",
+    "word", "two words", "  ", "\n", "<main>", "</main>", "<footer>",
+    "</footer>", "<em>", "</em>", "<table><tr><td>", "</td></tr></table>",
+    "<p", ">", "<>", "</", "<!DOCTYPE html>", "é中文",
+])
+
+
+def _equiv(payloads: list[bytes]) -> None:
+    out = kernels.extract_batch(
+        pd.Series([f"u{i}" for i in range(len(payloads))]),
+        pd.Series(payloads),
+    )
+    for i, p in enumerate(payloads):
+        ref = oracle.extract_document(p)
+        got = out.iloc[i]
+        assert got["status"] == ref["status"], p
+        assert got["extracted_text"] == ref["extracted_text"], p
+        assert got["spans"] == ref["spans"], p
+        assert got["fields"] == ref["fields"], p
+
+
+@given(st.lists(st.lists(_HTML_BITS, min_size=0, max_size=40), min_size=1,
+                max_size=8))
+@settings(**_SETTINGS)
+def test_kernel_equals_oracle_on_adversarial_html(docs):
+    _equiv([("<html><body>" + "".join(bits) + "</body></html>").encode()
+            for bits in docs])
+
+
+@given(st.lists(st.binary(min_size=0, max_size=400), min_size=1,
+                max_size=10))
+@settings(**_SETTINGS)
+def test_kernel_equals_oracle_on_random_bytes(payloads):
+    _equiv(payloads)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(**_SETTINGS)
+def test_truncated_pdfs_never_crash(suffix):
+    base = corpus.make_pdf(14, "alpha beta gamma delta " * 6)
+    for cut in (10, 50, len(base) // 2, len(base) - 5):
+        payload = base[:cut] + suffix
+        rec = oracle.extract_document(payload)
+        assert rec["status"] in ("ok", "parse_failure")
+        _equiv([payload])
+
+
+@given(st.text(alphabet=st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x2FF),
+    min_size=1, max_size=300))
+@settings(**_SETTINGS)
+def test_roundtrip_any_clean_text_html(words_raw):
+    """Any single-spaced unicode text survives the HTML-route
+    generate→extract roundtrip byte-identically."""
+    words = words_raw.split()
+    if not words:
+        return
+    text = " ".join(words)
+    rec = oracle.extract_document(corpus.payload_for(3, text))
+    assert rec["status"] == "ok"
+    assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
+
+
+@given(st.text(alphabet=st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0xFF),
+    min_size=1, max_size=300))
+@settings(**_SETTINGS)
+def test_roundtrip_any_clean_text_pdf(words_raw):
+    """PDF route: the closed PDF-1.4 grammar writes latin-1 literal
+    strings (full Unicode needs font/CMap machinery, out of scope), so
+    the property holds for any latin-1 text."""
+    words = words_raw.split()
+    if not words:
+        return
+    text = " ".join(words)
+    rec = oracle.extract_document(corpus.payload_for(16, text))
+    assert rec["status"] == "ok"
+    assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                max_size=200))
+@settings(**_SETTINGS)
+def test_chunk_text_partition_property(ids):
+    """chunk_text is a partition: concatenation restores the word list."""
+    words = [f"w{i}" for i in ids]
+    text = " ".join(words)
+    lines = corpus.chunk_text(text)
+    assert " ".join(lines) == text
+    assert all(len(ln.split(" ")) <= corpus.WORDS_PER_LINE for ln in lines)
