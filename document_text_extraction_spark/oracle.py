@@ -188,6 +188,13 @@ def _scan_string(buf: bytes, i: int) -> tuple[str, int]:
     balanced unescaped parentheses per PDF 1.4 §3.2.3.
     """
     assert buf[i : i + 1] == b"("
+    # fast path: no escapes, no nesting before the close paren (the
+    # overwhelmingly common case) — one find + one slice
+    j = buf.find(b")", i + 1)
+    if j != -1:
+        seg = buf[i + 1 : j]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg.decode("latin-1"), j + 1
     out = bytearray()
     depth = 1
     i += 1
@@ -237,32 +244,39 @@ def _scan_string(buf: bytes, i: int) -> tuple[str, int]:
     return out.decode("latin-1"), i
 
 
+_WS_BYTES = frozenset(b" \t\r\n\x00\x0c")
+
+
 def _tokenize_content(buf: bytes):
     """Yield ('num', float) | ('str', str) | ('name', str) | ('op', str)
-    | ('[', None) | (']', None) tokens from a content stream."""
+    | ('[', None) | (']', None) tokens from a content stream.
+
+    Hot loop uses int byte comparisons (indexing bytes yields int;
+    slicing per char would allocate)."""
     i, n = 0, len(buf)
+    ws = _WS_BYTES
     while i < n:
-        c = buf[i : i + 1]
-        if c in b" \t\r\n\x00\x0c":
+        ci = buf[i]
+        if ci in ws:
             i += 1
             continue
-        if c == b"(":
+        if ci == 0x28:  # (
             s, i = _scan_string(buf, i)
             yield ("str", s)
-        elif c == b"[":
+        elif ci == 0x5B:  # [
             yield ("[", None)
             i += 1
-        elif c == b"]":
+        elif ci == 0x5D:  # ]
             yield ("]", None)
             i += 1
-        elif c == b"/":
+        elif ci == 0x2F:  # /
             m = _NAME_RE.match(buf, i)
             yield ("name", m.group().decode("latin-1"))
             i = m.end()
-        elif c == b"%":
+        elif ci == 0x25:  # %
             j = buf.find(b"\n", i)
             i = n if j < 0 else j + 1
-        elif c == b"<":
+        elif ci == 0x3C:  # <
             # hex string or dict — skip to matching close (not emitted by
             # our generator; tolerated for robustness)
             if buf[i : i + 2] == b"<<":
