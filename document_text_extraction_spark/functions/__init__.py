@@ -1,7 +1,9 @@
 from .fields import (  # noqa: F401
+    datelike_col,
     emails_col,
     links_col,
     phones_col,
+    skill_tokens_col,
     skills_col,
 )
 from .textstats import (  # noqa: F401

@@ -28,15 +28,19 @@ DEFAULT_VOCAB = [
 
 
 def emails_col(text: Column) -> Column:
+    # group 0 explicitly: these patterns have no capture groups and
+    # regexp_extract_all defaults to group 1
     return F.array_sort(
-        F.array_distinct(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN)))
+        F.array_distinct(
+            F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))
+        )
     )
 
 
 def phones_col(text: Column) -> Column:
     """Extract candidates, strip non-digits (keep +), keep len>=10."""
     cleaned = F.transform(
-        F.regexp_extract_all(text, F.lit(PHONE_PATTERN)),
+        F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0)),
         lambda m: F.regexp_replace(m, r"[^\d+]", ""),
     )
     return F.array_sort(
@@ -46,7 +50,9 @@ def phones_col(text: Column) -> Column:
 
 def links_col(text: Column) -> Column:
     return F.array_sort(
-        F.array_distinct(F.regexp_extract_all(text, F.lit(URL_PATTERN)))
+        F.array_distinct(
+            F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))
+        )
     )
 
 
@@ -55,3 +61,28 @@ def skills_col(text: Column, vocab: list[str] | None = None) -> Column:
     v = F.array(*[F.lit(s) for s in (vocab or DEFAULT_VOCAB)])
     low = F.lower(text)
     return F.filter(v, lambda s: low.contains(s))
+
+
+def skill_tokens_col(text: Column, min_len: int = 2,
+                     max_len: int = 40) -> Column:
+    """O50 skills token split: split on delimiters, length-guard,
+    title-case (``parse_cv_docling.py:74-81`` semantics)."""
+    toks = F.split(text, r"[,|/•;]+")
+    # one-arg lambdas only: passing F.trim directly would be treated as
+    # an (element, index) callable (trim has an optional 2nd parameter)
+    trimmed = F.transform(toks, lambda t: F.trim(t))
+    kept = F.filter(
+        trimmed,
+        lambda t: (F.length(t) >= min_len) & (F.length(t) <= max_len),
+    )
+    return F.transform(kept, lambda t: F.initcap(t))
+
+
+def datelike_col(text: Column) -> Column:
+    """O54 date-like predicate: a year or a month token
+    (``parse_cv_docling.py:32, 68-72``)."""
+    months = ("jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec")
+    return (
+        text.rlike(r"\b(19|20)\d{2}\b")
+        | F.lower(text).rlike(rf"\b({months})\b")
+    )

@@ -53,23 +53,34 @@ def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
 def minhash_signature_df(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 3,
                          num_hashes: int = 32) -> DataFrame:
-    """MinHash signatures without exploding: array_min over seeded
-    xxhash64 of the shingle array, one array expression per hash.
+    """MinHash signatures via explode + per-seed min aggregates.
 
-    NOTE: the per-hash closure must be built by a helper returning a
-    ONE-argument lambda — pyspark interprets a two-parameter lambda
-    (e.g. ``lambda s, h=h``) as (element, index), silently replacing
-    the seed with the array index (caught by the planted-pair recall
-    test: jaccard-0.92 pairs had 0/32 signature agreement)."""
-    def hash_with_seed(h: int):
-        return lambda s: F.xxhash64(s, F.lit(h))
+    Two formulations were measured: (a) array expressions
+    ``array_min(transform(shingles, s -> xxhash64(s, seed)))`` x32 —
+    zero shuffle but the nested-lambda tree takes ~50s of Janino
+    codegen compilation on first run; (b) explode once, 32 plain
+    ``min(xxhash64(shingle, seed))`` aggregates — one map-side-combined
+    shuffle of (id, 32 longs) and trivial codegen. (b) wins end-to-end.
 
-    sh = F.array_distinct(shingles_col(F.col(text_col), k))
-    sig = F.array(*[
-        F.array_min(F.transform(sh, hash_with_seed(h)))
+    NOTE (historical bug): building per-seed lambdas as
+    ``lambda s, h=h`` makes pyspark treat them as (element, index)
+    callables, silently replacing the seed with the array index —
+    caught by the planted-pair recall test (jaccard-0.92 pairs had
+    0/32 signature agreement). Seeds are now plain column args."""
+    sh_arr = F.array_distinct(shingles_col(F.col(text_col), k))
+    base = df.select(F.col(id_col), sh_arr.alias("shingles"))
+    exploded = base.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    )
+    mins = exploded.groupBy(id_col).agg(*[
+        F.min(F.xxhash64("s", F.lit(h))).alias(f"h{h}")
         for h in range(num_hashes)
     ])
-    return df.select(F.col(id_col), sh.alias("shingles"), sig.alias("sig"))
+    sig = mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{h}") for h in range(num_hashes)]).alias("sig"),
+    )
+    return base.join(sig, id_col)
 
 
 def minhash_near_duplicates(
@@ -84,8 +95,12 @@ def minhash_near_duplicates(
     rows = num_hashes // bands
     sigs = minhash_signature_df(df, id_col, text_col, k, num_hashes)
     sigs = sigs.persist()
+    # band join carries ONLY (id, band, bh): candidate pairs are deduped
+    # as bare id pairs before the (heavy) shingle arrays are joined back
+    # once — shuffling shingles through the 8x band multiplicity was the
+    # dominant cost of the naive formulation
     banded = sigs.select(
-        F.col(id_col), "shingles",
+        F.col(id_col),
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -94,7 +109,7 @@ def minhash_near_duplicates(
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select(id_col, "shingles", "bb.band", "bb.bh")
+    ).select(id_col, "bb.band", "bb.bh")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -107,10 +122,15 @@ def minhash_near_duplicates(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sigs.select(F.col(id_col), "shingles")
+    cand = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")

@@ -285,8 +285,14 @@ def run_extraction(
         sub = extracted.filter(F.col("part_bucket").isin(buckets))
         sub.write.mode("append").partitionBy("part_bucket").parquet(data_dir)
         # counters from the just-written files (column-pruned lineage scan;
-        # no recomputation of the extraction)
-        if not os.path.isdir(data_dir):
+        # no recomputation of the extraction). A slice can be legitimately
+        # empty (e.g. extreme host skew leaves buckets without hosts) —
+        # then no partition dirs exist and there is nothing to read.
+        have_dirs = [
+            b for b in buckets
+            if os.path.isdir(os.path.join(data_dir, f"part_bucket={b}"))
+        ]
+        if not have_dirs:
             manifest["slices"][key] = {
                 "committed": True, "buckets": buckets, "partitions": [],
                 "docs": 0, "bytes_in": 0, "parse_failures": 0,

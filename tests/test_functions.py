@@ -1,0 +1,82 @@
+"""JVM-side function expressions (fields + textstats) behave per the
+reference semantics, and the spark-submit CLI job runs end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from document_text_extraction_spark.functions import (
+    datelike_col,
+    emails_col,
+    lang_id_col,
+    phones_col,
+    skill_tokens_col,
+    skills_col,
+    token_count_col,
+)
+
+
+def test_field_expressions(spark):
+    df = spark.createDataFrame(
+        [("mail a@b.co and c@d.org call +1 (555) 123-4567 "
+          "skills: spark, sql",)], ["text"])
+    r = df.select(
+        emails_col(F.col("text")).alias("emails"),
+        phones_col(F.col("text")).alias("phones"),
+        skills_col(F.col("text")).alias("skills"),
+    ).first()
+    assert r["emails"] == ["a@b.co", "c@d.org"]
+    assert "+15551234567" in r["phones"]
+    assert set(r["skills"]) >= {"spark", "sql"}
+
+
+def test_skill_tokens_and_datelike(spark):
+    df = spark.createDataFrame(
+        [("python, apache spark | k8s; a", "born 1990 in May",)],
+        ["skills", "bio"])
+    r = df.select(
+        skill_tokens_col(F.col("skills")).alias("toks"),
+        datelike_col(F.col("bio")).alias("datelike"),
+        datelike_col(F.col("skills")).alias("not_datelike"),
+    ).first()
+    assert r["toks"] == ["Python", "Apache Spark", "K8s"]  # 'a' dropped
+    assert r["datelike"] is True and r["not_datelike"] is False
+
+
+def test_lang_id_on_real_phrases(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat is in the house and it is warm"),
+         (1, "el perro es de la casa y que es grande"),
+         (2, "der hund ist nicht das problem und zu gross"),
+         (3, "zzz qqq xxx")], ["i", "text"])
+    got = {r["i"]: r["lang"] for r in df.select(
+        "i", lang_id_col(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b c",), ("one",)], ["text"])
+    got = [r[0] for r in
+           df.select(token_count_col(F.col("text"))).collect()]
+    assert got == [3, 1]
+
+
+def test_run_extract_cli(tmp_path):
+    """Drive the production CLI end-to-end in a subprocess."""
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    p = subprocess.run(
+        [sys.executable, "jobs/run_extract.py", "--synth", "200",
+         "--output", out_dir, "--buckets", "8", "--slice-buckets", "4"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["docs"] == 200
+    assert summary["slices_committed"] == 2
+    assert summary["parse_failures"] == 10  # 5% junk route
+    assert os.path.isdir(os.path.join(out_dir, "data"))
