@@ -68,6 +68,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NTZ→timestamp casts go through the session timezone; pin UTC so
+    # unix_micros matches DuckDB's epoch_us regardless of the driver's
+    # session config (a DST-shifting zone would skew gap arithmetic)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 

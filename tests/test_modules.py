@@ -107,3 +107,25 @@ def test_sections_segmentation(spark):
     assert list(secs["section"]) == ["_preamble", "experience", "skills"]
     assert list(secs["body"]) == [
         "intro line one", "job alpha\njob beta", "python\nspark"]
+
+
+# ---------------------------------------------------------------------------
+# SQL surface
+# ---------------------------------------------------------------------------
+
+def test_sql_api_views(spark):
+    from document_text_extraction_spark import sql_api
+    sql_api.register_views(spark, "/root/testdata/sf0.001", n_buckets=8)
+    r = spark.sql(
+        "SELECT lineage.route AS route, count(*) AS n "
+        "FROM extracted GROUP BY 1 ORDER BY n DESC"
+    ).collect()
+    routes = {row["route"]: row["n"] for row in r}
+    assert routes.keys() == {"html", "pdf", "unknown"}
+    total = spark.sql("SELECT count(*) n FROM web_pages").first()["n"]
+    assert sum(routes.values()) == total
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM extracted e JOIN documents d "
+        "ON e.url LIKE '%/' || d.doc_id AND e.lineage.status = 'ok'"
+    ).first()["n"]
+    assert joined > 0
