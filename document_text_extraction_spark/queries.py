@@ -491,6 +491,55 @@ SQL_RUNNING = (
 )
 
 
+def q_status_cube(spark, sf_dir):
+    """Metrics rollup with CUBE over (route, status) — subtotals at
+    every grouping level (nulls coalesced to 'ALL' so the cross-engine
+    compare never depends on null ordering)."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.cube(F.col("lineage.route").alias("route"),
+                 F.col("lineage.status").alias("status"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            F.coalesce("route", F.lit("ALL")).alias("route"),
+            F.coalesce("status", F.lit("ALL")).alias("status"),
+            "n_docs",
+        )
+    )
+
+
+SQL_STATUS_CUBE = (
+    f"SELECT coalesce(r, 'ALL') AS route, coalesce(s, 'ALL') AS status, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM ("
+    f"SELECT {ROUTE_SQL} AS r, {STATUS_SQL} AS s FROM documents) "
+    "GROUP BY CUBE (r, s)"
+)
+
+
+def q_first_event_per_day(spark, sf_dir):
+    """Keep-first dedup by (user, day): row_number over a total order —
+    the standard crawl-dedup 'first capture wins' pattern."""
+    from pyspark.sql import Window as W
+    e = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day",
+                F.col("event_id").cast("long").alias("event_id"))
+    )
+
+
+SQL_FIRST_EVENT = (
+    "WITH r AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, "
+    "event_id, row_number() OVER (PARTITION BY user_id, "
+    "strftime(ts, '%Y-%m-%d') ORDER BY ts, event_id) AS rn FROM events) "
+    "SELECT user_id, day, CAST(event_id AS BIGINT) AS event_id "
+    "FROM r WHERE rn = 1"
+)
+
+
 def q_moving_avg(spark, sf_dir):
     """O23 windowed smoothing (box blur analogue): centered 5-row moving
     average of value per user. Integer cents + exact rational division
@@ -626,6 +675,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
+    "status_cube": q_status_cube,
+    "first_event_per_day": q_first_event_per_day,
     "sessions_per_user": q_sessions_per_user,
     "running_value": q_running_value,
     "moving_avg": q_moving_avg,
@@ -653,6 +704,8 @@ ORACLE_SQL: dict[str, str] = {
     "topk_longest": SQL_TOPK_LONGEST,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only
+    "status_cube": SQL_STATUS_CUBE,
+    "first_event_per_day": SQL_FIRST_EVENT,
     "sessions_per_user": SQL_SESSIONS,
     "running_value": SQL_RUNNING,
     "moving_avg": SQL_MOVING_AVG,
