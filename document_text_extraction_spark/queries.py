@@ -244,6 +244,26 @@ SQL_HOST_TOPK = (
 )
 
 
+def q_host_volume(spark, sf_dir):
+    """Host-level accounting (politeness/rate budgeting): docs and main
+    content chars per host over successful extractions."""
+    out = _extracted(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        out.filter(F.col("lineage.status") == "ok")
+        .groupBy(host.alias("host"))
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum(F.length("extracted_text")).cast("long").alias("chars"))
+    )
+
+
+SQL_HOST_VOLUME = (
+    f"SELECT {HOST_SQL} AS host, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(length(text)) AS BIGINT) AS chars FROM documents "
+    "WHERE doc_id % 20 < 19 GROUP BY 1"
+)
+
+
 def q_emails_planted(spark, sf_dir):
     """O44 email regex family on JVM-side expressions."""
     d = _docs(spark, sf_dir)
@@ -665,6 +685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_volume_by_route": q_extract_volume_by_route,
     "extract_pdf_block_counts": q_extract_pdf_block_counts,
     "host_topk": q_host_topk,
+    "host_volume": q_host_volume,
     "emails_planted": q_emails_planted,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -695,6 +716,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_volume_by_route": SQL_VOLUME_BY_ROUTE,
     "extract_pdf_block_counts": SQL_PDF_BLOCKS,
     "host_topk": SQL_HOST_TOPK,
+    "host_volume": SQL_HOST_VOLUME,
     "emails_planted": SQL_EMAILS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,

@@ -130,3 +130,23 @@ def test_plan_salting_detects_hot_buckets(spark):
     plan = pipeline.plan_salting(df, n_buckets=8, threshold_bytes=10_000)
     assert plan, "expected at least one salted bucket"
     assert all(1 < f <= pipeline.MAX_SALT for f in plan.values())
+
+
+def test_resume_wipes_partial_slice_garbage(spark, pages, tmp_path):
+    """A crash mid-slice leaves partial files with no manifest entry;
+    the rerun must wipe and redo them, never double-count."""
+    import os
+    out_dir = str(tmp_path / "partial2")
+    pipeline.run_extraction(spark, pages, out_dir, n_buckets=8,
+                            slice_buckets=4, salt=False, max_slices=1)
+    # simulate a crash mid-slice-2: drop garbage files into its buckets
+    for b in (4, 5):
+        d = os.path.join(out_dir, "data", f"part_bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-corrupt.parquet"), "wb") as f:
+            f.write(b"not a parquet file")
+    pipeline.run_extraction(spark, pages, out_dir, n_buckets=8,
+                            slice_buckets=4, salt=False)
+    data = spark.read.parquet(out_dir + "/data")
+    assert data.count() == N_DOCS
+    assert data.select("url").distinct().count() == N_DOCS

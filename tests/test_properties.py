@@ -110,3 +110,23 @@ def test_chunk_text_partition_property(ids):
     lines = corpus.chunk_text(text)
     assert " ".join(lines) == text
     assert all(len(ln.split(" ")) <= corpus.WORDS_PER_LINE for ln in lines)
+
+
+_PDF_OPS = st.sampled_from([
+    "BT", "ET", "12 Tf", "/F1", "72 700 Td", "0 -14 TD", "T*", "14 TL",
+    "(text here) Tj", "(a\\(b\\)c) Tj", "[(x) -20 (y)] TJ", "' ",
+    "1 0 0 1 50 50 Tm", "% comment", "<< /x 1 >>", "<48656c6c6f>",
+    "q", "Q", "0.5 g", "()Tj", "((nested)) Tj",
+])
+
+
+@given(st.lists(_PDF_OPS, min_size=0, max_size=60))
+@settings(**_SETTINGS)
+def test_arbitrary_content_streams_never_crash(ops):
+    """Any op soup inside a structurally-valid PDF parses or fails
+    cleanly, identically in oracle and kernel."""
+    content = " ".join(ops).encode("latin-1")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           + b"trailer\n<< >>\n%%EOF")
+    _equiv([pdf])
