@@ -1,6 +1,9 @@
 from .fields import (  # noqa: F401
     datelike_col,
+    degrees_col,
     emails_col,
+    experience_years_col,
+    gpa_col,
     links_col,
     phones_col,
     skill_tokens_col,

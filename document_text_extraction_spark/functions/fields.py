@@ -78,6 +78,37 @@ def skill_tokens_col(text: Column, min_len: int = 2,
     return F.transform(kept, lambda t: F.initcap(t))
 
 
+GPA_PATTERN = r"(?:GPA|cGPA)[: ]*([0-4]\.[0-9]{1,2})"
+DEGREE_PATTERN = (
+    r"(?:Bachelor|Master|Doctor|B\.?Sc|M\.?Sc|Ph\.?D)[A-Za-z.]* of "
+    r"[A-Z][a-z]+"
+)
+EXPERIENCE_YEARS_PATTERN = r"(\d{1,2})\+? years? of experience"
+
+
+def gpa_col(text: Column) -> Column:
+    """O51 GPA regex (``final.py:277-305`` family) — first match, group 1."""
+    return F.regexp_extract(text, GPA_PATTERN, 1)
+
+
+def degrees_col(text: Column) -> Column:
+    """O51 degree phrases."""
+    return F.array_sort(F.array_distinct(
+        F.regexp_extract_all(text, F.lit(DEGREE_PATTERN), F.lit(0))
+    ))
+
+
+def experience_years_col(text: Column) -> Column:
+    """O52 experience-years: max over matches, -1 when absent
+    (``final.py:316-338`` family)."""
+    nums = F.transform(
+        F.regexp_extract_all(text, F.lit(EXPERIENCE_YEARS_PATTERN),
+                             F.lit(1)),
+        lambda m: m.cast("long"),
+    )
+    return F.coalesce(F.array_max(nums), F.lit(-1).cast("long"))
+
+
 def datelike_col(text: Column) -> Column:
     """O54 date-like predicate: a year or a month token
     (``parse_cv_docling.py:32, 68-72``)."""

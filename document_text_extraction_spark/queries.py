@@ -284,6 +284,35 @@ SQL_EMAILS = (
     "FROM documents"
 )
 
+def q_cv_fields_planted(spark, sf_dir):
+    """O51/O52 typed-field regexes on planted CV-style strings: GPA and
+    experience-years extracted from text extended deterministically in
+    both engines."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" GPA: 3."), (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit(" and "), (F.col("doc_id") % 30 + 1).cast("string"),
+        F.lit(" years of experience"),
+    )
+    return d.select(
+        "doc_id",
+        ff.gpa_col(planted).alias("gpa"),
+        ff.experience_years_col(planted).alias("exp_years"),
+    )
+
+
+SQL_CV_FIELDS = (
+    "WITH p AS (SELECT doc_id, text || ' GPA: 3.' || "
+    "CAST(doc_id % 90 + 10 AS VARCHAR) || ' and ' || "
+    "CAST(doc_id % 30 + 1 AS VARCHAR) || ' years of experience' AS t "
+    "FROM documents) SELECT doc_id, "
+    r"regexp_extract(t, '(?:GPA|cGPA)[: ]*([0-4]\.[0-9]{1,2})', 1) AS gpa, "
+    r"CAST(regexp_extract(t, '(\d{1,2})\+? years? of experience', 1) "
+    "AS BIGINT) AS exp_years FROM p"
+)
+
+
 # ---------------------------------------------------------------------------
 # text analytics / training-data ops (O30, O37, O47-O50 analogues)
 # ---------------------------------------------------------------------------
@@ -687,6 +716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_topk": q_host_topk,
     "host_volume": q_host_volume,
     "emails_planted": q_emails_planted,
+    "cv_fields_planted": q_cv_fields_planted,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -718,6 +748,7 @@ ORACLE_SQL: dict[str, str] = {
     "host_topk": SQL_HOST_TOPK,
     "host_volume": SQL_HOST_VOLUME,
     "emails_planted": SQL_EMAILS,
+    "cv_fields_planted": SQL_CV_FIELDS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY,

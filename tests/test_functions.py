@@ -80,3 +80,22 @@ def test_run_extract_cli(tmp_path):
     assert summary["slices_committed"] == 2
     assert summary["parse_failures"] == 10  # 5% junk route
     assert os.path.isdir(os.path.join(out_dir, "data"))
+
+
+def test_cv_field_regexes(spark):
+    from document_text_extraction_spark.functions import (
+        degrees_col, experience_years_col, gpa_col)
+    df = spark.createDataFrame(
+        [("Bachelor of Science at X, GPA: 3.85, 12+ years of experience "
+          "then Master of Engineering",),
+         ("no cv content here",)], ["text"])
+    rows = df.select(
+        gpa_col(F.col("text")).alias("gpa"),
+        degrees_col(F.col("text")).alias("degrees"),
+        experience_years_col(F.col("text")).alias("exp"),
+    ).collect()
+    assert rows[0]["gpa"] == "3.85"
+    assert rows[0]["degrees"] == ["Bachelor of Science",
+                                  "Master of Engineering"]
+    assert rows[0]["exp"] == 12
+    assert rows[1]["gpa"] == "" and rows[1]["exp"] == -1
