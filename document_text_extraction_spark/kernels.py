@@ -36,7 +36,6 @@ from .oracle import (
     HEADING_TAGS,
     LINK_DENSITY_MAX,
     LINK_RES,
-    PARSER_VERSION,
     PHONE_RES,
     _COMMENT_RE,
     _DECL_RE,

@@ -120,7 +120,7 @@ def ivf_index(df: DataFrame, vec_col: str = "embedding",
     n_probe/n_lists of the data (partition pruning on the scan).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = df.withColumn("_v", array_to_vector(F.col(vec_col)))
     model = KMeans(k=n_lists, seed=seed, featuresCol="_v",
