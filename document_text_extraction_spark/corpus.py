@@ -179,7 +179,10 @@ def make_pdf(doc_id: int, text: str) -> bytes:
     a kerning split to exercise TJ parsing
     (``/root/reference`` never parses content streams — it delegates to
     MuPDF; our from-scratch parser is the honest Spark-side equivalent).
+    Every even doc_id compresses its content streams with FlateDecode
+    (zlib) to exercise the parser's filter path.
     """
+    compress = doc_id % 2 == 0
     lines = chunk_text(text)
     ncols = n_columns_for(doc_id)
     per_page = ncols * MAX_LINES_PER_COL
@@ -228,9 +231,18 @@ def make_pdf(doc_id: int, text: str) -> bytes:
             f"<< /Font << /F1 {font_obj_num} 0 R >> >> >>"
         ).encode()
         objs.append(page_dict)
-        objs.append(
-            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
-        )
+        if compress:
+            import zlib
+            content = zlib.compress(content, 6)
+            objs.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(content), content)
+            )
+        else:
+            objs.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(content), content)
+            )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     out = bytearray(b"%PDF-1.4\n")

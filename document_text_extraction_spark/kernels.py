@@ -133,10 +133,13 @@ def _scan_html_doc(data: bytes) -> list[tuple[int, str, str]]:
 
 
 def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int]:
-    """Content-stream scan → raw shows ``{page,x,y,text}`` + page count."""
+    """Content-stream scan → raw shows ``{page,x,y,text}`` + page count.
+
+    Shares ``oracle.page_streams`` (tree-walked page order, FlateDecode)
+    so the two implementations cannot drift on document structure."""
     if not data.lstrip()[:5] == b"%PDF-":
         raise oracle.PdfParseError("missing %PDF- magic")
-    streams = _STREAM_RE.findall(data)
+    streams = oracle.page_streams(data)
     if not streams:
         raise oracle.PdfParseError("no content streams")
     shows: list[dict] = []

@@ -175,6 +175,119 @@ class PdfParseError(ValueError):
 
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R\b")
+
+
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+
+
+def _decode_object_stream(body: bytes) -> bytes | None:
+    """Extract (and Flate-decompress if declared) an object's stream.
+
+    Uses the declared /Length to slice exact bytes — the regex's
+    optional trailing-newline trim would corrupt binary (compressed)
+    streams whose last byte happens to be \\r or \\n."""
+    sm = _STREAM_START_RE.search(body)
+    if sm is None:
+        return None
+    head = body[: sm.start()]
+    lm = _LENGTH_RE.search(head)
+    if lm is not None:
+        data = body[sm.end() : sm.end() + int(lm.group(1))]
+    else:
+        m = _STREAM_RE.search(body)
+        if m is None:
+            return None
+        data = m.group(1)
+    if b"/FlateDecode" in head:
+        import zlib
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as e:
+            raise PdfParseError(f"bad FlateDecode stream: {e}") from e
+    return data
+
+
+def page_streams(data: bytes) -> list[bytes]:
+    """Content streams in PAGE order.
+
+    Strategy (lenient, deterministic):
+    1. scan all ``N 0 obj … endobj`` objects;
+    2. walk /Root → /Pages → /Kids (recursing into nested Pages nodes)
+       → each page's /Contents ref(s) — the honest page order;
+    3. if the tree is unwalkable (no catalog, broken refs), fall back to
+       all stream-bearing objects in byte order.
+
+    FlateDecode streams are decompressed (zlib, stdlib); other filters
+    are a parse failure rather than silently wrong output.
+    """
+    objs: dict[int, bytes] = {}
+    obj_order: list[int] = []
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        if num not in objs:
+            obj_order.append(num)
+        objs[num] = m.group(2)
+
+    def tree_order() -> list[bytes] | None:
+        catalog = None
+        for body in objs.values():
+            if b"/Type" in body and b"/Catalog" in body:
+                catalog = body
+                break
+        if catalog is None:
+            return None
+        m = re.search(rb"/Pages\s+(\d+)\s+0\s+R", catalog)
+        if m is None:
+            return None
+        out: list[bytes] = []
+
+        def walk(num: int, depth: int = 0) -> bool:
+            if depth > 64 or num not in objs:
+                return False
+            body = objs[num]
+            if b"/Kids" in body:
+                km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+                if km is None:
+                    return False
+                for r in _REF_RE.finditer(km.group(1)):
+                    if not walk(int(r.group(1)), depth + 1):
+                        return False
+                return True
+            cm = re.search(rb"/Contents\s+(\[[^\]]*\]|\d+\s+0\s+R)", body)
+            if cm is None:
+                return True  # page with no content
+            parts = []
+            for r in _REF_RE.finditer(cm.group(1)):
+                ref = int(r.group(1))
+                if ref not in objs:
+                    return False
+                s = _decode_object_stream(objs[ref])
+                if s is not None:
+                    parts.append(s)
+            out.append(b"\n".join(parts))
+            return True
+
+        if not walk(int(m.group(1))):
+            return None
+        return out if out else None
+
+    ordered = tree_order()
+    if ordered is not None:
+        return ordered
+    # fallback: stream-bearing objects in byte order (closed grammar /
+    # damaged files); raw top-level streams if object scan found nothing
+    if objs:
+        streams = []
+        for num in obj_order:
+            s = _decode_object_stream(objs[num])
+            if s is not None:
+                streams.append(s)
+        if streams:
+            return streams
+    return [s for s in _STREAM_RE.findall(data)]
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")
@@ -394,14 +507,15 @@ def _column_clusters(xs: list[float], gap: float = COLUMN_GAP_PT) -> list[float]
 def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
     """Parse the PDF text layer; returns (extracted_text, spans, n_pages).
 
-    Streams are taken in byte order as page order (valid for the closed
-    generator grammar; a general reader would walk the /Pages tree).
-    Reading order: page → column (x-gap clustering, >40pt) → y descending
-    → x — the total deterministic key required for byte-identity (O36).
+    Page order comes from the /Root→/Pages→/Kids tree walk with a
+    byte-order fallback for damaged files (``page_streams``); FlateDecode
+    streams are decompressed. Reading order: page → column (x-gap
+    clustering, >40pt) → y descending → x — the total deterministic key
+    required for byte-identity (O36).
     """
     if not data.lstrip()[:5] == b"%PDF-":
         raise PdfParseError("missing %PDF- magic")
-    streams = _STREAM_RE.findall(data)
+    streams = page_streams(data)
     if not streams:
         raise PdfParseError("no content streams")
     shows: list[dict] = []

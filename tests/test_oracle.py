@@ -180,3 +180,53 @@ def test_big_doc_multipage():
     assert rec["status"] == "ok"
     assert rec["extracted_text"] == golden_text(text)
     assert rec["n_pages"] >= 2
+
+
+# ---------------------------------------------------------------------------
+# FlateDecode + page-tree walking
+# ---------------------------------------------------------------------------
+
+def test_pdf_flate_roundtrip():
+    words = " ".join(f"tok{i}" for i in range(80))
+    data = corpus.make_pdf(16, words)  # even doc_id → compressed
+    assert b"/FlateDecode" in data
+    text, spans, n_pages = oracle.extract_pdf(data)
+    assert text == golden_text(words)
+
+
+def test_pdf_flate_multipage_tree_order():
+    words = " ".join(f"tok{i}" for i in range(900))
+    data = corpus.make_pdf(18, words)  # even → compressed, 3 cols
+    assert b"/FlateDecode" in data
+    text, spans, n_pages = oracle.extract_pdf(data)
+    assert text == golden_text(words)
+    assert n_pages >= 2
+
+
+def test_pdf_tree_walk_overrides_byte_order():
+    """Pages referenced out of byte order must still extract in tree
+    order (the general-reader behavior the closed grammar never hits)."""
+    def obj(n, body):
+        return b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    s1 = b"BT /F1 11 Tf 72 700 Td (page one) Tj ET"
+    s2 = b"BT /F1 11 Tf 72 700 Td (page two) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           # content streams in REVERSED byte order
+           + obj(6, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s2), s2))
+           + obj(5, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s1), s1))
+           + obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+           + obj(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>")
+           + obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>")
+           + obj(4, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+           + b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+    text, spans, n_pages = oracle.extract_pdf(pdf)
+    assert text == "page one\npage two"
+    assert n_pages == 2
+
+
+def test_pdf_corrupt_flate_is_parse_failure():
+    data = bytearray(corpus.make_pdf(16, "a b c d e f"))
+    i = data.find(b"stream\n") + 7
+    data[i:i + 4] = b"\x00\x00\x00\x00"  # corrupt the zlib header
+    rec = oracle.extract_document(bytes(data))
+    assert rec["status"] == "parse_failure"
