@@ -72,7 +72,12 @@ _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 _DECL_RE = re.compile(rb"<![^>]*>")  # <!DOCTYPE ...> and other declarations
 _SCRIPT_RE = re.compile(rb"<script\b.*?</script\s*>", re.S | re.I)
 _STYLE_RE = re.compile(rb"<style\b.*?</style\s*>", re.S | re.I)
-_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)[^>]*?(/?)>")
+# quote-aware: a '>' inside "..." or '...' attribute values does not end
+# the tag; exactly 3 capture groups (the split-based kernel scanner
+# strides on that shape)
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
+)
 _WS_RE = re.compile(r"\s+")
 
 
@@ -132,7 +137,7 @@ def extract_html(data: bytes) -> tuple[str, list[dict]]:
             t = _htmllib.unescape(txt)
             if t:
                 pieces.append((t, link_depth > 0, boiler_depth > 0))
-        closing, name, _selfclose = m.group(1), m.group(2).lower(), m.group(3)
+        closing, name = m.group(1), m.group(2).lower()
         if name in BLOCK_TAGS:
             flush()
             if not closing:

@@ -230,3 +230,12 @@ def test_pdf_corrupt_flate_is_parse_failure():
     data[i:i + 4] = b"\x00\x00\x00\x00"  # corrupt the zlib header
     rec = oracle.extract_document(bytes(data))
     assert rec["status"] == "parse_failure"
+
+
+def test_html_gt_inside_quoted_attribute():
+    doc = (b"<html><body><p title=\"a>b\">kept text here</p>"
+           b"<a href='/x?q=1>2'>link</a></body></html>")
+    text, spans = oracle.extract_html(doc)
+    assert text == "kept text here"
+    # the attribute value never leaks into any block
+    assert all("a>b" not in s["text"] for s in spans)
