@@ -37,8 +37,9 @@ REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "10"))
 
 
 def corpus_path(sf_dir: str, repl: int) -> str:
+    from document_text_extraction_spark.corpus import CORPUS_VERSION
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/dte_bench_corpus_{tag}_x{repl}"
+    return f"/tmp/dte_bench_corpus_v{CORPUS_VERSION}_{tag}_x{repl}"
 
 
 def ensure_corpus(spark, sf_dir: str, repl: int) -> str:

@@ -30,6 +30,9 @@ import hashlib
 
 WORDS_PER_LINE = 10
 
+# bump when generated payload bytes change (bench corpora cache on it)
+CORPUS_VERSION = 2
+
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
 N_HOSTS = 50
