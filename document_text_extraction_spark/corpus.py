@@ -31,7 +31,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -66,8 +66,11 @@ def ts_for(doc_id: int) -> datetime.datetime:
 
 
 def route_for(doc_id: int) -> str:
-    """Payload route by doc_id: 70% html, 25% pdf, 5% malformed."""
+    """Payload route by doc_id: 65% html (one slot gzip-encoded),
+    5% docx, 25% pdf, 5% malformed."""
     m = doc_id % 20
+    if m == 12:
+        return "docx"
     if m < 14:
         return "html"
     if m < 19:
@@ -265,6 +268,52 @@ def make_pdf(doc_id: int, text: str) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# DOCX generator — minimal OOXML (stdlib zipfile, deterministic)
+# --------------------------------------------------------------------------
+
+_DOCX_CONTENT_TYPES = (
+    b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    b'<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    b'content-types"><Default Extension="xml" ContentType="application/'
+    b'vnd.openxmlformats-officedocument.wordprocessingml.document.main'
+    b'+xml"/></Types>'
+)
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def make_docx(doc_id: int, text: str) -> bytes:
+    """Minimal .docx: a zip with word/document.xml, one <w:p> per
+    10-word line (reference analogue: python-docx paragraph read,
+    ``/root/reference/approach4_v1.py:33-42``). Fixed zip timestamps
+    keep the bytes a pure function of (doc_id, text)."""
+    import io
+    import zipfile
+    paras = "".join(
+        f"<w:p><w:r><w:t>{_xml_escape(p)}</w:t></w:r></w:p>"
+        for p in chunk_text(text)
+    )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        f"{paras}</w:body></w:document>"
+    ).encode("utf-8")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for name, payload in (
+            ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
+            ("word/document.xml", document),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            z.writestr(zi, payload)
+    return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
 # Malformed payloads
 # --------------------------------------------------------------------------
 
@@ -289,7 +338,15 @@ def make_junk(doc_id: int) -> bytes:
 def payload_for(doc_id: int, text: str) -> bytes:
     route = route_for(doc_id)
     if route == "html":
-        return make_html(doc_id, text)
+        raw = make_html(doc_id, text)
+        if doc_id % 20 == 13:
+            # gzip transfer-encoding variant (Common-Crawl WARC payloads
+            # are frequently gzip) — same logical route, same golden text
+            import gzip
+            return gzip.compress(raw, compresslevel=6, mtime=0)
+        return raw
+    if route == "docx":
+        return make_docx(doc_id, text)
     if route == "pdf":
         return make_pdf(doc_id, text)
     return make_junk(doc_id)

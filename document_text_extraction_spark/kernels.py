@@ -281,6 +281,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     html_blocks_link: list[str] = []
     html_blocks_kind: list[int] = []
     pdf_rows: list[tuple] = []  # (doc, page, x, y, seq, text)
+    docx_spans: dict[int, list[dict]] = {}
 
     payload_arr = payloads.to_numpy()
     for i in range(n):
@@ -288,14 +289,22 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         t0 = time.perf_counter()
         try:
             if r == "html":
-                for full, link, kind in _scan_html_doc(payload_arr[i]):
+                for full, link, kind in _scan_html_doc(
+                        oracle._decode_transfer(payload_arr[i])):
                     html_blocks_doc.append(i)
                     html_blocks_full.append(full)
                     html_blocks_link.append(link)
                     html_blocks_kind.append(kind)
                 n_pages[i] = 1
+            elif r == "docx":
+                # shared per-doc XML parse (structure-bound like the PDF
+                # page walk; sharing oracle.extract_docx prevents drift)
+                _dx_text, dx_spans = oracle.extract_docx(payload_arr[i])
+                docx_spans[i] = dx_spans
+                n_pages[i] = 1
             elif r == "pdf":
-                shows, np_pages = _scan_pdf_doc(payload_arr[i])
+                shows, np_pages = _scan_pdf_doc(
+                    oracle._decode_transfer(payload_arr[i]))
                 n_pages[i] = np_pages
                 for seq, s in enumerate(shows):
                     pdf_rows.append((i, s["page"], s["x"], s["y"], seq,
@@ -311,6 +320,12 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     spans_per_doc: dict[int, list[dict]] = {}
     content_text: dict[int, list[str]] = {}
     headings_per_doc: dict[int, list[str]] = {}
+
+    for doc, sp in docx_spans.items():
+        if status[doc] != "ok":
+            continue
+        spans_per_doc[doc] = sp
+        content_text[doc] = [s["text"] for s in sp]
 
     if html_blocks_doc:
         hb = _classify_html_blocks(

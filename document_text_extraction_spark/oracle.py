@@ -36,9 +36,25 @@ PARSER_VERSION = "dte-spark-0.1"
 # ---------------------------------------------------------------------------
 
 def sniff(data: bytes) -> str:
-    """Route by payload magic: ``pdf`` | ``html`` | ``unknown``."""
+    """Route by payload magic: ``pdf`` | ``html`` | ``unknown``.
+
+    gzip payloads (1f 8b — common for WARC-stored pages) are sniffed by
+    their *decompressed* head; decoding happens again in the extractor
+    (``_decode_transfer``), keeping sniff a pure routing function."""
     if data is None:
         return "unknown"
+    if data[:2] == b"\x1f\x8b":
+        import zlib
+        try:
+            # bounded peek: decompress just enough head bytes to route
+            d = zlib.decompressobj(wbits=31)
+            data = d.decompress(bytes(data[:8192]), 2048)
+        except zlib.error:
+            return "unknown"
+    if data[:4] == b"PK\x03\x04":
+        # OOXML container: zip whose member names include the Word
+        # document part (names live in local headers, scan is cheap)
+        return "docx" if b"word/document.xml" in data else "unknown"
     head = data[:1024].lstrip()
     if head.startswith(b"%PDF-"):
         return "pdf"
@@ -46,6 +62,14 @@ def sniff(data: bytes) -> str:
     if low.startswith((b"<!doctype", b"<html", b"<")):
         return "html"
     return "unknown"
+
+
+def _decode_transfer(data: bytes) -> bytes:
+    """Undo transfer encoding (gzip) before content parsing."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+        return gzip.decompress(data)
+    return data
 
 
 # ---------------------------------------------------------------------------
@@ -552,6 +576,39 @@ def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
 
 
 # ---------------------------------------------------------------------------
+# DOCX extraction (O3) — stdlib zip + regex over the OOXML body
+# ---------------------------------------------------------------------------
+
+_WP_RE = re.compile(r"<w:p[ >].*?</w:p>|<w:p/>", re.S)
+_WT_RE = re.compile(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.S)
+
+
+def extract_docx(data: bytes) -> tuple[str, list[dict]]:
+    """Paragraph text from word/document.xml, one block per <w:p>
+    (reference: python-docx paragraphs, ``approach4_v1.py:33-42``)."""
+    import io
+    import zipfile
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            xml = z.read("word/document.xml").decode("utf-8",
+                                                     errors="replace")
+    except (zipfile.BadZipFile, KeyError) as e:
+        raise PdfParseError(f"bad docx container: {e}") from e
+    spans: list[dict] = []
+    for pm in _WP_RE.finditer(xml):
+        runs = _WT_RE.findall(pm.group(0))
+        full = _norm_ws(_htmllib.unescape("".join(runs)))
+        if not full:
+            continue
+        spans.append({
+            "page": 0, "block": len(spans),
+            "x0": 0.0, "y0": 0.0, "x1": 0.0, "y1": 0.0,
+            "kind": "main", "text": full,
+        })
+    return "\n".join(s["text"] for s in spans), spans
+
+
+# ---------------------------------------------------------------------------
 # Regex field library (O44–O54 families)
 # ---------------------------------------------------------------------------
 
@@ -603,10 +660,13 @@ def extract_document(data: bytes) -> dict:
     route = sniff(data)
     try:
         if route == "html":
-            text, spans = extract_html(data)
+            text, spans = extract_html(_decode_transfer(data))
+            n_pages = 1
+        elif route == "docx":
+            text, spans = extract_docx(data)
             n_pages = 1
         elif route == "pdf":
-            text, spans, n_pages = extract_pdf(data)
+            text, spans, n_pages = extract_pdf(_decode_transfer(data))
         else:
             return {
                 "status": "parse_failure", "route": route,

@@ -38,7 +38,8 @@ CHUNK_SQL = (
     r"regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g')"
 )
 ROUTE_SQL = (
-    "CASE WHEN doc_id % 20 < 14 THEN 'html' "
+    "CASE WHEN doc_id % 20 = 12 THEN 'docx' "
+    "WHEN doc_id % 20 < 14 THEN 'html' "
     "WHEN doc_id % 20 < 19 THEN 'pdf' "
     "WHEN doc_id % 3 = 1 THEN 'pdf' ELSE 'unknown' END"
 )
@@ -123,18 +124,35 @@ SHINGLE_SQL = (
 # ---------------------------------------------------------------------------
 
 def q_extract_html_roundtrip(spark, sf_dir):
-    """O36 byte-identity on the HTML route: extracted text == 10-word
-    chunking of the source text."""
+    """O36 byte-identity on the HTML route (incl. the gzip-encoded
+    slot, doc_id%20==13): extracted text == 10-word chunking of the
+    source text."""
     out = _extracted(spark, sf_dir)
     return (
-        out.filter(F.col("doc_id") % 20 < 14)
+        out.filter((F.col("doc_id") % 20 < 14)
+                   & (F.col("doc_id") % 20 != 12))
         .select("doc_id", "extracted_text")
     )
 
 
 SQL_EXTRACT_HTML = (
     f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
-    "FROM documents WHERE doc_id % 20 < 14"
+    "FROM documents WHERE doc_id % 20 < 14 AND doc_id % 20 <> 12"
+)
+
+
+def q_extract_docx_roundtrip(spark, sf_dir):
+    """O3/O36 byte-identity on the DOCX route (OOXML paragraph read)."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("doc_id") % 20 == 12)
+        .select("doc_id", "extracted_text")
+    )
+
+
+SQL_EXTRACT_DOCX = (
+    f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
+    "FROM documents WHERE doc_id % 20 = 12"
 )
 
 
@@ -708,6 +726,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
+    "extract_docx_roundtrip": q_extract_docx_roundtrip,
     "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
     "extract_route_counts": q_extract_route_counts,
     "extract_status_counts": q_extract_status_counts,
@@ -740,6 +759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "extract_html_roundtrip": SQL_EXTRACT_HTML,
+    "extract_docx_roundtrip": SQL_EXTRACT_DOCX,
     "extract_pdf_roundtrip": SQL_EXTRACT_PDF,
     "extract_route_counts": SQL_ROUTE_COUNTS,
     "extract_status_counts": SQL_STATUS_COUNTS,

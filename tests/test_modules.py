@@ -121,7 +121,7 @@ def test_sql_api_views(spark):
         "FROM extracted GROUP BY 1 ORDER BY n DESC"
     ).collect()
     routes = {row["route"]: row["n"] for row in r}
-    assert routes.keys() == {"html", "pdf", "unknown"}
+    assert routes.keys() == {"html", "docx", "pdf", "unknown"}
     total = spark.sql("SELECT count(*) n FROM web_pages").first()["n"]
     assert sum(routes.values()) == total
     joined = spark.sql(

@@ -239,3 +239,50 @@ def test_html_gt_inside_quoted_attribute():
     assert text == "kept text here"
     # the attribute value never leaks into any block
     assert all("a>b" not in s["text"] for s in spans)
+
+
+def test_gzip_html_route():
+    import gzip
+    words = " ".join(f"g{i}" for i in range(35))
+    payload = corpus.payload_for(13, words)  # doc_id%20==13 → gzipped
+    assert payload[:2] == b"\x1f\x8b"
+    assert oracle.sniff(payload) == "html"
+    rec = oracle.extract_document(payload)
+    assert rec["status"] == "ok" and rec["route"] == "html"
+    assert rec["extracted_text"] == golden_text(words)
+    # corrupt gzip body → parse_failure, never an exception
+    broken = payload[:20] + b"\x00\x01\x02" + payload[30:]
+    rec2 = oracle.extract_document(broken)
+    assert rec2["status"] == "parse_failure" or rec2["route"] == "unknown"
+
+
+def test_docx_route():
+    words = " ".join(f"d{i}" for i in range(45))
+    payload = corpus.payload_for(12, words)  # doc_id%20==12 → docx
+    assert payload[:4] == b"PK\x03\x04"
+    assert oracle.sniff(payload) == "docx"
+    rec = oracle.extract_document(payload)
+    assert rec["status"] == "ok" and rec["route"] == "docx"
+    assert rec["extracted_text"] == golden_text(words)
+    assert all(s["kind"] == "main" for s in rec["spans"])
+
+
+def test_docx_xml_escapes():
+    text = "a <tag> & amp é unicode plus more words here ok"
+    rec = oracle.extract_document(corpus.make_docx(12, text))
+    assert rec["extracted_text"] == golden_text(text)
+
+
+def test_docx_corrupt_zip_is_parse_failure():
+    payload = corpus.make_docx(12, "a b c d e")[:-60]  # cut central dir
+    assert payload[:4] == b"PK\x03\x04"
+    rec = oracle.extract_document(payload)
+    assert rec["status"] == "parse_failure"
+
+
+def test_plain_zip_is_unknown():
+    import io, zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("other.txt", "hi")
+    assert oracle.sniff(buf.getvalue()) == "unknown"
