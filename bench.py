@@ -242,7 +242,9 @@ def scaling() -> None:
             "clean N-vs-4N evidence, the 8->32 pair is reported with "
             "its hardware ceiling.\n\n"
             "Reference single-thread baselines (BASELINE.md): S2 ~48 "
-            "docs/s, S3 ~2.4 docs/s, S6 ~0.3 docs/s on 1-2 page PDFs.\n"
+            "docs/s, S3 ~2.4 docs/s, S6 ~0.3 docs/s on 1-2 page PDFs.\n\n"
+            "Production-run evidence and measurement history: "
+            "BENCH/EVIDENCE.md.\n"
         )
     print(json.dumps({
         "metric": "scaling_efficiency_2_to_8", "value": round(eff(2, 8), 3),
