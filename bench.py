@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "10"))
+# 40x replication -> 200k docs at sf0.1: large enough that measured
+# throughput reflects the asymptote, small enough to generate once in
+# ~40s (cached under /tmp keyed by corpus version)
+REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "40"))
 
 
 def corpus_path(sf_dir: str, repl: int) -> str:
