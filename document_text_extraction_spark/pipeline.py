@@ -5,9 +5,10 @@ Physical shape (SURVEY.md §4):
 
 * **one** wide stage: ``mapInPandas(kernels.extract_batch)`` over
   ``(url, html)`` — Catalyst prunes the scan to exactly those columns;
-* explicit bucketing: ``part_bucket = pmod(xxhash64(url), n_buckets)``.
-  The output table is partitioned by this bucket, which is also the
-  resume/commit unit;
+* explicit bucketing: ``part_bucket = pmod(xxhash64(host(url)),
+  n_buckets)`` — the url's HOST, not the full url, so a site's pages
+  stay co-located (see :func:`bucket_col`). The output table is
+  partitioned by this bucket, which is also the resume/commit unit;
 * **salting**: a cheap pre-aggregation measures bytes per bucket;
   buckets above threshold get their *placement* key split
   ``bucket * MAX_SALT + pmod(xxhash64(url, salt_seed), factor)`` so one
@@ -213,6 +214,26 @@ def extract_df(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS,
     return keyed.mapInPandas(_extract_iter, schema=OUTPUT_SCHEMA)
 
 
+def slice_extract_df(pages: DataFrame, n_buckets: int,
+                     salt_plan: dict[int, int],
+                     buckets: list[int]) -> DataFrame:
+    """One resumable slice's extraction plan.
+
+    Scale-critical shape: the bucket predicate is applied on the INPUT
+    side, *below* the Python map. ``bucket_col`` is a pure function of
+    the url, so ``filter(input) → extract`` ≡ ``extract →
+    filter(output)`` — but Catalyst cannot push a predicate through an
+    opaque ``mapInPandas``, so filtering the extraction OUTPUT would
+    re-run the full Python extraction once per slice (n_slices × corpus
+    CPU; with the documented 100 TB shape of 65,536 buckets / 2,048 per
+    slice that is a 32× multiplier). This shape keeps per-slice work at
+    one cheap column-pruned scan + the slice's own extraction
+    (asserted by ``tests/test_plans.py::test_slice_filter_below_python_map``).
+    """
+    sub_pages = pages.filter(bucket_col(n_buckets).isin(buckets))
+    return extract_df(sub_pages, n_buckets, salt_plan)
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint-resumable runner
 # ---------------------------------------------------------------------------
@@ -263,8 +284,9 @@ def run_extraction(
         raise ValueError("n_buckets changed mid-run; use a new run_id")
     manifest["n_buckets"] = n_buckets
 
+    # ONE salting pre-pass for the whole run (cheap groupBy over sizes);
+    # each slice below reuses it so per-slice plans stay identical.
     salt_plan = plan_salting(pages, n_buckets) if salt else {}
-    extracted = extract_df(pages, n_buckets, salt_plan)
 
     slices = [
         list(range(s, min(s + slice_buckets, n_buckets)))
@@ -282,7 +304,7 @@ def run_extraction(
             d = os.path.join(data_dir, f"part_bucket={b}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
-        sub = extracted.filter(F.col("part_bucket").isin(buckets))
+        sub = slice_extract_df(pages, n_buckets, salt_plan, buckets)
         sub.write.mode("append").partitionBy("part_bucket").parquet(data_dir)
         # counters from the just-written files (column-pruned lineage scan;
         # no recomputation of the extraction). A slice can be legitimately

@@ -28,6 +28,26 @@ def test_extraction_plan_pruned_and_single_shuffle(spark, tmp_path):
         assert col not in joined, f"scan reads unused column {col}"
 
 
+def test_slice_filter_below_python_map(spark, tmp_path):
+    """The resumable runner's per-slice plan must filter buckets BELOW
+    the Python map — a filter above MapInPandas would re-run the full
+    extraction once per slice (the round-1 scale-killer)."""
+    from document_text_extraction_spark.plans import plan_string
+    from document_text_extraction_spark.sources import synth_web_pages
+    p = str(tmp_path / "pages")
+    synth_web_pages(spark, 50, partitions=2).write.parquet(p)
+    pages = spark.read.parquet(p)
+    sub = pipeline.slice_extract_df(pages, 16, {}, [0, 1, 2, 3])
+    s = plan_string(sub, "simple")
+    i_map = s.index("MapInPandas")
+    # tree printing is parent-first: any Filter before MapInPandas would
+    # sit ABOVE the Python map
+    assert "Filter" not in s[:i_map], (
+        "bucket filter sits above the Python map:\n" + s)
+    assert "Filter" in s[i_map:], (
+        "expected the slice's bucket predicate below the map:\n" + s)
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     df = docs.filter(F.col("n_chars") > 300).select("doc_id", "n_chars")
