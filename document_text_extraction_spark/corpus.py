@@ -7,8 +7,11 @@ Every byte is a pure function of ``(doc_id, text, source)`` — no wall clock,
 no RNG state, no external data — so the Spark job, the pure-Python oracle and
 the DuckDB oracle SQL can all regenerate / predict the same payloads.
 
-Route mix (cf. FIXTURES.md §1): ``doc_id % 20`` → 0..13 HTML (70%),
-14..18 PDF (25%), 19 malformed (5%).  The HTML route wraps the document's
+Route mix (cf. FIXTURES.md §1): ``doc_id % 20`` → 0..13 HTML (slot 12 is
+DOCX, every other one gzip-wrapped; slot 13 gzip HTML), 14..18 PDF (even
+ids FlateDecode-compressed; slot 18 is PDF 1.5 with object + xref
+streams), 19 malformed (LZW-filtered / truncated / binary noise by
+``doc_id % 3``).  The HTML route wraps the document's
 main text in boilerplate (link-dense nav/header/aside/ads/footer — the
 ground truth for the text-density/link-density classifier, the web-native
 analogue of the reference's histogram-valley separators,
@@ -31,7 +34,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -174,21 +177,10 @@ def n_columns_for(doc_id: int) -> int:
     return 1 + (doc_id % 3)
 
 
-def make_pdf(doc_id: int, text: str) -> bytes:
-    """A PDF-1.4 file whose text layer carries the 10-word lines.
-
-    Lines are laid out column-major (all of column 1 top→bottom, then
-    column 2, …), across 1–3 columns and as many pages as needed, so the
-    correct reading order (column detection → per-column y-sort,
-    ``/root/reference/new_approaches/final.py:75-104``) recovers the
-    original line order.  Every 3rd line is emitted as a ``TJ`` array with
-    a kerning split to exercise TJ parsing
-    (``/root/reference`` never parses content streams — it delegates to
-    MuPDF; our from-scratch parser is the honest Spark-side equivalent).
-    Every even doc_id compresses its content streams with FlateDecode
-    (zlib) to exercise the parser's filter path.
-    """
-    compress = doc_id % 2 == 0
+def _pdf_content_streams(doc_id: int, text: str) -> list[bytes]:
+    """Per-page content-stream bytes (shared by the 1.4 and 1.5
+    assemblers). Lines laid out column-major across 1–3 columns; every
+    3rd line is a TJ array with a kerning split."""
     lines = chunk_text(text)
     ncols = n_columns_for(doc_id)
     per_page = ncols * MAX_LINES_PER_COL
@@ -207,7 +199,7 @@ def make_pdf(doc_id: int, text: str) -> bytes:
         pages = [[]]
 
     streams = []
-    for pi, placed in enumerate(pages):
+    for placed in pages:
         ops = []
         for li, (x, y, ln) in enumerate(placed):
             esc = _pdf_escape(ln)
@@ -221,8 +213,26 @@ def make_pdf(doc_id: int, text: str) -> bytes:
                 show = f"({esc}) Tj"
             ops.append(f"BT /F1 {FONT_SIZE} Tf {x:.1f} {y:.1f} Td {show} ET")
         streams.append("\n".join(ops).encode("latin-1"))
+    return streams
 
-    npages = len(pages)
+
+def make_pdf(doc_id: int, text: str) -> bytes:
+    """A PDF-1.4 file whose text layer carries the 10-word lines.
+
+    Lines are laid out column-major (all of column 1 top→bottom, then
+    column 2, …), across 1–3 columns and as many pages as needed, so the
+    correct reading order (column detection → per-column y-sort,
+    ``/root/reference/new_approaches/final.py:75-104``) recovers the
+    original line order.  Every 3rd line is emitted as a ``TJ`` array with
+    a kerning split to exercise TJ parsing
+    (``/root/reference`` never parses content streams — it delegates to
+    MuPDF; our from-scratch parser is the honest Spark-side equivalent).
+    Every even doc_id compresses its content streams with FlateDecode
+    (zlib) to exercise the parser's filter path.
+    """
+    compress = doc_id % 2 == 0
+    streams = _pdf_content_streams(doc_id, text)
+    npages = len(streams)
     objs: list[bytes] = []
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
@@ -264,6 +274,98 @@ def make_pdf(doc_id: int, text: str) -> bytes:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, xref_pos)
     )
+    return bytes(out)
+
+
+def make_pdf15(doc_id: int, text: str) -> bytes:
+    """A PDF-1.5 file: catalog/page dicts packed in an object stream
+    (/Type /ObjStm), cross-reference as a compressed xref *stream*
+    (/Type /XRef, W [1 4 2]) — the post-2005 layout most real crawls
+    hit (reference reads these through MuPDF, ``approach4_v1.py:21-31``;
+    our parser expands the ObjStm in ``oracle._expand_object_streams``).
+    Same text layer ground truth as :func:`make_pdf`.
+    """
+    import struct
+    import zlib
+
+    content = [zlib.compress(s, 6) for s in _pdf_content_streams(
+        doc_id, text)]
+    npages = len(content)
+    # numbering: 1 catalog, 2 pages, 3..2+n page dicts (all in ObjStm);
+    # 3+n..2+2n content streams; 3+2n font (ObjStm);
+    # 4+2n ObjStm container; 5+2n XRef stream
+    first_content = 3 + npages
+    font_num = 3 + 2 * npages
+    objstm_num = 4 + 2 * npages
+    xref_num = 5 + 2 * npages
+
+    kids = " ".join(f"{3 + i} 0 R" for i in range(npages))
+    inner: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode()),
+    ]
+    for i in range(npages):
+        inner.append((3 + i, (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents {first_content + i} 0 R /Resources "
+            f"<< /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode()))
+    inner.append(
+        (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+    bodies = b" ".join(body for _, body in inner)
+    offs, pos = [], 0
+    for _, body in inner:
+        offs.append(pos)
+        pos += len(body) + 1  # the joining space
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(inner, offs)
+    ).encode()
+    objstm_payload = header + b"\n" + bodies
+    first = len(header) + 1
+    objstm_z = zlib.compress(objstm_payload, 6)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    for i, cz in enumerate(content):
+        emit(first_content + i,
+             b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+             % (len(cz), cz))
+    emit(objstm_num,
+         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+         b"/Length %d >>\nstream\n%s\nendstream"
+         % (len(inner), first, len(objstm_z), objstm_z))
+
+    # xref stream: W [1 4 2]; entries for object numbers 0..xref_num
+    size = xref_num + 1
+    offsets[xref_num] = len(out)  # the xref stream is emitted next
+    rows = []
+    for num in range(size):
+        if num == 0:
+            rows.append((0, 0, 65535))
+        elif num in offsets:
+            rows.append((1, offsets[num], 0))
+        else:  # compressed object: (in objstm_num, at index i)
+            idx = next(i for i, (n, _) in enumerate(inner) if n == num)
+            rows.append((2, objstm_num, idx))
+    xref_payload = b"".join(
+        struct.pack(">B", t) + struct.pack(">I", f2) + struct.pack(">H", f3)
+        for t, f2, f3 in rows
+    )
+    xref_z = zlib.compress(xref_payload, 6)
+    xref_pos = len(out)
+    emit(xref_num,
+         b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R /Filter "
+         b"/FlateDecode /Length %d >>\nstream\n%s\nendstream"
+         % (size, len(xref_z), xref_z))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)
 
 
@@ -318,12 +420,30 @@ def make_docx(doc_id: int, text: str) -> bytes:
 # --------------------------------------------------------------------------
 
 def make_junk(doc_id: int) -> bytes:
-    """Malformed payloads: must yield ``status='parse_failure'`` rows,
+    """Malformed/unsupported payloads: must yield
+    ``status='parse_failure'`` rows with a stable ``lineage.reason``,
     never job failures (reference error-row protocol,
-    ``/root/reference/batch_multi_column.py:573-592``)."""
+    ``/root/reference/batch_multi_column.py:573-592``).
+
+    Variants by doc_id % 3: 0 → structurally-valid PDF whose content
+    stream declares /LZWDecode (a filter we intentionally do not
+    implement → reason=unsupported_filter); 1 → PDF magic truncated
+    mid-structure (reason=no_streams); 2 → binary noise
+    (reason=unknown_route)."""
     v = doc_id % 3
     if v == 0:
-        return b""
+        payload = hashlib.md5(b"lzw:%d" % doc_id).digest() * 4
+        return (
+            b"%%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+            b"endobj\n"
+            b"4 0 obj\n<< /Length %d /Filter /LZWDecode >>\nstream\n%s\n"
+            b"endstream\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n%%%%EOF\n"
+            % (len(payload), payload)
+        )
     if v == 1:
         # PDF magic but truncated mid-structure
         return b"%PDF-1.4\n1 0 obj\n<< /Type /Cat"
@@ -346,8 +466,16 @@ def payload_for(doc_id: int, text: str) -> bytes:
             return gzip.compress(raw, compresslevel=6, mtime=0)
         return raw
     if route == "docx":
-        return make_docx(doc_id, text)
+        raw = make_docx(doc_id, text)
+        if doc_id % 40 == 32:
+            # gzip-wrapped DOCX: sniff routes by decompressed head
+            import gzip
+            return gzip.compress(raw, compresslevel=6, mtime=0)
+        return raw
     if route == "pdf":
+        if doc_id % 20 == 18:
+            # PDF 1.5: object streams + xref stream
+            return make_pdf15(doc_id, text)
         return make_pdf(doc_id, text)
     return make_junk(doc_id)
 

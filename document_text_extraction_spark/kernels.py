@@ -138,10 +138,10 @@ def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int]:
     Shares ``oracle.page_streams`` (tree-walked page order, FlateDecode)
     so the two implementations cannot drift on document structure."""
     if not data.lstrip()[:5] == b"%PDF-":
-        raise oracle.PdfParseError("missing %PDF- magic")
+        raise oracle.PdfParseError("missing %PDF- magic", code="bad_magic")
     streams = oracle.page_streams(data)
     if not streams:
-        raise oracle.PdfParseError("no content streams")
+        raise oracle.PdfParseError("no content streams", code="no_streams")
     shows: list[dict] = []
     for page, content in enumerate(streams):
         shows.extend(_interpret_page(content, page))
@@ -272,6 +272,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     n = len(payloads)
     routes = _sniff_batch(payloads)
     status = np.full(n, "ok", dtype=object)
+    reasons = np.full(n, None, dtype=object)
     n_pages = np.zeros(n, dtype=np.int64)
     elapsed = np.zeros(n, dtype=np.float64)
 
@@ -298,8 +299,10 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
                 n_pages[i] = 1
             elif r == "docx":
                 # shared per-doc XML parse (structure-bound like the PDF
-                # page walk; sharing oracle.extract_docx prevents drift)
-                _dx_text, dx_spans = oracle.extract_docx(payload_arr[i])
+                # page walk; sharing oracle.extract_docx prevents drift);
+                # gzip transfer layer decoded like the html/pdf routes
+                _dx_text, dx_spans = oracle.extract_docx(
+                    oracle._decode_transfer(payload_arr[i]))
                 docx_spans[i] = dx_spans
                 n_pages[i] = 1
             elif r == "pdf":
@@ -311,8 +314,10 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
                                      s["text"]))
             else:
                 status[i] = "parse_failure"
-        except Exception:
+                reasons[i] = "unknown_route"
+        except Exception as e:
             status[i] = "parse_failure"
+            reasons[i] = oracle.fail_reason(e)
             n_pages[i] = 0
         elapsed[i] = (time.perf_counter() - t0) * 1000.0
 
@@ -393,6 +398,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         "url": urls.to_numpy(),
         "status": status,
         "route": routes,
+        "reason": reasons,
         "extracted_text": texts.to_numpy(),
         "spans": spans,
         "fields": fields.to_numpy(),

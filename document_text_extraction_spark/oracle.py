@@ -200,7 +200,14 @@ def extract_html(data: bytes) -> tuple[str, list[dict]]:
 # ---------------------------------------------------------------------------
 
 class PdfParseError(ValueError):
-    pass
+    """Structured parse failure; ``code`` lands in ``lineage.reason`` so
+    failure classes are countable downstream (error-row protocol with
+    attribution, cf. reference counters ``batch_multi_column.py:573-592``).
+    """
+
+    def __init__(self, msg: str, code: str = "parse_error"):
+        super().__init__(msg)
+        self.code = code
 
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
@@ -209,22 +216,67 @@ _REF_RE = re.compile(rb"(\d+)\s+0\s+R\b")
 
 
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# direct /Length only: the double negative-lookahead rejects indirect
+# refs ("/Length 5 0 R" must not capture 5, nor backtrack to a digit
+# prefix — "/Length 123 0 R" must not capture "12")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+0\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R\b")
+_INT_OBJ_RE = re.compile(rb"\s*(\d+)\s*$")
+
+# stream filters we do NOT implement: detected explicitly so the
+# document becomes a counted parse_failure (reason=unsupported_filter),
+# never silently-corrupt output. The reference inherits these from
+# MuPDF/pdfplumber (``/root/reference/approach4_v1.py:21-31``).
+_UNSUPPORTED_FILTERS = (
+    b"/LZWDecode", b"/DCTDecode", b"/ASCII85Decode", b"/ASCIIHexDecode",
+    b"/RunLengthDecode", b"/CCITTFaxDecode", b"/JBIG2Decode",
+    b"/JPXDecode", b"/Crypt",
+)
 
 
-def _decode_object_stream(body: bytes) -> bytes | None:
+def _decode_object_stream(body: bytes,
+                          objs: dict[int, bytes] | None = None,
+                          strict: bool = True) -> bytes | None:
     """Extract (and Flate-decompress if declared) an object's stream.
 
     Uses the declared /Length to slice exact bytes — the regex's
     optional trailing-newline trim would corrupt binary (compressed)
-    streams whose last byte happens to be \\r or \\n."""
+    streams whose last byte happens to be \\r or \\n. Indirect /Length
+    refs ("/Length 5 0 R") are resolved through ``objs``. Unsupported
+    filters raise (strict=True, the page-tree path: honest failure) or
+    skip the stream (strict=False, the damaged-file fallback path)."""
     sm = _STREAM_START_RE.search(body)
     if sm is None:
         return None
     head = body[: sm.start()]
-    lm = _LENGTH_RE.search(head)
-    if lm is not None:
-        data = body[sm.end() : sm.end() + int(lm.group(1))]
+    for f in _UNSUPPORTED_FILTERS:
+        if f in head:
+            if strict:
+                raise PdfParseError(
+                    f"unsupported stream filter {f.decode('latin-1')}",
+                    code="unsupported_filter",
+                )
+            return None
+    if b"/Predictor" in head:
+        # PNG/TIFF predictors on content streams: not implemented
+        if strict:
+            raise PdfParseError("predictor on content stream",
+                                code="unsupported_filter")
+        return None
+    length = None
+    rm = _LENGTH_REF_RE.search(head)
+    if rm is not None and objs is not None:
+        target = objs.get(int(rm.group(1)))
+        if target is not None:
+            im = _INT_OBJ_RE.match(target)
+            if im is not None:
+                length = int(im.group(1))
+    if length is None:
+        lm = _LENGTH_RE.search(head)
+        if lm is not None:
+            length = int(lm.group(1))
+    if length is not None:
+        data = body[sm.end() : sm.end() + length]
     else:
         m = _STREAM_RE.search(body)
         if m is None:
@@ -235,8 +287,59 @@ def _decode_object_stream(body: bytes) -> bytes | None:
         try:
             data = zlib.decompress(data)
         except zlib.error as e:
-            raise PdfParseError(f"bad FlateDecode stream: {e}") from e
+            raise PdfParseError(f"bad FlateDecode stream: {e}",
+                                code="bad_flate") from e
     return data
+
+
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> set[int]:
+    """PDF 1.5+: unpack /Type /ObjStm containers into ``objs``.
+
+    Compressed objects (catalog, page dicts, fonts) live *inside* an
+    object stream's payload, invisible to the top-level object scan.
+    The payload layout is ``N`` (objnum, byte-offset) integer pairs,
+    then the object bodies starting at /First. Returns the object
+    numbers of container objects (ObjStm + XRef streams) so the
+    byte-order fallback never tokenizes container payloads as content.
+    """
+    containers: set[int] = set()
+    for num, body in list(objs.items()):
+        sm = _STREAM_START_RE.search(body)
+        head = body[: sm.start()] if sm else body
+        if b"/XRef" in head:
+            containers.add(num)
+            continue
+        if b"/ObjStm" not in head:
+            continue
+        containers.add(num)
+        nm = _OBJSTM_N_RE.search(head)
+        fm = _OBJSTM_FIRST_RE.search(head)
+        if nm is None or fm is None:
+            raise PdfParseError("ObjStm missing /N or /First",
+                                code="bad_objstm")
+        payload = _decode_object_stream(body, objs)
+        if payload is None:
+            raise PdfParseError("ObjStm without stream data",
+                                code="bad_objstm")
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header_ints = payload[:first].split()
+        if len(header_ints) < 2 * n:
+            raise PdfParseError("short ObjStm header", code="bad_objstm")
+        pairs = [
+            (int(header_ints[2 * i]), int(header_ints[2 * i + 1]))
+            for i in range(n)
+        ]
+        for i, (onum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(payload) - first
+            # top-level definitions win (spec: xref decides; for our
+            # lenient scan, a regular object with the same number is
+            # the visible one)
+            objs.setdefault(onum, payload[first + off : first + end])
+    return containers
 
 
 def page_streams(data: bytes) -> list[bytes]:
@@ -244,13 +347,19 @@ def page_streams(data: bytes) -> list[bytes]:
 
     Strategy (lenient, deterministic):
     1. scan all ``N 0 obj … endobj`` objects;
-    2. walk /Root → /Pages → /Kids (recursing into nested Pages nodes)
+    2. unpack PDF 1.5+ object streams (/Type /ObjStm) so compressed
+       catalogs/page dicts resolve like regular objects — this makes
+       xref-stream files readable without parsing the xref itself
+       (the object scan already finds every top-level object);
+    3. walk /Root → /Pages → /Kids (recursing into nested Pages nodes)
        → each page's /Contents ref(s) — the honest page order;
-    3. if the tree is unwalkable (no catalog, broken refs), fall back to
-       all stream-bearing objects in byte order.
+    4. if the tree is unwalkable (no catalog, broken refs), fall back to
+       all stream-bearing objects in byte order (excluding ObjStm/XRef
+       containers).
 
     FlateDecode streams are decompressed (zlib, stdlib); other filters
-    are a parse failure rather than silently wrong output.
+    raise ``PdfParseError(code='unsupported_filter')`` — a counted
+    parse failure rather than silently wrong output.
     """
     objs: dict[int, bytes] = {}
     obj_order: list[int] = []
@@ -259,6 +368,7 @@ def page_streams(data: bytes) -> list[bytes]:
         if num not in objs:
             obj_order.append(num)
         objs[num] = m.group(2)
+    containers = _expand_object_streams(objs) if objs else set()
 
     def tree_order() -> list[bytes] | None:
         catalog = None
@@ -293,7 +403,7 @@ def page_streams(data: bytes) -> list[bytes]:
                 ref = int(r.group(1))
                 if ref not in objs:
                     return False
-                s = _decode_object_stream(objs[ref])
+                s = _decode_object_stream(objs[ref], objs, strict=True)
                 if s is not None:
                     parts.append(s)
             out.append(b"\n".join(parts))
@@ -311,7 +421,9 @@ def page_streams(data: bytes) -> list[bytes]:
     if objs:
         streams = []
         for num in obj_order:
-            s = _decode_object_stream(objs[num])
+            if num in containers:
+                continue
+            s = _decode_object_stream(objs[num], objs, strict=False)
             if s is not None:
                 streams.append(s)
         if streams:
@@ -543,10 +655,10 @@ def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
     required for byte-identity (O36).
     """
     if not data.lstrip()[:5] == b"%PDF-":
-        raise PdfParseError("missing %PDF- magic")
+        raise PdfParseError("missing %PDF- magic", code="bad_magic")
     streams = page_streams(data)
     if not streams:
-        raise PdfParseError("no content streams")
+        raise PdfParseError("no content streams", code="no_streams")
     shows: list[dict] = []
     for page, content in enumerate(streams):
         shows.extend(_interpret_page(content, page))
@@ -593,7 +705,8 @@ def extract_docx(data: bytes) -> tuple[str, list[dict]]:
             xml = z.read("word/document.xml").decode("utf-8",
                                                      errors="replace")
     except (zipfile.BadZipFile, KeyError) as e:
-        raise PdfParseError(f"bad docx container: {e}") from e
+        raise PdfParseError(f"bad docx container: {e}",
+                            code="bad_container") from e
     spans: list[dict] = []
     for pm in _WP_RE.finditer(xml):
         runs = _WT_RE.findall(pm.group(0))
@@ -655,33 +768,54 @@ def extract_fields(text: str, spans: list[dict]) -> dict:
 EMPTY_FIELDS = {"emails": [], "phones": [], "links": [], "headings": []}
 
 
+def fail_reason(exc: Exception) -> str:
+    """Stable failure-class code for ``lineage.reason`` (shared by the
+    oracle and the batch kernel so the two cannot drift)."""
+    import zlib
+    if isinstance(exc, PdfParseError):
+        return exc.code
+    if isinstance(exc, (zlib.error, EOFError, OSError)):
+        # gzip transfer-decode failures (gzip raises BadGzipFile ⊂ OSError)
+        return "bad_transfer"
+    return "parse_error"
+
+
 def extract_document(data: bytes) -> dict:
-    """bytes → extraction record; never raises (EP3 error-row protocol)."""
+    """bytes → extraction record; never raises (EP3 error-row protocol).
+
+    ``reason`` is None on success, else a stable failure-class code
+    (unknown_route | unsupported_filter | bad_flate | bad_objstm |
+    bad_container | bad_transfer | bad_magic | no_streams | parse_error).
+    """
     route = sniff(data)
     try:
         if route == "html":
             text, spans = extract_html(_decode_transfer(data))
             n_pages = 1
         elif route == "docx":
-            text, spans = extract_docx(data)
+            # gzip-wrapped DOCX is routed by its decompressed head, so
+            # the extractor must decode the transfer layer too
+            text, spans = extract_docx(_decode_transfer(data))
             n_pages = 1
         elif route == "pdf":
             text, spans, n_pages = extract_pdf(_decode_transfer(data))
         else:
             return {
                 "status": "parse_failure", "route": route,
+                "reason": "unknown_route",
                 "extracted_text": "", "spans": [],
                 "fields": dict(EMPTY_FIELDS), "n_pages": 0, "n_blocks": 0,
             }
         return {
-            "status": "ok", "route": route,
+            "status": "ok", "route": route, "reason": None,
             "extracted_text": text, "spans": spans,
             "fields": extract_fields(text, spans),
             "n_pages": n_pages, "n_blocks": len(spans),
         }
-    except Exception:
+    except Exception as e:
         return {
             "status": "parse_failure", "route": route,
+            "reason": fail_reason(e),
             "extracted_text": "", "spans": [],
             "fields": dict(EMPTY_FIELDS), "n_pages": 0, "n_blocks": 0,
         }

@@ -66,6 +66,7 @@ FIELDS_TYPE = T.StructType([
 LINEAGE_TYPE = T.StructType([
     T.StructField("status", T.StringType()),
     T.StructField("route", T.StringType()),
+    T.StructField("reason", T.StringType()),  # null on ok
     T.StructField("parser_version", T.StringType()),
     T.StructField("n_pages", T.IntegerType()),
     T.StructField("n_blocks", T.IntegerType()),
@@ -104,13 +105,14 @@ def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bytes_in = b["html"].map(lambda v: 0 if v is None else len(v))
         lineage = [
             {
-                "status": s, "route": r, "parser_version": PARSER_VERSION,
+                "status": s, "route": r, "reason": rsn,
+                "parser_version": PARSER_VERSION,
                 "n_pages": int(npg), "n_blocks": int(nb),
                 "bytes_in": int(bi), "elapsed_ms": float(el),
                 "partition_id": pid,
             }
-            for s, r, npg, nb, bi, el in zip(
-                out["status"], out["route"], out["n_pages"],
+            for s, r, rsn, npg, nb, bi, el in zip(
+                out["status"], out["route"], out["reason"], out["n_pages"],
                 out["n_blocks"], bytes_in, out["elapsed_ms"],
             )
         ]

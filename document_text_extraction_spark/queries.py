@@ -41,7 +41,12 @@ ROUTE_SQL = (
     "CASE WHEN doc_id % 20 = 12 THEN 'docx' "
     "WHEN doc_id % 20 < 14 THEN 'html' "
     "WHEN doc_id % 20 < 19 THEN 'pdf' "
-    "WHEN doc_id % 3 = 1 THEN 'pdf' ELSE 'unknown' END"
+    "WHEN doc_id % 3 IN (0, 1) THEN 'pdf' ELSE 'unknown' END"
+)
+# junk slot failure classes (corpus.make_junk variants by doc_id % 3)
+REASON_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'unsupported_filter' "
+    "WHEN doc_id % 3 = 1 THEN 'no_streams' ELSE 'unknown_route' END"
 )
 STATUS_SQL = (
     "CASE WHEN doc_id % 20 < 19 THEN 'ok' ELSE 'parse_failure' END"
@@ -170,6 +175,43 @@ def q_extract_pdf_roundtrip(spark, sf_dir):
 SQL_EXTRACT_PDF = (
     f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
     "FROM documents WHERE doc_id % 20 >= 14 AND doc_id % 20 < 19"
+)
+
+
+def q_extract_pdf15_roundtrip(spark, sf_dir):
+    """O36 byte-identity on the PDF 1.5 slot (object streams + xref
+    stream, doc_id%20==18): the modern layout most post-2005 crawl PDFs
+    use. Same golden text as the 1.4 path."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("doc_id") % 20 == 18)
+        .select("doc_id", "extracted_text")
+    )
+
+
+SQL_EXTRACT_PDF15 = (
+    f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
+    "FROM documents WHERE doc_id % 20 = 18"
+)
+
+
+def q_extract_fail_reasons(spark, sf_dir):
+    """O31 failure attribution: parse_failure counts by (route, reason) —
+    unsupported filters (LZW), truncated structure, unroutable bytes each
+    land in a distinct counted class, never silent output."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("lineage.status") == "parse_failure")
+        .groupBy(F.col("lineage.route").alias("route"),
+                 F.col("lineage.reason").alias("reason"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+SQL_FAIL_REASONS = (
+    f"SELECT {ROUTE_SQL} AS route, {REASON_SQL} AS reason, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM documents "
+    "WHERE doc_id % 20 = 19 GROUP BY 1, 2"
 )
 
 
@@ -728,6 +770,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
     "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
+    "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
+    "extract_fail_reasons": q_extract_fail_reasons,
     "extract_route_counts": q_extract_route_counts,
     "extract_status_counts": q_extract_status_counts,
     "extract_volume_by_route": q_extract_volume_by_route,
@@ -761,6 +805,8 @@ ORACLE_SQL: dict[str, str] = {
     "extract_html_roundtrip": SQL_EXTRACT_HTML,
     "extract_docx_roundtrip": SQL_EXTRACT_DOCX,
     "extract_pdf_roundtrip": SQL_EXTRACT_PDF,
+    "extract_pdf15_roundtrip": SQL_EXTRACT_PDF15,
+    "extract_fail_reasons": SQL_FAIL_REASONS,
     "extract_route_counts": SQL_ROUTE_COUNTS,
     "extract_status_counts": SQL_STATUS_COUNTS,
     "extract_volume_by_route": SQL_VOLUME_BY_ROUTE,

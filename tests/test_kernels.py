@@ -22,6 +22,7 @@ def _check_equivalence(rows):
         got = out.iloc[i]
         assert got["status"] == ref["status"], (i, r["url"])
         assert got["route"] == ref["route"], i
+        assert got["reason"] == ref["reason"], i
         assert got["extracted_text"] == ref["extracted_text"], i
         assert int(got["n_pages"]) == ref["n_pages"], i
         assert int(got["n_blocks"]) == ref["n_blocks"], i
@@ -45,6 +46,8 @@ def test_batch_all_junk():
     out = _batch(rows)
     assert (out["status"] == "parse_failure").all()
     assert (out["extracted_text"] == "").all()
+    assert set(out["reason"]) == {
+        "unsupported_filter", "no_streams", "unknown_route"}
 
 
 def test_batch_order_independence():
@@ -70,7 +73,7 @@ def test_empty_batch():
     out = kernels.extract_batch(pd.Series([], dtype=object),
                                 pd.Series([], dtype=object))
     assert len(out) == 0
-    assert list(out.columns)[:4] == ["url", "status", "route",
+    assert list(out.columns)[:5] == ["url", "status", "route", "reason",
                                      "extracted_text"]
 
 

@@ -280,6 +280,75 @@ def test_docx_corrupt_zip_is_parse_failure():
     assert rec["status"] == "parse_failure"
 
 
+# ---------------------------------------------------------------------------
+# PDF 1.5 (object streams + xref stream), indirect /Length, filters
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("doc_id", [18, 38, 58])
+def test_pdf15_objstm_roundtrip(doc_id):
+    text = corpus.synth_text(doc_id)
+    data = corpus.make_pdf15(doc_id, text)
+    assert data.startswith(b"%PDF-1.5") and b"/ObjStm" in data
+    assert b"/Catalog" not in data.split(b"/ObjStm")[0]  # catalog packed
+    rec = oracle.extract_document(data)
+    assert rec["status"] == "ok", rec["reason"]
+    assert rec["extracted_text"] == golden_text(text)
+
+
+def test_pdf15_multipage():
+    text = corpus.synth_text(96, 600, 1200)
+    rec = oracle.extract_document(corpus.make_pdf15(18, text))
+    assert rec["status"] == "ok" and rec["n_pages"] >= 2
+    assert rec["extracted_text"] == golden_text(text)
+
+
+def test_pdf_indirect_length_resolved():
+    s1 = b"BT /F1 11 Tf 72 700 Td (indirect len works) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + s1
+        + b"\nendstream\nendobj\n"
+        b"5 0 obj\n%d\nendobj\n" % len(s1)
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+    )
+    text, _, _ = oracle.extract_pdf(pdf)
+    assert text == "indirect len works"
+
+
+def test_length_regex_never_captures_object_number():
+    # "/Length 123 0 R" must not match "123" nor backtrack to "12"
+    assert oracle._LENGTH_RE.search(b"<< /Length 123 0 R >>") is None
+    m = oracle._LENGTH_RE.search(b"<< /Length 123 /Filter /FlateDecode >>")
+    assert m.group(1) == b"123"
+
+
+def test_unsupported_filter_is_counted_failure():
+    rec = oracle.extract_document(corpus.make_junk(0))  # LZW variant
+    assert rec["status"] == "parse_failure"
+    assert rec["reason"] == "unsupported_filter"
+
+
+def test_junk_reason_classes():
+    want = {0: "unsupported_filter", 1: "no_streams", 2: "unknown_route"}
+    for did in range(19, 219, 20):
+        rec = oracle.extract_document(corpus.make_junk(did))
+        assert rec["status"] == "parse_failure"
+        assert rec["reason"] == want[did % 3], did
+
+
+def test_gzip_docx_route():
+    words = " ".join(f"gd{i}" for i in range(25))
+    payload = corpus.payload_for(32, words)  # doc_id%40==32 → gzip docx
+    assert payload[:2] == b"\x1f\x8b"
+    assert oracle.sniff(payload) == "docx"
+    rec = oracle.extract_document(payload)
+    assert rec["status"] == "ok" and rec["route"] == "docx"
+    assert rec["extracted_text"] == golden_text(words)
+
+
 def test_plain_zip_is_unknown():
     import io, zipfile
     buf = io.BytesIO()
