@@ -94,7 +94,7 @@ def run_extraction_bench(spark, path: str, n_buckets: int = 256) -> dict:
     salt_plan = pipeline.plan_salting(pages, n_buckets)
     out = pipeline.extract_df(pages, n_buckets=n_buckets,
                               salt_plan=salt_plan)
-    # median of `runs` timed passes — this host is a shared VM with
+    # min of `runs` timed passes — this host is a shared VM with
     # heavy neighbor noise (observed 12s..89s for the same warm job)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times = []
@@ -115,6 +115,30 @@ def run_extraction_bench(spark, path: str, n_buckets: int = 256) -> dict:
     }
 
 
+def run_resumable_bench(spark, path: str, n_buckets: int = 256,
+                        slice_buckets: int = 64) -> dict:
+    """End-to-end resumable runner (salting pre-pass + 4 slices, real
+    parquet sink + manifest commits). Guards the round-1 scale-killer:
+    with the bucket filter below the Python map this costs ~one
+    extraction pass + sink; a filter above the map would cost
+    n_slices × extract_full and show up here immediately."""
+    import shutil
+    import tempfile
+
+    from document_text_extraction_spark import pipeline
+    out_dir = tempfile.mkdtemp(prefix="dte_bench_resumable_")
+    pages = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    manifest = pipeline.run_extraction(
+        spark, pages, out_dir, n_buckets=n_buckets,
+        slice_buckets=slice_buckets)
+    dt = time.perf_counter() - t0
+    docs = sum(s["docs"] for s in manifest["slices"].values())
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"seconds": dt, "docs": docs,
+            "n_slices": len(manifest["slices"])}
+
+
 def main() -> None:
     from document_text_extraction_spark import queries as Q
     from document_text_extraction_spark.session import get_spark
@@ -132,6 +156,8 @@ def main() -> None:
 
     ext = run_extraction_bench(spark, path)
     timings["extract_full"] = round(ext["seconds"], 3)
+    res = run_resumable_bench(spark, path)
+    timings["resumable_full"] = round(res["seconds"], 3)
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -159,6 +185,12 @@ def main() -> None:
         "corpus_mb": round(ext["mb"], 1),
         "extract_docs_per_sec": round(ext["docs_per_sec"], 1),
         "extract_mb_per_sec": round(ext["mb_per_sec"], 2),
+        # end-to-end resumable runner (real sink, 4 slices) vs the
+        # noop-sink map: ~1x = slices don't recompute the extraction
+        "resumable_wall_seconds": timings["resumable_full"],
+        "resumable_vs_extract": round(
+            res["seconds"] / ext["seconds"], 2),
+        "resumable_slices": res["n_slices"],
     }
     print(json.dumps(result))
     spark.stop()

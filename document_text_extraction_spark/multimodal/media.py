@@ -17,7 +17,6 @@ with PIL/ffmpeg calls.
 from __future__ import annotations
 
 import hashlib
-import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -105,40 +104,66 @@ def _decode_pixels(payload: bytes):  # pragma: no cover - stub
     )
 
 
+_PNG_SIG = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+_JPEG_SIG = bytes([0xFF, 0xD8, 0xFF])
+
+
 def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batch feature extraction: real byte-level features, stubbed
-    pixel decode. Same batch shape a real decoder would use."""
+    pixel decode. Numpy over the whole batch — byte histograms for every
+    payload come from ONE global bincount over (row_id*256 + byte), no
+    per-row Python in the entropy path (the template a real decoder
+    deployment would follow)."""
+    cols = [f.name for f in MEDIA_FEATURE_SCHEMA.fields]
     for b in batches:
-        out = []
-        for _, r in b.iterrows():
-            p = bytes(r["payload"] or b"")
-            arr = np.frombuffer(p, dtype=np.uint8)
-            if len(arr):
-                counts = np.bincount(arr, minlength=256)
-                probs = counts[counts > 0] / len(arr)
-                entropy = float(-(probs * np.log2(probs)).sum())
-            else:
-                entropy = 0.0
-            sniffed, hw, hh, status = "unknown", -1, -1, "ok"
-            if p[:3] == bytes([0xFF, 0xD8, 0xFF]):
-                sniffed = "jpeg"
-            elif p[:8] == bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A,
-                                 0x1A, 0x0A]):
-                sniffed = "png"
-                if len(p) >= 24 and p[12:16] == b"IHDR":
-                    hw = int.from_bytes(p[16:20], "big")
-                    hh = int.from_bytes(p[20:24], "big")
-            elif p[:4] == b"RIFF":
-                sniffed = "riff"
-            elif p[4:8] == b"ftyp":
-                sniffed = "mp4"
-            if not p:
-                status = "empty_payload"
-            out.append((int(r["media_id"]), r["kind"], len(p), sniffed,
-                        entropy if not math.isnan(entropy) else 0.0,
-                        hw, hh, status))
-        yield pd.DataFrame(out, columns=[f.name for f in
-                                         MEDIA_FEATURE_SCHEMA.fields])
+        n = len(b)
+        if n == 0:
+            continue
+        payloads = [bytes(p) if p is not None else b"" for p in b["payload"]]
+        lens = np.array([len(p) for p in payloads], dtype=np.int64)
+        # entropy, vectorized: per-row byte histogram via a single
+        # bincount keyed by row_id*256 + byte_value
+        blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        if len(blob):
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+            counts = np.bincount(
+                row_ids * 256 + blob, minlength=n * 256
+            ).reshape(n, 256)
+            probs = counts / np.maximum(lens, 1)[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                plogp = np.where(counts > 0, probs * np.log2(probs), 0.0)
+            entropy = -plogp.sum(axis=1)
+        else:
+            entropy = np.zeros(n)
+        entropy = np.where(np.isnan(entropy), 0.0, entropy)
+        # container sniff from bounded 24-byte heads (fixed tiny work)
+        heads = [p[:24] for p in payloads]
+        sniffed = np.full(n, "unknown", dtype=object)
+        hw = np.full(n, -1, dtype=np.int64)
+        hh = np.full(n, -1, dtype=np.int64)
+        for i, h in enumerate(heads):
+            if h[:3] == _JPEG_SIG:
+                sniffed[i] = "jpeg"
+            elif h[:8] == _PNG_SIG:
+                sniffed[i] = "png"
+                if len(h) >= 24 and h[12:16] == b"IHDR":
+                    hw[i] = int.from_bytes(h[16:20], "big")
+                    hh[i] = int.from_bytes(h[20:24], "big")
+            elif h[:4] == b"RIFF":
+                sniffed[i] = "riff"
+            elif h[4:8] == b"ftyp":
+                sniffed[i] = "mp4"
+        status = np.where(lens == 0, "empty_payload", "ok")
+        yield pd.DataFrame({
+            "media_id": b["media_id"].to_numpy(),
+            "kind": b["kind"].to_numpy(),
+            "n_bytes": lens,
+            "sniffed": sniffed,
+            "byte_entropy": entropy,
+            "header_width": hw,
+            "header_height": hh,
+            "status": status,
+        }, columns=cols)
 
 
 def extract_media_features(media: DataFrame,

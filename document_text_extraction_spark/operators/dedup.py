@@ -93,23 +93,32 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = num_hashes // bands
-    sigs = minhash_signature_df(df, id_col, text_col, k, num_hashes)
-    sigs = sigs.persist()
+    sh_arr = F.array_distinct(shingles_col(F.col(text_col), k))
+    base = df.select(F.col(id_col), sh_arr.alias("shingles"))
+    exploded = base.select(F.col(id_col), F.explode("shingles").alias("s"))
+    sig = exploded.groupBy(id_col).agg(*[
+        F.min(F.xxhash64("s", F.lit(h))).alias(f"h{h}")
+        for h in range(num_hashes)
+    ])
     # band join carries ONLY (id, band, bh): candidate pairs are deduped
     # as bare id pairs before the (heavy) shingle arrays are joined back
     # once — shuffling shingles through the 8x band multiplicity was the
     # dominant cost of the naive formulation
-    banded = sigs.select(
+    banded = sig.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.element_at("sig", b * rows + r + 1)
+                F.xxhash64(*[F.col(f"h{b * rows + r}")
                              for r in range(rows)]).alias("bh"),
             )
             for b in range(bands)
         ])).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
+    # self-join: both sides are the identical subplan, so Spark reuses
+    # the signature stage's shuffle exchange (ReusedExchange in the
+    # physical plan — asserted by test_dedup_similarity); no explicit
+    # persist needed, hence no cache leak in long-lived sessions
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -125,7 +134,9 @@ def minhash_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = sigs.select(F.col(id_col), "shingles")
+    # shingle arrays re-derived from the input (map-only, no shuffle) —
+    # joined back only for the candidate ids
+    sh = base
     cand = (
         cand.join(sh.select(F.col(id_col).alias("id_a"),
                             F.col("shingles").alias("sh_a")), "id_a")
@@ -190,19 +201,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 SIMHASH_BITS = 60  # multiple of the band count; < 63 keeps longs positive
 
 
+def md5_token_hash(tok: Column) -> Column:
+    """60-bit token hash from md5's first 15 hex digits.
+
+    Cross-engine reproducible (DuckDB: ``('0x' || substr(md5(t),1,15))
+    ::BIGINT``) — used by the oracle-checked registry query; the default
+    xxhash64 is the cheaper production hash."""
+    return F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 15),
+                  16, 10).cast("long")
+
+
 def simhash_df(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text",
-               bits: int = SIMHASH_BITS) -> DataFrame:
+               bits: int = SIMHASH_BITS,
+               token_hash=None) -> DataFrame:
     """Per-document SimHash: token explode → per-bit majority vote.
 
     The 64 per-bit sums are one groupBy with ``bits`` conditional-sum
     aggregates (map-side combined); assembly is a sum of shifted bit
-    flags — everything whole-stage-codegen'd.
+    flags — everything whole-stage-codegen'd. ``token_hash`` swaps the
+    per-token hash (default xxhash64; :func:`md5_token_hash` for the
+    cross-engine-checkable form).
     """
+    if token_hash is None:
+        def token_hash(t):
+            return F.xxhash64(t)
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).select(F.col(id_col), F.xxhash64("tok").alias("th"))
+    ).select(F.col(id_col), token_hash(F.col("tok")).alias("th"))
     bit_votes = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
@@ -221,13 +248,16 @@ def simhash_df(df: DataFrame, id_col: str = "doc_id",
 def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             bands: int = 4,
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            token_hash=None) -> DataFrame:
     """Candidate pairs whose SimHashes agree on >=1 of ``bands`` bit-bands
     (catches all pairs with Hamming distance < bands), verified by exact
-    Hamming distance <= max_hamming."""
+    Hamming distance <= max_hamming. With max_hamming < bands the band
+    pre-filter is *complete* (pigeonhole), so the output is exactly
+    every pair at Hamming <= max_hamming — an oracle-checkable set."""
     bits_per_band = SIMHASH_BITS // bands
     mask = (1 << bits_per_band) - 1
-    sh = simhash_df(df, id_col, text_col)
+    sh = simhash_df(df, id_col, text_col, token_hash=token_hash)
     banded = sh.select(
         F.col(id_col), "simhash",
         F.explode(F.array(*[

@@ -62,6 +62,89 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def cosine_topk_join(df: DataFrame, query_df: DataFrame, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k where the query vector is a (1-row) DataFrame.
+
+    Fully declarative: the query row is broadcast and joined — no
+    driver-side ``.first()`` job to fetch the vector (a lookup-table
+    shape; at scale the query side is a dimension of size 1).
+    """
+    q = F.broadcast(query_df.select(_as_double(F.col(vec_col)).alias("_qe")))
+    emb = _as_double(F.col(vec_col))
+    score = _dot(emb, F.col("_qe")) / (_norm(emb) * _norm(F.col("_qe")))
+    return (
+        df.crossJoin(q)
+        .select(F.col(id_col), score.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            (F.floor(F.col("cos_raw") * 1e4) / 1e4).alias("cosine"),
+        )
+    )
+
+
+def _probe_masks(n_planes: int, hamming_probe: int) -> list[int]:
+    """XOR masks enumerating all buckets within Hamming<=probe of the
+    query bucket (deterministic, driver-side ints)."""
+    masks = [0]
+    if hamming_probe >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if hamming_probe >= 2:
+        masks += [
+            (1 << p1) | (1 << p2)
+            for p1 in range(n_planes) for p2 in range(p1 + 1, n_planes)
+        ]
+    return masks
+
+
+def ann_lsh_topk_join(df: DataFrame, query_df: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 12, hamming_probe: int = 1,
+                      dim: int | None = None) -> DataFrame:
+    """LSH top-k with the query as a DataFrame — zero driver-side jobs
+    when ``dim`` is given (the hyperplane literals need the dimension;
+    table embedding dims are fixed per corpus).
+
+    The query row's bucket and its Hamming<=probe neighborhood are JVM
+    expressions (bucket XOR literal masks, exploded), joined to the
+    bucketed data; exact cosine re-rank inside. At 10^12 rows the bucket
+    column is a partition key, so the probe join prunes the scan to
+    ~|masks|/2^planes of the data.
+    """
+    if dim is None:
+        dim = query_df.select(F.size(vec_col)).first()[0]
+    masks = _probe_masks(n_planes, hamming_probe)
+    qb = lsh_bucket_col(F.col(vec_col), dim, n_planes)
+    probes = F.broadcast(
+        query_df.select(
+            _as_double(F.col(vec_col)).alias("_qe"), qb.alias("_qb"))
+        .select(
+            "_qe",
+            F.explode(F.array(*[
+                F.col("_qb").bitwiseXOR(F.lit(m)) for m in masks
+            ])).alias("bucket"),
+        )
+    )
+    bucketed = df.withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col), dim, n_planes)
+    )
+    emb = _as_double(F.col(vec_col))
+    score = _dot(emb, F.col("_qe")) / (_norm(emb) * _norm(F.col("_qe")))
+    return (
+        bucketed.join(probes, "bucket")
+        .select(F.col(id_col), score.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            (F.floor(F.col("cos_raw") * 1e4) / 1e4).alias("cosine"),
+        )
+    )
+
+
 def _planes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — no RNG state."""
     planes = []
@@ -143,6 +226,59 @@ def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
                    key=lambda i: sq_dist(centroids[i]))[:n_probe]
     cand = indexed.filter(F.col("list_id").isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_assign_col(centroids: list[list[float]], vec_col) -> F.Column:
+    """Nearest-centroid list assignment as a pure (map-only) expression.
+
+    argmin over ``|c|^2 - 2 v·c`` (the |v|^2 term is constant per row);
+    ties break to the lowest list id via struct ordering. No shuffle —
+    at 10^12 rows this is the quantizer of a partitioned IVF write.
+    """
+    emb = _as_double(vec_col)
+    entries = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        cn2 = sum(float(x) * float(x) for x in c)
+        entries.append(F.struct(
+            (F.lit(cn2) - 2.0 * _dot(emb, lit_c)).alias("score"),
+            F.lit(i).alias("list_id"),
+        ))
+    return F.array_min(F.array(*entries)).getField("list_id")
+
+
+def ivf_fixed_topk(df: DataFrame, k: int = 10, n_lists: int = 16,
+                   n_probe: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   query_id: int = 0) -> DataFrame:
+    """IVF top-k with a deterministic codebook: the ``n_lists``
+    lowest-id vectors serve as centroids (a fixed quantizer — no KMeans
+    training, so results are bit-stable across runs/partitionings; the
+    KMeans variant lives in :func:`ivf_index`/:func:`ivf_topk`).
+
+    The codebook collect is one tiny job (the centroid table is the
+    IVF "model" — same shape as loading a trained quantizer); probe
+    selection happens driver-side on that table, and the candidate scan
+    is partition-prunable by ``list_id`` at scale.
+    """
+    cb_rows = (df.filter(F.col(id_col) < n_lists)
+               .select(id_col, vec_col).orderBy(id_col).collect())
+    centroids = [[float(x) for x in r[vec_col]] for r in cb_rows]
+    qvec = centroids[query_id] if query_id < len(centroids) else None
+    if qvec is None:
+        raise ValueError("query_id must be one of the codebook ids here")
+
+    def score(c):
+        cn2 = sum(x * x for x in c)
+        return cn2 - 2.0 * sum(a * b for a, b in zip(c, qvec))
+
+    order = sorted(range(len(centroids)),
+                   key=lambda i: (score(centroids[i]), i))
+    probe = order[:n_probe]
+    assigned = df.withColumn(
+        "list_id", ivf_assign_col(centroids, F.col(vec_col)))
+    cand = assigned.filter(F.col("list_id").isin(probe))
+    return cosine_topk(cand, qvec, k, id_col, vec_col)
 
 
 def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",

@@ -324,9 +324,12 @@ def run_extraction(
             _commit_manifest(out_dir, run_id, manifest)
             ran += 1
             continue
-        written = spark.read.parquet(data_dir).filter(
-            F.col("part_bucket").isin(buckets)
-        )
+        # counters scan ONLY this slice's partition directories — reading
+        # the table root would rescan every previously committed slice
+        # (quadratic in slices over the run)
+        written = spark.read.parquet(*[
+            os.path.join(data_dir, f"part_bucket={b}") for b in have_dirs
+        ])
         counters = (
             written.groupBy("lineage.partition_id")
             .agg(

@@ -535,17 +535,58 @@ SQL_NGRAM_JACCARD = (
 
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash+LSH near-dup (rows-only check: xxhash64 has no DuckDB
-    equivalent; candidate correctness is pytest-verified against the
-    exact Jaccard operator)."""
+    """MinHash+LSH near-dup. Oracle: the exact n-gram Jaccard pair set
+    at the same threshold — the LSH verification step computes exact
+    Jaccard on candidates, so the outputs are equal whenever band recall
+    is 100%, which holds on this corpus (planted near-dups at
+    jaccard≈0.9 agree on essentially every band; verified empirically at
+    sf0.001 and sf0.01 and guarded by the pytest recall test)."""
     return dedup.minhash_near_duplicates(
         _near_docs(spark, sf_dir), threshold=0.5
     )
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup (rows-only check, same reason as minhash)."""
-    return dedup.simhash_near_duplicates(_near_docs(spark, sf_dir))
+    """SimHash near-dup over planted near-dups. With bands=4 >
+    max_hamming=3 the band pre-filter is complete (pigeonhole), so the
+    output is exactly every pair at Hamming<=3 — which the DuckDB
+    oracle recomputes bit-for-bit using the cross-engine md5-based
+    token hash (production default stays xxhash64)."""
+    out = dedup.simhash_near_duplicates(
+        _near_docs(spark, sf_dir), token_hash=dedup.md5_token_hash
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _simhash_sql() -> str:
+    """DuckDB replica of the simhash pipeline (md5-60bit token hash)."""
+    bits = dedup.SIMHASH_BITS
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    acc = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    return (
+        f"WITH all_docs AS ({NEAR_DOCS_SQL}), "
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+        "FROM all_docs), "
+        "th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)"
+        " AS h FROM tok), "
+        f"votes AS (SELECT doc_id, {votes} FROM th GROUP BY 1), "
+        f"sh AS (SELECT doc_id, {acc} AS simhash FROM votes) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
+
+
+SQL_SIMHASH = _simhash_sql()
 
 # ---------------------------------------------------------------------------
 # events: sessionization / windows (O25, O28, O34 analogues)
@@ -718,12 +759,19 @@ SQL_EVENT_MODE = (
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
 
+# embedding dimension of the driver's testdata tables (fixed across
+# sf0.001/sf0.01/sf0.1; needed to build hyperplane literals without a
+# driver-side job)
+EMB_DIM = 64
+
+
 def q_ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    """Brute-force cosine top-10 vs the vec_id=0 embedding — fully
+    declarative: the query row is a broadcast join side, no driver-side
+    vector fetch."""
     emb = _embeddings(spark, sf_dir)
-    qvec = [float(v) for v in
-            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.cosine_topk(emb, qvec, k=10)
+    qdf = emb.filter(F.col("vec_id") == 0)
+    return similarity.cosine_topk_join(emb, qdf, k=10)
 
 
 SQL_ANN_TOPK = (
@@ -740,27 +788,115 @@ SQL_ANN_TOPK = (
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup over planted duplicates (every 13th
-    vector re-scaled by 1.001 — same direction, cosine 1.0). Rows-only
-    check; recall of planted pairs is pytest-verified."""
+    vector re-scaled by 1.001 — same direction, cosine 1.0). Oracle: the
+    exact all-pairs cosine>=threshold set (the LSH bucket pre-filter is
+    exact for same-direction vectors: identical sign pattern). The pair
+    ids are compared, not the cosine value — planted pairs sit exactly
+    at cos≈1.0 where a 1-ulp engine difference would flip the 1e-4
+    floor bucket."""
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     extra = emb.filter(F.col("vec_id") % 13 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias(
             "embedding"),
     )
-    return similarity.embedding_near_duplicates(
+    out = similarity.embedding_near_duplicates(
         emb.unionAll(extra), threshold=0.95
     )
+    return out.select("id_a", "id_b")
+
+
+SQL_EMB_NEARDUP = (
+    "WITH all_vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings UNION ALL SELECT vec_id + 100000 AS vec_id, "
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) AS e "
+    "FROM embeddings WHERE vec_id % 13 = 0), "
+    "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm "
+    "FROM all_vecs) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    "FROM n a JOIN n b ON a.vec_id < b.vec_id "
+    "WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.95"
+)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-10 (rows-only; recall vs brute force
-    is pytest-verified)."""
+    """LSH-bucketed approximate top-10, fully declarative (query bucket
+    + Hamming<=2 probe neighborhood as a broadcast join side). Oracle:
+    a DuckDB replica of the SAME approximate semantics — identical
+    literal hyperplanes, bucket assignment, probe set and exact re-rank
+    — i.e. the oracle checks the operator's defined output, not a
+    hoped-for recall (on random embeddings the true top-k legitimately
+    spans unprobed buckets)."""
     emb = _embeddings(spark, sf_dir)
-    qvec = [float(v) for v in
-            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.ann_lsh_topk(emb, qvec, k=10, n_planes=8,
-                                   hamming_probe=2)
+    qdf = emb.filter(F.col("vec_id") == 0)
+    return similarity.ann_lsh_topk_join(emb, qdf, k=10, n_planes=8,
+                                        hamming_probe=2, dim=EMB_DIM)
+
+
+def _ann_lsh_sql(n_planes: int = 8, hamming_probe: int = 2) -> str:
+    """DuckDB replica of the LSH probe plan with the same literal
+    hyperplanes (md5-derived, so both engines see identical doubles)."""
+    planes = similarity._planes(EMB_DIM, n_planes)
+    plane_rows = ", ".join(
+        "(%d, [%s])" % (p, ", ".join(repr(c) for c in plane))
+        for p, plane in enumerate(planes)
+    )
+    masks = similarity._probe_masks(n_planes, hamming_probe)
+    mask_rows = ", ".join(f"({m})" for m in masks)
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings), "
+        f"pl AS (SELECT * FROM (VALUES {plane_rows}) AS t(p, plane)), "
+        "b AS (SELECT e.vec_id, CAST(sum(CASE WHEN "
+        "list_dot_product(e.e, pl.plane) > 0 THEN (1::BIGINT << pl.p) "
+        "ELSE 0::BIGINT END) AS BIGINT) AS bucket "
+        "FROM e CROSS JOIN pl GROUP BY 1), "
+        "q AS (SELECT e.e AS qe, b.bucket AS qb FROM e "
+        "JOIN b USING (vec_id) WHERE vec_id = 0), "
+        f"m AS (SELECT * FROM (VALUES {mask_rows}) AS t(mask)), "
+        "probes AS (SELECT DISTINCT xor(q.qb, m.mask) AS bucket "
+        "FROM q CROSS JOIN m), "
+        "cand AS (SELECT e.vec_id, e.e FROM e JOIN b USING (vec_id) "
+        "JOIN probes USING (bucket)), "
+        "s AS (SELECT cand.vec_id, list_dot_product(cand.e, q.qe) / "
+        "(sqrt(list_dot_product(cand.e, cand.e)) * "
+        "sqrt(list_dot_product(q.qe, q.qe))) AS cos "
+        "FROM cand CROSS JOIN q) "
+        "SELECT vec_id, floor(cos * 1e4) / 1e4 AS cosine FROM s "
+        "ORDER BY cos DESC, vec_id LIMIT 10"
+    )
+
+
+SQL_ANN_LSH = _ann_lsh_sql()
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF top-10 with a deterministic fixed codebook (vec_id<16 as
+    centroids), probing the 4 nearest inverted lists. Oracle: a DuckDB
+    replica of the same assignment + probe + exact re-rank."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.ivf_fixed_topk(emb, k=10, n_lists=16, n_probe=4)
+
+
+SQL_ANN_IVF = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    "c AS (SELECT vec_id AS list_id, e AS ce, list_dot_product(e, e) AS cn2 "
+    "FROM v WHERE vec_id < 16), "
+    "a AS (SELECT v.vec_id, c.list_id, row_number() OVER "
+    "(PARTITION BY v.vec_id ORDER BY c.cn2 - 2 * "
+    "list_dot_product(v.e, c.ce), c.list_id) AS rn FROM v CROSS JOIN c), "
+    "assigned AS (SELECT vec_id, list_id FROM a WHERE rn = 1), "
+    "probe AS (SELECT list_id FROM a WHERE vec_id = 0 AND rn <= 4), "
+    "q AS (SELECT e AS qe FROM v WHERE vec_id = 0), "
+    "cand AS (SELECT v.vec_id, v.e FROM v JOIN assigned USING (vec_id) "
+    "JOIN probe USING (list_id)), "
+    "s AS (SELECT cand.vec_id, list_dot_product(cand.e, q.qe) / "
+    "(sqrt(list_dot_product(cand.e, cand.e)) * "
+    "sqrt(list_dot_product(q.qe, q.qe))) AS cos FROM cand CROSS JOIN q) "
+    "SELECT vec_id, floor(cos * 1e4) / 1e4 AS cosine FROM s "
+    "ORDER BY cos DESC, vec_id LIMIT 10"
+)
 
 # ---------------------------------------------------------------------------
 # registry
@@ -798,6 +934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_mode": q_event_mode,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
 }
 
@@ -822,7 +959,11 @@ ORACLE_SQL: dict[str, str] = {
     "skills_match": SQL_SKILLS,
     "topk_longest": SQL_TOPK_LONGEST,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
-    # minhash_neardup / simhash_neardup / ann_lsh_topk: rows-only
+    # minhash's LSH verification computes exact Jaccard on candidates →
+    # equal to the exact pair set when band recall is 100% (holds here;
+    # empirically verified at sf0.001/sf0.01, pytest recall guard)
+    "minhash_neardup": SQL_NGRAM_JACCARD,
+    "simhash_neardup": SQL_SIMHASH,
     "status_cube": SQL_STATUS_CUBE,
     "first_event_per_day": SQL_FIRST_EVENT,
     "sessions_per_user": SQL_SESSIONS,
@@ -831,4 +972,7 @@ ORACLE_SQL: dict[str, str] = {
     "user_event_types": SQL_USER_EVENT_TYPES,
     "event_mode": SQL_EVENT_MODE,
     "ann_cosine_topk": SQL_ANN_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH,
+    "ann_ivf_topk": SQL_ANN_IVF,
+    "embedding_neardup": SQL_EMB_NEARDUP,
 }

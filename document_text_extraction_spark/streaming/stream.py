@@ -6,10 +6,15 @@ the pages table → the same ``extract_df`` plan → ``foreachBatch`` writing
 with the same bucket layout. ``availableNow`` gives catch-up batch runs
 with streaming checkpoints — an alternative resume mechanism to the
 manifest (both are exposed; the manifest works without a streaming
-query, availableNow gives exactly-once sink semantics per micro-batch).
+query). The sink writes each micro-batch into its own ``batch_id=N``
+directory with overwrite mode, so a replayed micro-batch (foreachBatch
+is at-least-once) rewrites its directory instead of appending
+duplicates — effectively-once output.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,12 +40,18 @@ def run_stream_available_now(spark: SparkSession, input_path: str,
                              output_path: str, checkpoint_path: str,
                              n_buckets: int = 64):
     """Process everything currently in ``input_path`` (micro-batched),
-    then stop; restarts resume from the streaming checkpoint."""
+    then stop; restarts resume from the streaming checkpoint.
+
+    Idempotent sink: each micro-batch owns the ``batch_id=N`` directory
+    and overwrites it on replay, so foreachBatch's at-least-once
+    delivery never duplicates rows (read the root path back — Spark's
+    partition discovery exposes ``batch_id`` as a column)."""
     out = extraction_stream(spark, input_path, n_buckets=n_buckets)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.write.mode("append")
-         .partitionBy("part_bucket").parquet(output_path))
+        (batch_df.write.mode("overwrite")
+         .partitionBy("part_bucket")
+         .parquet(os.path.join(output_path, f"batch_id={batch_id}")))
 
     q = (
         out.writeStream.foreachBatch(write_batch)

@@ -107,6 +107,56 @@ def test_lsh_ann_recall_vs_brute(spark):
     assert recall >= 0.5, f"LSH recall {recall} (brute={brute}, approx={approx})"
     assert approx[0] == 0  # the query vector itself is always found
 
+def test_join_form_matches_literal_form(spark):
+    """cosine_topk_join / ann_lsh_topk_join (no driver-side vector
+    fetch) must produce exactly the literal-query-vector results."""
+    from document_text_extraction_spark.operators.similarity import (
+        ann_lsh_topk_join,
+        cosine_topk_join,
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(v) for v in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qdf = emb.filter(F.col("vec_id") == 0)
+    lit_cos = [tuple(r) for r in cosine_topk(emb, q, k=10).collect()]
+    join_cos = [tuple(r) for r in cosine_topk_join(emb, qdf, k=10).collect()]
+    assert lit_cos == join_cos
+    lit_lsh = [tuple(r) for r in
+               ann_lsh_topk(emb, q, k=10, n_planes=8,
+                            hamming_probe=2).collect()]
+    join_lsh = [tuple(r) for r in
+                ann_lsh_topk_join(emb, qdf, k=10, n_planes=8,
+                                  hamming_probe=2, dim=64).collect()]
+    assert lit_lsh == join_lsh
+
+
+def test_ivf_fixed_topk_deterministic_and_finds_query(spark):
+    from document_text_extraction_spark.operators.similarity import (
+        ivf_fixed_topk,
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = [tuple(r) for r in ivf_fixed_topk(emb, k=10).collect()]
+    b = [tuple(r) for r in
+         ivf_fixed_topk(emb.repartition(7), k=10).collect()]
+    assert a == b, "fixed-codebook IVF must be partitioning-invariant"
+    assert a[0][0] == 0 and a[0][1] == 1.0  # query finds itself
+
+
+def test_minhash_plan_reuses_signature_exchange(spark, near_docs):
+    """Without a persist, the self-join must reuse the signature
+    stage's shuffle at runtime (AQE ReusedExchange in the final plan) —
+    signatures compute once and nothing leaks in long-lived sessions."""
+    n_cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = minhash_near_duplicates(near_docs, threshold=0.7)
+    df.collect()  # AQE finalizes the plan during execution
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in s, s
+    assert "InMemoryTableScan" not in s  # no hidden cache
+    n_cached_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_cached_after == n_cached_before, (
+        "operator leaked cached partitions")
+
+
 def test_ivf_recall_vs_brute(spark):
     from document_text_extraction_spark.operators import ivf_index, ivf_topk
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")

@@ -44,6 +44,27 @@ def test_streaming_available_now_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 300
 
 
+def test_streaming_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: rewriting a micro-batch's
+    batch_id directory (the sink's contract) must not duplicate rows."""
+    import os
+    in_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    synth_web_pages(spark, 100, partitions=2).write.parquet(in_dir)
+    run_stream_available_now(spark, in_dir, out_dir,
+                             str(tmp_path / "ckpt"), n_buckets=8)
+    batches = [d for d in os.listdir(out_dir) if d.startswith("batch_id=")]
+    # availableNow without maxFilesPerTrigger processes all files in one
+    # micro-batch — so replaying that batch == recomputing all input
+    assert len(batches) == 1, batches
+    before = spark.read.parquet(out_dir).count()
+    # simulate a replay of batch 0: same data, same directory, overwrite
+    replay = pipeline.extract_df(spark.read.parquet(in_dir), n_buckets=8)
+    (replay.write.mode("overwrite").partitionBy("part_bucket")
+     .parquet(os.path.join(out_dir, batches[0])))
+    assert spark.read.parquet(out_dir).count() == before == 100
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
