@@ -109,6 +109,64 @@ def experience_years_col(text: Column) -> Column:
     return F.coalesce(F.array_max(nums), F.lit(-1).cast("long"))
 
 
+# O53/O51/O52 families — the same bounded patterns as oracle.py (kept
+# RE2/Java-compatible so DuckDB oracles can replicate them)
+NAME_LINE_PATTERN = r"[A-Za-z ]+"
+INSTITUTION_PATTERN = (
+    r"University of [A-Z][A-Za-z]+|[A-Z][A-Za-z]+ (?:University|College)"
+)
+JOB_TITLE_PATTERN = (
+    r"([A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)* "
+    r"(?:Engineer|Developer|Manager|Analyst|Consultant|Intern)) at "
+    r"([A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)*)"
+)
+
+
+def name_col(text: Column) -> Column:
+    """O53 name heuristic (``approach4_v2.py:27-37``): first plausible
+    line among the first 5 — 5<len<50, no @/+, letters+spaces only."""
+    lines = F.transform(
+        F.slice(F.split(text, "\n"), 1, 5), lambda ln: F.trim(ln)
+    )
+    ok = F.filter(
+        lines,
+        lambda ln: (F.length(ln) > 5) & (F.length(ln) < 50)
+        & ~ln.contains("@") & ~ln.contains("+")
+        & ln.rlike(r"^[A-Za-z ]+$"),
+    )
+    return F.coalesce(F.get(ok, 0), F.lit(""))
+
+
+def institutions_col(text: Column) -> Column:
+    """O51 institution phrases (``final.py:290-299``), sorted distinct."""
+    return F.array_sort(F.array_distinct(
+        F.regexp_extract_all(text, F.lit(INSTITUTION_PATTERN), F.lit(0))
+    ))
+
+
+def positions_col(text: Column) -> Column:
+    """O52 job titles in match order (``final.py:326-334``)."""
+    return F.regexp_extract_all(text, F.lit(JOB_TITLE_PATTERN), F.lit(1))
+
+
+def companies_col(text: Column) -> Column:
+    """O52 companies in match order — index-paired with positions."""
+    return F.regexp_extract_all(text, F.lit(JOB_TITLE_PATTERN), F.lit(2))
+
+
+def paired_positions_col(positions: Column, companies: Column) -> Column:
+    """O19 positional zip-join with 'Unknown' padding
+    (``batch_multi_column.py:467-494``): returns an array of
+    (position, company) structs, the shorter side padded."""
+    return F.zip_with(
+        positions, companies,
+        lambda p, c: F.struct(
+            F.coalesce(p, F.lit("Unknown")).alias("position"),
+            F.coalesce(c, F.lit("Unknown")).alias("company"),
+        ),
+    )
+
+
 def datelike_col(text: Column) -> Column:
     """O54 date-like predicate: a year or a month token
     (``parse_cv_docling.py:32, 68-72``)."""

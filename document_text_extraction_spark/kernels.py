@@ -250,10 +250,31 @@ def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
         found = texts.str.findall(rx)
         link_lists = found if link_lists is None else link_lists + found
     links = link_lists.map(lambda v: sorted(set(v)))
+    names = texts.map(oracle.extract_name)  # bounded: first 5 lines only
+    institutions = texts.str.findall(oracle.INSTITUTION_RE).map(
+        lambda v: sorted(set(v)))
+    jobs = texts.str.findall(oracle.JOB_TITLE_RE)
+    # skills: one C-level contains pass per vocab word over the batch
+    low = texts.str.lower()
+    vocab_hits = np.column_stack([
+        low.str.contains(w, regex=False).to_numpy()
+        for w in oracle.SKILLS_VOCAB
+    ]) if len(texts) else np.zeros((0, len(oracle.SKILLS_VOCAB)), bool)
     return pd.Series(
         [
-            {"emails": e, "phones": p, "links": l, "headings": h}
-            for e, p, l, h in zip(emails, phones, links, headings)
+            {
+                "emails": e, "phones": p, "links": l, "headings": h,
+                "name": nm,
+                "institutions": ins,
+                "positions": [t for t, _ in jb],
+                "companies": [c for _, c in jb],
+                "skills": [w for w, f in zip(oracle.SKILLS_VOCAB, hits)
+                           if f],
+            }
+            for e, p, l, h, nm, ins, jb, hits in zip(
+                emails, phones, links, headings, names, institutions,
+                jobs, vocab_hits,
+            )
         ],
         index=texts.index,
     )

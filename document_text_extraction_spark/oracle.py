@@ -737,11 +737,47 @@ LINK_RES = [
 ]
 _PHONE_CLEAN_RE = re.compile(r"[^\d+]")
 
+# O53 name heuristic (``approach4_v2.py:27-37``): first 5 lines, 5<len<50,
+# no @ / +, letters+spaces only. RE2/Java-compatible (no lookaround).
+NAME_LINE_RE = re.compile(r"^[A-Za-z ]+$")
+# O51 institutions (``final.py:290-299``): the reference's greedy
+# ``[\w\s]+`` swallows neighboring words, so this is the bounded
+# re-expression of the same three shapes.
+INSTITUTION_RE = re.compile(
+    r"University of [A-Z][A-Za-z]+|[A-Z][A-Za-z]+ (?:University|College)"
+)
+# O52 "(title) at (company)" (``final.py:326-334``), bounded forms of
+# the reference's ``[\w\s]+(?:Engineer|...)\s+at\s+[\w\s.]+``.
+JOB_TITLE_RE = re.compile(
+    r"([A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)* "
+    r"(?:Engineer|Developer|Manager|Analyst|Consultant|Intern)) at "
+    r"([A-Z][A-Za-z]*(?: [A-Z][A-Za-z]*)*)"
+)
+# O49 skills vocabulary (``final.py:225-265`` family), matched in vocab
+# order (substring, case-insensitive)
+SKILLS_VOCAB = [
+    "spark", "python", "sql", "java", "scala", "hash", "join", "sort",
+    "merge", "stream", "batch", "window", "filter", "query",
+]
+
+
+def extract_name(text: str) -> str:
+    """First plausible name line among the first 5 lines (O53)."""
+    for line in text.split("\n")[:5]:
+        line = line.strip()
+        if (5 < len(line) < 50 and "@" not in line and "+" not in line
+                and NAME_LINE_RE.match(line)):
+            return line
+    return ""
+
 
 def extract_fields(text: str, spans: list[dict]) -> dict:
     """Typed field families from extracted text (reference regexes:
     emails ``final.py:199-200``, phones ``final.py:202-212`` with
-    post-clean + len>=10, links ``final.py:214-222``)."""
+    post-clean + len>=10, links ``final.py:214-222``, name
+    ``approach4_v2.py:27-37``, institutions ``final.py:290-299``,
+    positions/companies ``final.py:326-334`` in match order — pairing
+    preserved for the zip-join, O19)."""
     emails = sorted(set(EMAIL_RE.findall(text)))
     phones = set()
     for rx in PHONE_RES:
@@ -753,11 +789,18 @@ def extract_fields(text: str, spans: list[dict]) -> dict:
     for rx in LINK_RES:
         links.update(rx.findall(text))
     headings = [s["text"] for s in spans if s["kind"] == "heading"]
+    jobs = JOB_TITLE_RE.findall(text)
+    low = text.lower()
     return {
         "emails": emails,
         "phones": sorted(phones),
         "links": sorted(links),
         "headings": headings,
+        "name": extract_name(text),
+        "institutions": sorted(set(INSTITUTION_RE.findall(text))),
+        "positions": [p for p, _ in jobs],
+        "companies": [c for _, c in jobs],
+        "skills": [w for w in SKILLS_VOCAB if w in low],
     }
 
 
@@ -765,7 +808,11 @@ def extract_fields(text: str, spans: list[dict]) -> dict:
 # Per-document driver (the pure map the whole engine distributes)
 # ---------------------------------------------------------------------------
 
-EMPTY_FIELDS = {"emails": [], "phones": [], "links": [], "headings": []}
+EMPTY_FIELDS = {
+    "emails": [], "phones": [], "links": [], "headings": [],
+    "name": "", "institutions": [], "positions": [], "companies": [],
+    "skills": [],
+}
 
 
 def fail_reason(exc: Exception) -> str:

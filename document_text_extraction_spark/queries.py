@@ -27,6 +27,7 @@ from . import pipeline
 from .functions import fields as ff
 from .functions import textstats as ts
 from .operators import dedup, similarity
+from .operators.sections import sections_df
 from .operators.sessionize import mode_by, running_sum, user_session_counts
 from .sources import web_pages_from_documents
 
@@ -371,6 +372,176 @@ SQL_CV_FIELDS = (
     r"CAST(regexp_extract(t, '(\d{1,2})\+? years? of experience', 1) "
     "AS BIGINT) AS exp_years FROM p"
 )
+
+
+def q_cv_name_planted(spark, sf_dir):
+    """O53 name heuristic on planted name lines: even doc_ids get a
+    'Firstname Lastname' first line; odd ones keep raw text (which the
+    heuristic may legitimately accept when short — the oracle replicates
+    the rule, not the plant)."""
+    d = _docs(spark, sf_dir)
+    surname = F.element_at(
+        F.array(F.lit("Carter"), F.lit("Nguyen"), F.lit("Okafor"),
+                F.lit("Silva")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    planted = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("Riley "), surname, F.lit("\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", ff.name_col(planted).alias("name"))
+
+
+SQL_CV_NAME = (
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "
+    "'Riley ' || (['Carter','Nguyen','Okafor','Silva'])[doc_id % 4 + 1] "
+    "|| chr(10) || text ELSE text END AS t FROM documents) "
+    "SELECT doc_id, coalesce(list_filter(list_transform("
+    "string_split(t, chr(10))[1:5], x -> trim(x)), "
+    "x -> len(x) > 5 AND len(x) < 50 AND NOT contains(x, '@') "
+    "AND NOT contains(x, '+') AND regexp_full_match(x, '[A-Za-z ]+')"
+    ")[1], '') AS name FROM p"
+)
+
+
+_INST_PLANT_SQL = (
+    "text || ' Studied at University of ' || "
+    "(['Oxford','Toronto','Melbourne','Lagos'])[doc_id % 4 + 1] || "
+    "' then Senior Data Engineer at ' || "
+    "(['Acme','Globex','Initech'])[doc_id % 3 + 1] || ' Ltd near ' || "
+    "(['Hilltop','Riverside'])[doc_id % 2 + 1] || ' College'"
+)
+
+
+def q_cv_entities_planted(spark, sf_dir):
+    """O51 institutions + O52 (title) at (company) on planted strings;
+    the lowercase word-soup base text cannot fire the capitalized
+    patterns, so matches are exactly the planted entities."""
+    d = _docs(spark, sf_dir)
+    city = F.element_at(
+        F.array(F.lit("Oxford"), F.lit("Toronto"), F.lit("Melbourne"),
+                F.lit("Lagos")), (F.col("doc_id") % 4 + 1).cast("int"))
+    comp = F.element_at(
+        F.array(F.lit("Acme"), F.lit("Globex"), F.lit("Initech")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    college = F.element_at(
+        F.array(F.lit("Hilltop"), F.lit("Riverside")),
+        (F.col("doc_id") % 2 + 1).cast("int"))
+    planted = F.concat(
+        F.col("text"), F.lit(" Studied at University of "), city,
+        F.lit(" then Senior Data Engineer at "), comp,
+        F.lit(" Ltd near "), college, F.lit(" College"))
+    return d.select(
+        "doc_id",
+        F.array_join(ff.institutions_col(planted), ",")
+        .alias("institutions"),
+        F.array_join(ff.positions_col(planted), ",").alias("positions"),
+        F.array_join(ff.companies_col(planted), ",").alias("companies"),
+    )
+
+
+SQL_CV_ENTITIES = (
+    f"WITH p AS (SELECT doc_id, {_INST_PLANT_SQL} AS t FROM documents) "
+    "SELECT doc_id, "
+    "list_aggregate(list_sort(list_distinct(regexp_extract_all(t, "
+    f"'{ff.INSTITUTION_PATTERN}', 0))), 'string_agg', ',') "
+    "AS institutions, "
+    f"list_aggregate(regexp_extract_all(t, '{ff.JOB_TITLE_PATTERN}', 1), "
+    "'string_agg', ',') AS positions, "
+    f"list_aggregate(regexp_extract_all(t, '{ff.JOB_TITLE_PATTERN}', 2), "
+    "'string_agg', ',') AS companies FROM p"
+)
+
+
+def q_positions_zip(spark, sf_dir):
+    """O19 positional zip-join: pair positions[i] with companies[i],
+    padding the shorter side with 'Unknown'
+    (``batch_multi_column.py:467-494`` semantics), exploded to rows."""
+    d = _docs(spark, sf_dir)
+    pos = F.slice(
+        F.array(F.lit("Data Engineer"), F.lit("Site Manager"),
+                F.lit("QA Analyst")),
+        1, (F.col("doc_id") % 3 + 1).cast("int"))
+    comp = F.slice(
+        F.array(F.lit("Acme"), F.lit("Globex")),
+        1, (F.col("doc_id") % 2 + 1).cast("int"))
+    pairs = ff.paired_positions_col(pos, comp)
+    return d.select("doc_id", F.explode(pairs).alias("pc")).select(
+        "doc_id",
+        F.col("pc.position").alias("position"),
+        F.col("pc.company").alias("company"),
+    )
+
+
+SQL_POSITIONS_ZIP = (
+    "WITH p AS (SELECT doc_id, "
+    "(['Data Engineer','Site Manager','QA Analyst'])[1 : doc_id % 3 + 1] "
+    "AS pos, (['Acme','Globex'])[1 : doc_id % 2 + 1] AS comp "
+    "FROM documents), "
+    "z AS (SELECT doc_id, greatest(len(pos), len(comp)) AS n, pos, comp "
+    "FROM p) "
+    "SELECT doc_id, "
+    "unnest([coalesce(pos[i], 'Unknown') for i in range(1, n + 1)]) "
+    "AS position, "
+    "unnest([coalesce(comp[i], 'Unknown') for i in range(1, n + 1)]) "
+    "AS company FROM z"
+)
+
+
+def q_sections_planted(spark, sf_dir):
+    """O47/O48/O58 section segmentation (gaps-and-islands over reading
+    order) on planted spans: every doc's 10-word lines become blocks,
+    every block at index%4==2 a heading — blocks before the first
+    heading land in '_preamble', names normalize via the keyword map."""
+    d = _docs(spark, sf_dir)
+    lines = F.split(
+        F.regexp_replace("text", r"((?:\S+ ){9}\S+) ", "$1\n"), "\n")
+    spans = F.transform(lines, lambda ln, i: F.struct(
+        i.cast("int").alias("block"),
+        F.when(i % 4 == 2, F.lit("heading")).otherwise(F.lit("main"))
+        .alias("kind"),
+        ln.alias("text"),
+    ))
+    inp = d.select(F.col("doc_id").cast("string").alias("url"),
+                   spans.alias("spans"))
+    out = sections_df(inp)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("section_id").cast("long").alias("section_id"),
+        "section",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        "body",
+    )
+
+
+def _sections_sql() -> str:
+    from .operators.sections import SECTION_KEYWORDS
+    norm = "CASE " + " ".join(
+        f"WHEN contains(lower(heading), '{kw}') THEN '{canon}'"
+        for kw, canon in SECTION_KEYWORDS.items()
+    ) + r" ELSE regexp_replace(trim(lower(heading)), '\s+', '_', 'g') END"
+    return (
+        f"WITH base AS (SELECT doc_id, string_split({CHUNK_SQL}, chr(10)) "
+        "AS ls FROM documents), "
+        "b AS (SELECT doc_id, unnest(ls) AS line, "
+        "generate_subscripts(ls, 1) - 1 AS block FROM base), "
+        "k AS (SELECT doc_id, block, line, CASE WHEN block % 4 = 2 THEN "
+        "'heading' ELSE 'main' END AS kind FROM b), "
+        "f AS (SELECT *, sum(CASE WHEN kind = 'heading' THEN 1 ELSE 0 END)"
+        " OVER (PARTITION BY doc_id ORDER BY block) AS section_id FROM k), "
+        "g AS (SELECT doc_id, section_id, "
+        "max(CASE WHEN kind = 'heading' THEN line END) AS heading, "
+        "string_agg(CASE WHEN kind <> 'heading' THEN line END, chr(10) "
+        "ORDER BY block) AS body, count(*) AS n_blocks FROM f "
+        "GROUP BY 1, 2) "
+        "SELECT doc_id, CAST(section_id AS BIGINT) AS section_id, "
+        f"CASE WHEN heading IS NULL THEN '_preamble' ELSE {norm} END "
+        "AS section, CAST(n_blocks AS BIGINT) AS n_blocks, "
+        "coalesce(body, '') AS body FROM g"
+    )
+
+
+SQL_SECTIONS_PLANTED = _sections_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -916,6 +1087,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_volume": q_host_volume,
     "emails_planted": q_emails_planted,
     "cv_fields_planted": q_cv_fields_planted,
+    "cv_name_planted": q_cv_name_planted,
+    "cv_entities_planted": q_cv_entities_planted,
+    "positions_zip": q_positions_zip,
+    "sections_planted": q_sections_planted,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -952,6 +1127,10 @@ ORACLE_SQL: dict[str, str] = {
     "host_volume": SQL_HOST_VOLUME,
     "emails_planted": SQL_EMAILS,
     "cv_fields_planted": SQL_CV_FIELDS,
+    "cv_name_planted": SQL_CV_NAME,
+    "cv_entities_planted": SQL_CV_ENTITIES,
+    "positions_zip": SQL_POSITIONS_ZIP,
+    "sections_planted": SQL_SECTIONS_PLANTED,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY,
