@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from . import pipeline
 from .functions import fields as ff
 from .functions import textstats as ts
-from .operators import dedup, similarity
+from .operators import dedup, regions, similarity
 from .operators.sections import sections_df
 from .operators.sessionize import mode_by, running_sum, user_session_counts
 from .sources import web_pages_from_documents
@@ -542,6 +542,57 @@ def _sections_sql() -> str:
 
 
 SQL_SECTIONS_PLANTED = _sections_sql()
+
+
+def q_span_merge_planted(spark, sf_dir):
+    """O41/O27 region coalescing on planted geometry: every doc's lines
+    sit 14pt apart inside clusters of 4, clusters 100pt apart; interval
+    clustering at gap=50 must recover exactly the planted clusters with
+    covering-envelope bboxes (``cv_yolo_extractor_v2.py:208-272``
+    semantics as one window pass, no pairwise join)."""
+    d = _docs(spark, sf_dir)
+    lines = F.split(
+        F.regexp_replace("text", r"((?:\S+ ){9}\S+) ", "$1\n"), "\n")
+    ex = d.select("doc_id", F.posexplode(lines).alias("block", "text"))
+    y0 = (F.lit(720.0) - F.col("block") * 14.0
+          - F.floor(F.col("block") / 4) * 100.0)
+    x0 = F.lit(72.0) + (F.col("block") % 3).cast("double") * 188.0
+    spans = ex.select(
+        "doc_id", "block", "text",
+        x0.alias("x0"), y0.alias("y0"),
+        (x0 + 180.0).alias("x1"), y0.alias("y1"),
+    )
+    clustered = regions.cluster_spans_1d(spans, gap=50.0, keys=["doc_id"])
+    env = regions.region_envelopes(clustered, keys=["doc_id"])
+    return env.select(
+        "doc_id",
+        F.col("region_id").cast("long").alias("region_id"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "x0", "y0", "x1", "y1", "text",
+    )
+
+
+SQL_SPAN_MERGE = (
+    f"WITH base AS (SELECT doc_id, string_split({CHUNK_SQL}, chr(10)) "
+    "AS ls FROM documents), "
+    "b AS (SELECT doc_id, unnest(ls) AS line, "
+    "generate_subscripts(ls, 1) - 1 AS blk FROM base), "
+    "s AS (SELECT doc_id, blk, line, "
+    "CAST(72 + (blk % 3) * 188 AS DOUBLE) AS x0, "
+    "CAST(720 - blk * 14 - (blk // 4) * 100 AS DOUBLE) AS y0 FROM b), "
+    "c AS (SELECT *, max(y0) OVER (PARTITION BY doc_id ORDER BY y0 "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end "
+    "FROM s), "
+    "r AS (SELECT *, sum(CASE WHEN prev_end IS NULL OR y0 > prev_end + 50 "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY y0 "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region_id "
+    "FROM c) "
+    "SELECT doc_id, CAST(region_id AS BIGINT) AS region_id, "
+    "CAST(count(*) AS BIGINT) AS n_spans, min(x0) AS x0, min(y0) AS y0, "
+    "max(x0 + 180) AS x1, max(y0) AS y1, "
+    "string_agg(line, chr(10) ORDER BY blk) AS text "
+    "FROM r GROUP BY doc_id, region_id"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1091,6 +1142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cv_entities_planted": q_cv_entities_planted,
     "positions_zip": q_positions_zip,
     "sections_planted": q_sections_planted,
+    "span_merge_planted": q_span_merge_planted,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -1131,6 +1183,7 @@ ORACLE_SQL: dict[str, str] = {
     "cv_entities_planted": SQL_CV_ENTITIES,
     "positions_zip": SQL_POSITIONS_ZIP,
     "sections_planted": SQL_SECTIONS_PLANTED,
+    "span_merge_planted": SQL_SPAN_MERGE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY,
