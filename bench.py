@@ -159,10 +159,18 @@ def main() -> None:
     res = run_resumable_bench(spark, path)
     timings["resumable_full"] = round(res["seconds"], 3)
 
+    # min-of-N for the query timings too — single-shot numbers on this
+    # shared VM swing up to 4x with neighbor noise
+    q_runs = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "2"))
+
     def timed(name, fn):
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(q_runs):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     timed("minhash_neardup", Q.q_minhash_neardup)
     timed("ngram_jaccard", Q.q_ngram_jaccard)

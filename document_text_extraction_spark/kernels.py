@@ -139,6 +139,8 @@ def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int]:
     so the two implementations cannot drift on document structure."""
     if not data.lstrip()[:5] == b"%PDF-":
         raise oracle.PdfParseError("missing %PDF- magic", code="bad_magic")
+    if oracle._ENCRYPT_RE.search(data):
+        raise oracle.PdfParseError("encrypted document", code="encrypted")
     streams = oracle.page_streams(data)
     if not streams:
         raise oracle.PdfParseError("no content streams", code="no_streams")

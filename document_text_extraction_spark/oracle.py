@@ -430,6 +430,10 @@ def page_streams(data: bytes) -> list[bytes]:
             return streams
     return [s for s in _STREAM_RE.findall(data)]
 
+# trailer-dict encryption marker ("/Encrypt N 0 R"); anchored to the
+# indirect-ref shape so content-stream text can't false-positive
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R\b")
+
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
@@ -656,6 +660,10 @@ def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
     """
     if not data.lstrip()[:5] == b"%PDF-":
         raise PdfParseError("missing %PDF- magic", code="bad_magic")
+    if _ENCRYPT_RE.search(data):
+        # encrypted documents would tokenize into garbage; refuse with
+        # a counted reason instead (decryption is out of scope)
+        raise PdfParseError("encrypted document", code="encrypted")
     streams = page_streams(data)
     if not streams:
         raise PdfParseError("no content streams", code="no_streams")
@@ -831,8 +839,9 @@ def extract_document(data: bytes) -> dict:
     """bytes → extraction record; never raises (EP3 error-row protocol).
 
     ``reason`` is None on success, else a stable failure-class code
-    (unknown_route | unsupported_filter | bad_flate | bad_objstm |
-    bad_container | bad_transfer | bad_magic | no_streams | parse_error).
+    (unknown_route | unsupported_filter | encrypted | bad_flate |
+    bad_objstm | bad_container | bad_transfer | bad_magic | no_streams
+    | parse_error).
     """
     route = sniff(data)
     try:

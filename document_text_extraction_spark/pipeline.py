@@ -236,6 +236,11 @@ def slice_extract_df(pages: DataFrame, n_buckets: int,
     slice that is a 32× multiplier). This shape keeps per-slice work at
     one cheap column-pruned scan + the slice's own extraction
     (asserted by ``tests/test_plans.py::test_slice_filter_below_python_map``).
+
+    Note: if ``pages`` is itself a generated source (a ``mapInPandas``
+    generator, e.g. ``sources.synth_web_pages``) rather than a table
+    scan, the *generator* still re-runs per slice — materialize such
+    sources to a table first for large runs.
     """
     sub_pages = pages.filter(bucket_col(n_buckets).isin(buckets))
     return extract_df(sub_pages, n_buckets, salt_plan)

@@ -339,6 +339,14 @@ def test_junk_reason_classes():
         assert rec["reason"] == want[did % 3], did
 
 
+def test_encrypted_pdf_is_counted_failure():
+    data = bytearray(corpus.make_pdf(15, "a b c d e f g h"))
+    data += b"trailer\n<< /Encrypt 9 0 R /Root 1 0 R >>\n%%EOF\n"
+    rec = oracle.extract_document(bytes(data))
+    assert rec["status"] == "parse_failure"
+    assert rec["reason"] == "encrypted"
+
+
 def test_gzip_docx_route():
     words = " ".join(f"gd{i}" for i in range(25))
     payload = corpus.payload_for(32, words)  # doc_id%40==32 → gzip docx

@@ -7,7 +7,11 @@ from pyspark.sql import functions as F
 from document_text_extraction_spark import pipeline
 from document_text_extraction_spark.plans import assert_pushdown, plan_report
 from document_text_extraction_spark.queries import (
+    q_cv_entities_planted,
+    q_positions_zip,
+    q_sections_planted,
     q_sessions_per_user,
+    q_span_merge_planted,
     q_token_stats,
     q_topk_longest,
 )
@@ -57,7 +61,9 @@ def test_filter_pushdown_reaches_parquet(spark):
 
 
 def test_analytics_queries_no_cartesian(spark):
-    for q in (q_token_stats, q_topk_longest, q_sessions_per_user):
+    for q in (q_token_stats, q_topk_longest, q_sessions_per_user,
+              q_sections_planted, q_span_merge_planted, q_positions_zip,
+              q_cv_entities_planted):
         assert_pushdown(q(spark, "/root/testdata/sf0.001"),
                         forbid_cartesian=True)
 

@@ -112,6 +112,36 @@ def test_chunk_text_partition_property(ids):
     assert all(len(ln.split(" ")) <= corpus.WORDS_PER_LINE for ln in lines)
 
 
+@given(st.text(alphabet=st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0xFF),
+    min_size=1, max_size=300))
+@settings(**_SETTINGS)
+def test_roundtrip_any_clean_text_pdf15(words_raw):
+    """PDF 1.5 route (object streams + xref stream): same latin-1
+    roundtrip property as the 1.4 path."""
+    words = words_raw.split()
+    if not words:
+        return
+    text = " ".join(words)
+    rec = oracle.extract_document(corpus.make_pdf15(18, text))
+    assert rec["status"] == "ok", rec["reason"]
+    assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(**_SETTINGS)
+def test_truncated_pdf15_never_crashes(suffix):
+    """Cutting an ObjStm/xref-stream file anywhere (and appending junk)
+    must yield ok or a counted parse_failure — never an exception —
+    identically in oracle and kernel."""
+    base = corpus.make_pdf15(18, "alpha beta gamma delta " * 6)
+    for cut in (12, 80, len(base) // 2, len(base) - 7):
+        payload = base[:cut] + suffix
+        rec = oracle.extract_document(payload)
+        assert rec["status"] in ("ok", "parse_failure")
+        _equiv([payload])
+
+
 _PDF_OPS = st.sampled_from([
     "BT", "ET", "12 Tf", "/F1", "72 700 Td", "0 -14 TD", "T*", "14 TL",
     "(text here) Tj", "(a\\(b\\)c) Tj", "[(x) -20 (y)] TJ", "' ",
