@@ -10,8 +10,9 @@ the DuckDB oracle SQL can all regenerate / predict the same payloads.
 Route mix (cf. FIXTURES.md §1): ``doc_id % 20`` → 0..13 HTML (slot 12 is
 DOCX, every other one gzip-wrapped; slot 13 gzip HTML), 14..18 PDF (even
 ids FlateDecode-compressed; slot 18 is PDF 1.5 with object + xref
-streams), 19 malformed (LZW-filtered / truncated / binary noise by
-``doc_id % 3``).  The HTML route wraps the document's
+streams; every other slot-14 doc, ``doc_id % 40 == 34``, uses a Type0
+font with a ToUnicode CMap), 19 malformed (LZW-filtered / truncated /
+binary noise by ``doc_id % 3``).  The HTML route wraps the document's
 main text in boilerplate (link-dense nav/header/aside/ads/footer — the
 ground truth for the text-density/link-density classifier, the web-native
 analogue of the reference's histogram-valley separators,
@@ -34,7 +35,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -177,15 +178,12 @@ def n_columns_for(doc_id: int) -> int:
     return 1 + (doc_id % 3)
 
 
-def _pdf_content_streams(doc_id: int, text: str) -> list[bytes]:
-    """Per-page content-stream bytes (shared by the 1.4 and 1.5
-    assemblers). Lines laid out column-major across 1–3 columns; every
-    3rd line is a TJ array with a kerning split."""
+def _pdf_layout(doc_id: int, text: str) -> list[list[tuple]]:
+    """Column-major line placement shared by every PDF emitter:
+    page → list of (x, y, line)."""
     lines = chunk_text(text)
     ncols = n_columns_for(doc_id)
     per_page = ncols * MAX_LINES_PER_COL
-
-    # page -> list of (x, y, line)
     pages: list[list[tuple[float, float, str]]] = []
     for p_start in range(0, len(lines), per_page):
         chunk = lines[p_start : p_start + per_page]
@@ -197,6 +195,14 @@ def _pdf_content_streams(doc_id: int, text: str) -> list[bytes]:
         pages.append(placed)
     if not pages:
         pages = [[]]
+    return pages
+
+
+def _pdf_content_streams(doc_id: int, text: str) -> list[bytes]:
+    """Per-page content-stream bytes (shared by the 1.4 and 1.5
+    assemblers). Lines laid out column-major across 1–3 columns; every
+    3rd line is a TJ array with a kerning split."""
+    pages = _pdf_layout(doc_id, text)
 
     streams = []
     for placed in pages:
@@ -260,6 +266,102 @@ def make_pdf(doc_id: int, text: str) -> bytes:
                 % (len(content), content)
             )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_pos)
+    )
+    return bytes(out)
+
+
+def make_pdf_cmap(doc_id: int, text: str) -> bytes:
+    """A PDF-1.4 file whose text is shown as 2-byte codes through a
+    /Type0 font with a /ToUnicode CMap — the layout real readers use
+    for non-latin text (PDF 1.7 §9.10.3; the reference gets this free
+    from MuPDF, ``/root/reference/approach4_v1.py:21-31``). The code
+    space is a per-document codebook (first-appearance order), so
+    extraction MUST interpret the CMap to recover the text.
+    Same layout/golden-text contract as :func:`make_pdf`.
+    """
+    import zlib
+    pages = _pdf_layout(doc_id, text)
+    compress = doc_id % 2 == 0
+    codes: dict[str, int] = {}
+    for placed in pages:
+        for _, _, ln in placed:
+            for ch in ln:
+                if ch not in codes:
+                    codes[ch] = len(codes) + 1
+
+    def hexshow(s: str) -> str:
+        return "".join(format(codes[ch], "04x") for ch in s)
+
+    streams = []
+    for placed in pages:
+        ops = []
+        for li, (x, y, ln) in enumerate(placed):
+            if li % 3 == 2 and len(ln) > 4:
+                mid = len(ln) // 2
+                show = f"[<{hexshow(ln[:mid])}> -15 <{hexshow(ln[mid:])}>] TJ"
+            else:
+                show = f"<{hexshow(ln)}> Tj"
+            ops.append(f"BT /F1 {FONT_SIZE} Tf {x:.1f} {y:.1f} Td {show} ET")
+        streams.append("\n".join(ops).encode("latin-1"))
+
+    npages = len(streams)
+    font_num = 3 + 2 * npages
+    cmap_num = font_num + 1
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    for i, content in enumerate(streams):
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode())
+        if compress:
+            cz = zlib.compress(content, 6)
+            objs.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(cz), cz))
+        else:
+            objs.append(
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(content), content))
+    objs.append(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic "
+        b"/Encoding /Identity-H /ToUnicode %d 0 R >>" % cmap_num)
+    # ToUnicode CMap: <=100 bfchar mappings per block (spec limit)
+    items = sorted(codes.items(), key=lambda kv: kv[1])
+    blocks = []
+    for i in range(0, len(items), 100):
+        batch = items[i : i + 100]
+        body = "\n".join(
+            f"<{code:04x}> <{ch.encode('utf-16-be').hex()}>"
+            for ch, code in batch
+        )
+        blocks.append(f"{len(batch)} beginbfchar\n{body}\nendbfchar")
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        + "\n".join(blocks)
+        + "\nendcmap\nCMapName currentdict /CMap defineresource pop\n"
+        "end\nend"
+    ).encode("latin-1")
+    objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(cmap), cmap))
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
@@ -476,6 +578,9 @@ def payload_for(doc_id: int, text: str) -> bytes:
         if doc_id % 20 == 18:
             # PDF 1.5: object streams + xref stream
             return make_pdf15(doc_id, text)
+        if doc_id % 40 == 34:
+            # Type0 font + ToUnicode CMap (non-latin-capable route)
+            return make_pdf_cmap(doc_id, text)
         return make_pdf(doc_id, text)
     return make_junk(doc_id)
 

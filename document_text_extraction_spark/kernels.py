@@ -141,13 +141,13 @@ def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int]:
         raise oracle.PdfParseError("missing %PDF- magic", code="bad_magic")
     if oracle._ENCRYPT_RE.search(data):
         raise oracle.PdfParseError("encrypted document", code="encrypted")
-    streams = oracle.page_streams(data)
-    if not streams:
+    pages_fonts = oracle.page_contents(data)
+    if not pages_fonts:
         raise oracle.PdfParseError("no content streams", code="no_streams")
     shows: list[dict] = []
-    for page, content in enumerate(streams):
-        shows.extend(_interpret_page(content, page))
-    return shows, len(streams)
+    for page, (content, fonts) in enumerate(pages_fonts):
+        shows.extend(_interpret_page(content, page, fonts))
+    return shows, len(pages_fonts)
 
 
 # ---------------------------------------------------------------------------

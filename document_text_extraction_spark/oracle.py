@@ -342,8 +342,82 @@ def _expand_object_streams(objs: dict[int, bytes]) -> set[int]:
     return containers
 
 
-def page_streams(data: bytes) -> list[bytes]:
-    """Content streams in PAGE order.
+# ---- ToUnicode CMap support (non-latin text, O2 parity with MuPDF) ----
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXTRIPLE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
+
+
+def _parse_cmap(stream: bytes) -> dict:
+    """Parse a /ToUnicode CMap (bfchar + bfrange) into
+    ``{"width": bytes_per_code, "map": {code:int -> str}}``.
+
+    Destination hex is UTF-16BE (PDF 1.7 §9.10.3) — this is how a
+    general reader recovers non-latin text; the reference inherits it
+    from MuPDF (``approach4_v1.py:21-31``)."""
+    width = 2
+    cm = _CODESPACE_RE.search(stream)
+    if cm is not None:
+        width = max(1, len(cm.group(1)) // 2)
+    mapping: dict[int, str] = {}
+    for block in _BFCHAR_RE.findall(stream):
+        for src, dst in _HEXPAIR_RE.findall(block):
+            mapping[int(src, 16)] = bytes.fromhex(
+                dst.decode()).decode("utf-16-be", errors="replace")
+    for block in _BFRANGE_RE.findall(stream):
+        for lo, hi, dst in _HEXTRIPLE_RE.findall(block):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = int(dst, 16)
+            dlen = len(dst)
+            for off in range(hi_i - lo_i + 1):
+                mapping[lo_i + off] = bytes.fromhex(
+                    format(base + off, f"0{dlen}x")
+                ).decode("utf-16-be", errors="replace")
+    return {"width": width, "map": mapping}
+
+
+def _page_fonts(page_body: bytes, objs: dict[int, bytes],
+                cmap_cache: dict) -> dict:
+    """Resolve the page's /Resources /Font dict → {name: cmap|None}."""
+    res = page_body
+    rm = _RESOURCES_REF_RE.search(page_body)
+    if rm is not None and int(rm.group(1)) in objs:
+        res = objs[int(rm.group(1))]
+    fm = _FONTDICT_RE.search(res)
+    if fm is None:
+        return {}
+    fonts: dict[str, dict | None] = {}
+    for name, ref in _FONTREF_RE.findall(fm.group(1)):
+        fname = "/" + name.decode("latin-1")
+        fnum = int(ref)
+        if fnum in cmap_cache:
+            fonts[fname] = cmap_cache[fnum]
+            continue
+        cmap = None
+        body = objs.get(fnum)
+        if body is not None:
+            tm = _TOUNICODE_RE.search(body)
+            if tm is not None and int(tm.group(1)) in objs:
+                stream = _decode_object_stream(
+                    objs[int(tm.group(1))], objs, strict=True)
+                if stream is not None:
+                    cmap = _parse_cmap(stream)
+        cmap_cache[fnum] = cmap
+        fonts[fname] = cmap
+    return fonts
+
+
+def page_contents(data: bytes) -> list[tuple[bytes, dict]]:
+    """(content stream, font map) per page, in PAGE order.
 
     Strategy (lenient, deterministic):
     1. scan all ``N 0 obj … endobj`` objects;
@@ -352,10 +426,11 @@ def page_streams(data: bytes) -> list[bytes]:
        xref-stream files readable without parsing the xref itself
        (the object scan already finds every top-level object);
     3. walk /Root → /Pages → /Kids (recursing into nested Pages nodes)
-       → each page's /Contents ref(s) — the honest page order;
+       → each page's /Contents ref(s) — the honest page order — and its
+       /Resources /Font dict (for /ToUnicode CMaps, non-latin text);
     4. if the tree is unwalkable (no catalog, broken refs), fall back to
        all stream-bearing objects in byte order (excluding ObjStm/XRef
-       containers).
+       containers), with no font info.
 
     FlateDecode streams are decompressed (zlib, stdlib); other filters
     raise ``PdfParseError(code='unsupported_filter')`` — a counted
@@ -369,8 +444,9 @@ def page_streams(data: bytes) -> list[bytes]:
             obj_order.append(num)
         objs[num] = m.group(2)
     containers = _expand_object_streams(objs) if objs else set()
+    cmap_cache: dict = {}
 
-    def tree_order() -> list[bytes] | None:
+    def tree_order() -> list[tuple[bytes, dict]] | None:
         catalog = None
         for body in objs.values():
             if b"/Type" in body and b"/Catalog" in body:
@@ -381,7 +457,7 @@ def page_streams(data: bytes) -> list[bytes]:
         m = re.search(rb"/Pages\s+(\d+)\s+0\s+R", catalog)
         if m is None:
             return None
-        out: list[bytes] = []
+        out: list[tuple[bytes, dict]] = []
 
         def walk(num: int, depth: int = 0) -> bool:
             if depth > 64 or num not in objs:
@@ -406,7 +482,8 @@ def page_streams(data: bytes) -> list[bytes]:
                 s = _decode_object_stream(objs[ref], objs, strict=True)
                 if s is not None:
                     parts.append(s)
-            out.append(b"\n".join(parts))
+            out.append((b"\n".join(parts),
+                        _page_fonts(body, objs, cmap_cache)))
             return True
 
         if not walk(int(m.group(1))):
@@ -425,10 +502,16 @@ def page_streams(data: bytes) -> list[bytes]:
                 continue
             s = _decode_object_stream(objs[num], objs, strict=False)
             if s is not None:
-                streams.append(s)
+                streams.append((s, {}))
         if streams:
             return streams
-    return [s for s in _STREAM_RE.findall(data)]
+    return [(s, {}) for s in _STREAM_RE.findall(data)]
+
+
+def page_streams(data: bytes) -> list[bytes]:
+    """Content streams in PAGE order (font info dropped — see
+    :func:`page_contents`)."""
+    return [c for c, _ in page_contents(data)]
 
 # trailer-dict encryption marker ("/Encrypt N 0 R"); anchored to the
 # indirect-ref shape so content-stream text can't false-positive
@@ -563,10 +646,27 @@ def _tokenize_content(buf: bytes):
                 i += 1  # unknown byte — skip
 
 
-def _interpret_page(content: bytes, page: int) -> list[dict]:
+def _apply_cmap(s: str, cmap: dict) -> str:
+    """Map a raw show string (latin-1-preserved bytes) through a
+    /ToUnicode CMap: fixed-width codes → Unicode; unmapped codes drop
+    (deterministic, mirrors a strict CMap lookup)."""
+    raw = s.encode("latin-1", errors="ignore")
+    w, m = cmap["width"], cmap["map"]
+    out = []
+    for i in range(0, len(raw) - w + 1, w):
+        ch = m.get(int.from_bytes(raw[i:i + w], "big"))
+        if ch is not None:
+            out.append(ch)
+    return "".join(out)
+
+
+def _interpret_page(content: bytes, page: int,
+                    fonts: dict | None = None) -> list[dict]:
     """Interpret text operators of one page's content stream into raw
     show-spans ``{page, x, y, text}`` (text line matrix semantics for
-    BT/Td/TD/T*; Tm supported with translation part)."""
+    BT/Td/TD/T*; Tm supported with translation part). ``fonts`` maps
+    /Name → parsed ToUnicode CMap (or None); ``Tf`` switches the active
+    map and show strings decode through it (non-latin text)."""
     shows: list[dict] = []
     stack: list = []
     in_array: list | None = None
@@ -574,6 +674,8 @@ def _interpret_page(content: bytes, page: int) -> list[dict]:
     cx = cy = 0.0
     leading = 0.0
     in_text = False
+    cur_cmap: dict | None = None
+    fonts = fonts or {}
     for kind, val in _tokenize_content(content):
         if kind == "[":
             in_array = []
@@ -618,16 +720,24 @@ def _interpret_page(content: bytes, page: int) -> list[dict]:
         elif op == "TL":
             if stack and isinstance(stack[-1], float):
                 leading = stack[-1]
+        elif op == "Tf":
+            # [..., /Name, size] — switch the active ToUnicode map
+            if len(stack) >= 2 and isinstance(stack[-2], str):
+                cur_cmap = fonts.get(stack[-2])
         elif op == "Tj" or op == "'":
             if op == "'":
                 ly -= leading
                 cx, cy = lx, ly
             if stack and isinstance(stack[-1], str) and in_text:
-                shows.append({"page": page, "x": cx, "y": cy,
-                              "text": stack[-1]})
+                txt = (_apply_cmap(stack[-1], cur_cmap)
+                       if cur_cmap else stack[-1])
+                shows.append({"page": page, "x": cx, "y": cy, "text": txt})
         elif op == "TJ":
             if stack and isinstance(stack[-1], list) and in_text:
-                txt = "".join(e for e in stack[-1] if isinstance(e, str))
+                txt = "".join(
+                    _apply_cmap(e, cur_cmap) if cur_cmap else e
+                    for e in stack[-1] if isinstance(e, str)
+                )
                 shows.append({"page": page, "x": cx, "y": cy, "text": txt})
         stack.clear()
     return shows
@@ -664,12 +774,12 @@ def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
         # encrypted documents would tokenize into garbage; refuse with
         # a counted reason instead (decryption is out of scope)
         raise PdfParseError("encrypted document", code="encrypted")
-    streams = page_streams(data)
-    if not streams:
+    pages_fonts = page_contents(data)
+    if not pages_fonts:
         raise PdfParseError("no content streams", code="no_streams")
     shows: list[dict] = []
-    for page, content in enumerate(streams):
-        shows.extend(_interpret_page(content, page))
+    for page, (content, fonts) in enumerate(pages_fonts):
+        shows.extend(_interpret_page(content, page, fonts))
     spans: list[dict] = []
     for page in sorted({s["page"] for s in shows}):
         page_shows = [s for s in shows if s["page"] == page]
@@ -692,7 +802,7 @@ def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
                 "kind": "block", "text": t,
             })
     text = "\n".join(s["text"] for s in spans)
-    return text, spans, len(streams)
+    return text, spans, len(pages_fonts)
 
 
 # ---------------------------------------------------------------------------

@@ -196,6 +196,23 @@ SQL_EXTRACT_PDF15 = (
 )
 
 
+def q_extract_pdf_cmap_roundtrip(spark, sf_dir):
+    """O36 byte-identity on the CMap slot (doc_id%40==34): Type0 font,
+    2-byte codes, /ToUnicode CMap interpretation — the non-latin text
+    path real readers rely on."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("doc_id") % 40 == 34)
+        .select("doc_id", "extracted_text")
+    )
+
+
+SQL_EXTRACT_PDF_CMAP = (
+    f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
+    "FROM documents WHERE doc_id % 40 = 34"
+)
+
+
 def q_extract_fail_reasons(spark, sf_dir):
     """O31 failure attribution: parse_failure counts by (route, reason) —
     unsupported filters (LZW), truncated structure, unroutable bytes each
@@ -1129,6 +1146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
     "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
     "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
+    "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
     "extract_fail_reasons": q_extract_fail_reasons,
     "extract_route_counts": q_extract_route_counts,
     "extract_status_counts": q_extract_status_counts,
@@ -1170,6 +1188,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_docx_roundtrip": SQL_EXTRACT_DOCX,
     "extract_pdf_roundtrip": SQL_EXTRACT_PDF,
     "extract_pdf15_roundtrip": SQL_EXTRACT_PDF15,
+    "extract_pdf_cmap_roundtrip": SQL_EXTRACT_PDF_CMAP,
     "extract_fail_reasons": SQL_FAIL_REASONS,
     "extract_route_counts": SQL_ROUTE_COUNTS,
     "extract_status_counts": SQL_STATUS_COUNTS,

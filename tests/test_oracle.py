@@ -339,6 +339,39 @@ def test_junk_reason_classes():
         assert rec["reason"] == want[did % 3], did
 
 
+@pytest.mark.parametrize("doc_id", [34, 74, 114])
+def test_pdf_cmap_roundtrip(doc_id):
+    text = corpus.synth_text(doc_id)
+    data = corpus.make_pdf_cmap(doc_id, text)
+    assert b"/ToUnicode" in data and b"beginbfchar" in data
+    rec = oracle.extract_document(data)
+    assert rec["status"] == "ok", rec["reason"]
+    assert rec["extracted_text"] == golden_text(text)
+
+
+def test_pdf_cmap_non_latin_text():
+    """The CMap path recovers text no latin-1 literal string can carry
+    (CJK + Greek + a supplementary-plane char via surrogate-pair dst)."""
+    text = ("数据 处理 引擎 工作 正常 γρήγορα 🚀 δοκιμή 中文 提取 "
+            "mixed ascii too")
+    rec = oracle.extract_document(corpus.make_pdf_cmap(34, text))
+    assert rec["status"] == "ok", rec["reason"]
+    assert rec["extracted_text"] == golden_text(text)
+
+
+def test_pdf_cmap_multipage_and_bfrange():
+    text = corpus.synth_text(96, 600, 1200)
+    rec = oracle.extract_document(corpus.make_pdf_cmap(34, text))
+    assert rec["status"] == "ok" and rec["n_pages"] >= 2
+    assert rec["extracted_text"] == golden_text(text)
+    # bfrange form parses equivalently to per-char bfchar
+    cmap = (b"begincodespacerange <0000> <ffff> endcodespacerange\n"
+            b"1 beginbfrange\n<0001> <0003> <0041>\nendbfrange")
+    parsed = oracle._parse_cmap(cmap)
+    assert parsed["width"] == 2
+    assert [parsed["map"][c] for c in (1, 2, 3)] == ["A", "B", "C"]
+
+
 def test_encrypted_pdf_is_counted_failure():
     data = bytearray(corpus.make_pdf(15, "a b c d e f g h"))
     data += b"trailer\n<< /Encrypt 9 0 R /Root 1 0 R >>\n%%EOF\n"

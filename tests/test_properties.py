@@ -128,6 +128,23 @@ def test_roundtrip_any_clean_text_pdf15(words_raw):
     assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
 
 
+@given(st.text(alphabet=st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd", "Lo")), min_size=1,
+    max_size=200))
+@settings(**_SETTINGS)
+def test_roundtrip_any_unicode_text_pdf_cmap(words_raw):
+    """The CMap route carries FULL Unicode (any letter/digit category,
+    any plane) — the property the plain latin-1 route cannot give."""
+    words = words_raw.split()
+    if not words:
+        return
+    text = " ".join(words)
+    rec = oracle.extract_document(corpus.make_pdf_cmap(34, text))
+    assert rec["status"] == "ok", rec["reason"]
+    assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
+    _equiv([corpus.make_pdf_cmap(34, text)])
+
+
 @given(st.binary(min_size=0, max_size=300))
 @settings(**_SETTINGS)
 def test_truncated_pdf15_never_crashes(suffix):
