@@ -65,6 +65,62 @@ def test_streaming_sink_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == before == 100
 
 
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-stream gap splits AND
+    event-time timeouts both emit sessions that match the batch
+    gaps-and-islands semantics (two micro-batches via
+    maxFilesPerTrigger=1)."""
+    import datetime
+    import os
+    from document_text_extraction_spark.streaming import (
+        streaming_sessionize,
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    epoch = datetime.datetime(2025, 1, 1)
+
+    def ev(user, sec):
+        return (user, epoch + datetime.timedelta(seconds=sec))
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    schema = "user_id long, ts timestamp"
+    # file 1: user1 session A (3 events) + session B start; user3 one event
+    spark.createDataFrame(
+        [ev(1, 1000), ev(1, 1001), ev(1, 1002), ev(1, 3000), ev(3, 500)],
+        schema).coalesce(1).write.parquet(os.path.join(in_dir, "f1"))
+    # file 2 (later): user1 session C; user2 first event
+    spark.createDataFrame(
+        [ev(1, 9000), ev(2, 9100)], schema
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir + "/*"))
+    out = streaming_sessionize(stream, gap_seconds=600)
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sess").collect()}
+
+    def us(sec):
+        return int((epoch + datetime.timedelta(seconds=sec)
+                    ).replace(tzinfo=datetime.timezone.utc).timestamp()
+                   * 1_000_000)
+
+    # session A closes via the in-stream gap to 3000; session B closes
+    # when 9000 arrives; user3's lone session closes via watermark
+    # TIMEOUT (no new data, watermark from batch 1 passes 500+600);
+    # user1@9000 and user2@9100 stay pending in state
+    want = {
+        (1, us(1000), us(1002), 3),
+        (1, us(3000), us(3000), 1),
+        (3, us(500), us(500), 1),
+    }
+    assert got == want, got
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
