@@ -11,8 +11,10 @@ Route mix (cf. FIXTURES.md §1): ``doc_id % 20`` → 0..13 HTML (slot 12 is
 DOCX, every other one gzip-wrapped; slot 13 gzip HTML), 14..18 PDF (even
 ids FlateDecode-compressed; slot 18 is PDF 1.5 with object + xref
 streams; every other slot-14 doc, ``doc_id % 40 == 34``, uses a Type0
-font with a ToUnicode CMap), 19 malformed (LZW-filtered / truncated /
-binary noise by ``doc_id % 3``).  The HTML route wraps the document's
+font with a ToUnicode CMap; ``%40 == 35/36/37`` exercise the
+ASCIIHexDecode / [ASCIIHex+Flate chain] / RunLengthDecode filters),
+19 malformed (LZW-filtered / truncated / binary noise by
+``doc_id % 3``).  The HTML route wraps the document's
 main text in boilerplate (link-dense nav/header/aside/ads/footer — the
 ground truth for the text-density/link-density classifier, the web-native
 analogue of the reference's histogram-valley separators,
@@ -35,7 +37,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -222,7 +224,52 @@ def _pdf_content_streams(doc_id: int, text: str) -> list[bytes]:
     return streams
 
 
-def make_pdf(doc_id: int, text: str) -> bytes:
+def _rle_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder: literal chunks (≤128 bytes)
+    plus run packing for repeats of 3+ — exercises both decode
+    branches."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            for s in range(lit_start, i, 128):
+                chunk = data[s : min(s + 128, i)]
+                out += bytes([len(chunk) - 1]) + chunk
+            out += bytes([257 - run, data[i]])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    for s in range(lit_start, n, 128):
+        chunk = data[s : min(s + 128, n)]
+        out += bytes([len(chunk) - 1]) + chunk
+    out += b"\x80"
+    return bytes(out)
+
+
+def _encode_stream(content: bytes, filter_mode: str | None) -> tuple:
+    """(stream bytes, /Filter dict fragment) for a content stream."""
+    import zlib
+    if filter_mode == "flate":
+        return zlib.compress(content, 6), b" /Filter /FlateDecode"
+    if filter_mode == "ahx":
+        return (content.hex().encode("ascii") + b">",
+                b" /Filter /ASCIIHexDecode")
+    if filter_mode == "ahx+flate":
+        # decoding order = listed order: AHx first, then Flate
+        return (zlib.compress(content, 6).hex().encode("ascii") + b">",
+                b" /Filter [/ASCIIHexDecode /FlateDecode]")
+    if filter_mode == "rle":
+        return _rle_encode(content), b" /Filter /RunLengthDecode"
+    return content, b""
+
+
+def make_pdf(doc_id: int, text: str,
+             filter_mode: str | None = "auto") -> bytes:
     """A PDF-1.4 file whose text layer carries the 10-word lines.
 
     Lines are laid out column-major (all of column 1 top→bottom, then
@@ -233,10 +280,11 @@ def make_pdf(doc_id: int, text: str) -> bytes:
     a kerning split to exercise TJ parsing
     (``/root/reference`` never parses content streams — it delegates to
     MuPDF; our from-scratch parser is the honest Spark-side equivalent).
-    Every even doc_id compresses its content streams with FlateDecode
-    (zlib) to exercise the parser's filter path.
+    ``filter_mode``: None (raw) | "flate" | "ahx" | "ahx+flate" | "rle";
+    "auto" = flate for even doc_ids (the historical default).
     """
-    compress = doc_id % 2 == 0
+    if filter_mode == "auto":
+        filter_mode = "flate" if doc_id % 2 == 0 else None
     streams = _pdf_content_streams(doc_id, text)
     npages = len(streams)
     objs: list[bytes] = []
@@ -253,18 +301,11 @@ def make_pdf(doc_id: int, text: str) -> bytes:
             f"<< /Font << /F1 {font_obj_num} 0 R >> >> >>"
         ).encode()
         objs.append(page_dict)
-        if compress:
-            import zlib
-            content = zlib.compress(content, 6)
-            objs.append(
-                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
-                % (len(content), content)
-            )
-        else:
-            objs.append(
-                b"<< /Length %d >>\nstream\n%s\nendstream"
-                % (len(content), content)
-            )
+        enc, filt = _encode_stream(content, filter_mode)
+        objs.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream"
+            % (len(enc), filt, enc)
+        )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     out = bytearray(b"%PDF-1.4\n")
@@ -581,6 +622,12 @@ def payload_for(doc_id: int, text: str) -> bytes:
         if doc_id % 40 == 34:
             # Type0 font + ToUnicode CMap (non-latin-capable route)
             return make_pdf_cmap(doc_id, text)
+        if doc_id % 40 == 35:
+            return make_pdf(doc_id, text, filter_mode="ahx")
+        if doc_id % 40 == 36:
+            return make_pdf(doc_id, text, filter_mode="ahx+flate")
+        if doc_id % 40 == 37:
+            return make_pdf(doc_id, text, filter_mode="rle")
         return make_pdf(doc_id, text)
     return make_junk(doc_id)
 

@@ -223,46 +223,93 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+0\s+R)")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R\b")
 _INT_OBJ_RE = re.compile(rb"\s*(\d+)\s*$")
 
-# stream filters we do NOT implement: detected explicitly so the
-# document becomes a counted parse_failure (reason=unsupported_filter),
-# never silently-corrupt output. The reference inherits these from
-# MuPDF/pdfplumber (``/root/reference/approach4_v1.py:21-31``).
-_UNSUPPORTED_FILTERS = (
-    b"/LZWDecode", b"/DCTDecode", b"/ASCII85Decode", b"/ASCIIHexDecode",
-    b"/RunLengthDecode", b"/CCITTFaxDecode", b"/JBIG2Decode",
-    b"/JPXDecode", b"/Crypt",
-)
+# the /Filter entry: a single name or an array (applied in listed
+# order when decoding, PDF 1.7 §7.4)
+_FILTER_ENTRY_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_HEXWS_RE = re.compile(rb"\s+")
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: hex digits up to the EOD '>', whitespace
+    ignored, odd final digit padded with 0 (PDF 1.7 §7.4.2)."""
+    body = _HEXWS_RE.sub(b"", data.split(b">")[0])
+    if len(body) % 2:
+        body += b"0"
+    try:
+        return bytes.fromhex(body.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise PdfParseError(f"bad ASCIIHex stream: {e}",
+                            code="bad_filter_data") from e
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    """RunLengthDecode: length byte l<128 → copy l+1 literal bytes;
+    l>128 → repeat next byte 257-l times; 128 = EOD (PDF 1.7 §7.4.5)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _apply_stream_filters(data: bytes, head: bytes) -> bytes:
+    """Decode the stream's /Filter chain in listed order. Supported:
+    FlateDecode, ASCIIHexDecode, RunLengthDecode (stdlib-expressible);
+    anything else (LZW, DCT, A85, CCITT, JBIG2, JPX, Crypt) raises a
+    counted ``unsupported_filter`` failure, never silently-corrupt
+    output — the reference inherits the full set from MuPDF/pdfplumber
+    (``/root/reference/approach4_v1.py:21-31``)."""
+    fm = _FILTER_ENTRY_RE.search(head)
+    if fm is None:
+        return data
+    if b"/Predictor" in head:
+        # PNG/TIFF predictors on content streams: not implemented
+        raise PdfParseError("predictor on content stream",
+                            code="unsupported_filter")
+    for m in _FILTER_NAME_RE.finditer(fm.group(1)):
+        name = m.group(1)
+        if name == b"FlateDecode":
+            import zlib
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise PdfParseError(f"bad FlateDecode stream: {e}",
+                                    code="bad_flate") from e
+        elif name == b"ASCIIHexDecode":
+            data = _ascii_hex_decode(data)
+        elif name == b"RunLengthDecode":
+            data = _run_length_decode(data)
+        else:
+            raise PdfParseError(
+                f"unsupported stream filter /{name.decode('latin-1')}",
+                code="unsupported_filter")
+    return data
 
 
 def _decode_object_stream(body: bytes,
                           objs: dict[int, bytes] | None = None,
                           strict: bool = True) -> bytes | None:
-    """Extract (and Flate-decompress if declared) an object's stream.
+    """Extract and filter-decode an object's stream.
 
     Uses the declared /Length to slice exact bytes — the regex's
     optional trailing-newline trim would corrupt binary (compressed)
     streams whose last byte happens to be \\r or \\n. Indirect /Length
-    refs ("/Length 5 0 R") are resolved through ``objs``. Unsupported
-    filters raise (strict=True, the page-tree path: honest failure) or
+    refs ("/Length 5 0 R") are resolved through ``objs``. Filter
+    failures raise (strict=True, the page-tree path: honest failure) or
     skip the stream (strict=False, the damaged-file fallback path)."""
     sm = _STREAM_START_RE.search(body)
     if sm is None:
         return None
     head = body[: sm.start()]
-    for f in _UNSUPPORTED_FILTERS:
-        if f in head:
-            if strict:
-                raise PdfParseError(
-                    f"unsupported stream filter {f.decode('latin-1')}",
-                    code="unsupported_filter",
-                )
-            return None
-    if b"/Predictor" in head:
-        # PNG/TIFF predictors on content streams: not implemented
-        if strict:
-            raise PdfParseError("predictor on content stream",
-                                code="unsupported_filter")
-        return None
     length = None
     rm = _LENGTH_REF_RE.search(head)
     if rm is not None and objs is not None:
@@ -282,14 +329,12 @@ def _decode_object_stream(body: bytes,
         if m is None:
             return None
         data = m.group(1)
-    if b"/FlateDecode" in head:
-        import zlib
-        try:
-            data = zlib.decompress(data)
-        except zlib.error as e:
-            raise PdfParseError(f"bad FlateDecode stream: {e}",
-                                code="bad_flate") from e
-    return data
+    try:
+        return _apply_stream_filters(data, head)
+    except PdfParseError:
+        if strict:
+            raise
+        return None
 
 
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")

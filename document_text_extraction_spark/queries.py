@@ -213,6 +213,23 @@ SQL_EXTRACT_PDF_CMAP = (
 )
 
 
+def q_extract_pdf_filters_roundtrip(spark, sf_dir):
+    """O36 byte-identity across the implemented stream-filter set:
+    ASCIIHexDecode (doc_id%40==35), an [ASCIIHex → Flate] chain (36)
+    and RunLengthDecode (37)."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter((F.col("doc_id") % 40).isin(35, 36, 37))
+        .select("doc_id", "extracted_text")
+    )
+
+
+SQL_EXTRACT_PDF_FILTERS = (
+    f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
+    "FROM documents WHERE doc_id % 40 IN (35, 36, 37)"
+)
+
+
 def q_extract_fail_reasons(spark, sf_dir):
     """O31 failure attribution: parse_failure counts by (route, reason) —
     unsupported filters (LZW), truncated structure, unroutable bytes each
@@ -1147,6 +1164,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
     "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
+    "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
     "extract_fail_reasons": q_extract_fail_reasons,
     "extract_route_counts": q_extract_route_counts,
     "extract_status_counts": q_extract_status_counts,
@@ -1189,6 +1207,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_pdf_roundtrip": SQL_EXTRACT_PDF,
     "extract_pdf15_roundtrip": SQL_EXTRACT_PDF15,
     "extract_pdf_cmap_roundtrip": SQL_EXTRACT_PDF_CMAP,
+    "extract_pdf_filters_roundtrip": SQL_EXTRACT_PDF_FILTERS,
     "extract_fail_reasons": SQL_FAIL_REASONS,
     "extract_route_counts": SQL_ROUTE_COUNTS,
     "extract_status_counts": SQL_STATUS_COUNTS,

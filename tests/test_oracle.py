@@ -372,6 +372,33 @@ def test_pdf_cmap_multipage_and_bfrange():
     assert [parsed["map"][c] for c in (1, 2, 3)] == ["A", "B", "C"]
 
 
+@pytest.mark.parametrize("mode,marker", [
+    ("ahx", b"/ASCIIHexDecode"),
+    ("ahx+flate", b"[/ASCIIHexDecode /FlateDecode]"),
+    ("rle", b"/RunLengthDecode"),
+])
+def test_pdf_filter_variants_roundtrip(mode, marker):
+    words = " ".join(f"f{i}" for i in range(80))
+    data = corpus.make_pdf(16, words, filter_mode=mode)
+    assert marker in data
+    text, _, _ = oracle.extract_pdf(data)
+    assert text == golden_text(words)
+
+
+def test_rle_codec_runs_and_literals():
+    for payload in (b"", b"a", b"abc", b"aaaa", b"ab" * 300,
+                    b"x" * 129, b"lit" + b"z" * 200 + b"tail"):
+        assert oracle._run_length_decode(
+            corpus._rle_encode(payload)) == payload
+
+
+def test_ascii_hex_decode_forms():
+    assert oracle._ascii_hex_decode(b"48 65 6c\n6c6f>") == b"Hello"
+    assert oracle._ascii_hex_decode(b"486>") == b"H`"  # odd pad
+    with pytest.raises(oracle.PdfParseError):
+        oracle._ascii_hex_decode(b"zz>")
+
+
 def test_encrypted_pdf_is_counted_failure():
     data = bytearray(corpus.make_pdf(15, "a b c d e f g h"))
     data += b"trailer\n<< /Encrypt 9 0 R /Root 1 0 R >>\n%%EOF\n"
