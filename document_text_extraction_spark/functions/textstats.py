@@ -85,6 +85,66 @@ def lang_id_col(text: Column) -> Column:
     return F.when(best_score <= 0, F.lit("und")).otherwise(best_lang)
 
 
+# Gopher-rule bounds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1) —
+# the standard web-corpus quality gate a training pipeline applies
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+
+def gopher_flags_cols(text: Column) -> dict[str, Column]:
+    """Gopher-style quality gate as named boolean columns + the stats
+    they derive from (all JVM expressions; exact SQL analogues exist).
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    >=80% of words contain an alphabetic char; (# + ellipsis) symbol
+    ratio < 0.1 of words. (Line-based bullet/ellipsis rules need
+    multi-line text and live in the span/section layer.)"""
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    mean_len = avg_token_len_col(text)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = alpha / F.greatest(n_words, F.lit(1))
+    hashes = F.length(text) - F.length(F.replace(text, F.lit("#"),
+                                                 F.lit("")))
+    ellipses = (F.length(text)
+                - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = (hashes + ellipses) / F.greatest(n_words, F.lit(1))
+    word_ok = ((n_words >= GOPHER_MIN_WORDS)
+               & (n_words <= GOPHER_MAX_WORDS))
+    len_ok = ((mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+              & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN))
+    alpha_ok = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
+    symbol_ok = symbol_ratio < GOPHER_MAX_SYMBOL_RATIO
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_len,
+        "alpha_word_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "word_count_ok": word_ok,
+        "mean_len_ok": len_ok,
+        "alpha_ok": alpha_ok,
+        "symbol_ok": symbol_ok,
+        "gopher_pass": word_ok & len_ok & alpha_ok & symbol_ok,
+    }
+
+
+def bigrams_col(text: Column) -> Column:
+    """Adjacent word 2-grams (non-distinct — repetition counting needs
+    multiplicity, unlike the dedup shingles)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Exact-dup fingerprint: 64-bit hash of the raw text (O30 analogue —
     dataset-level distinct key)."""

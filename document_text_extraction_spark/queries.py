@@ -703,6 +703,92 @@ SQL_QUALITY = (
 )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality gate (Rae et al. 2021 App. A1.1): word-count
+    bounds, mean-word-length bounds, alphabetic-word fraction, symbol
+    ratio — the standard pre-training corpus filter."""
+    d = _docs(spark, sf_dir)
+    flags = ts.gopher_flags_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        flags["n_words"].alias("n_words"),
+        (F.floor(flags["mean_word_len"] * 1e6) / 1e6)
+        .alias("mean_word_len"),
+        (F.floor(flags["alpha_word_frac"] * 1e6) / 1e6)
+        .alias("alpha_word_frac"),
+        flags["word_count_ok"].alias("word_count_ok"),
+        flags["gopher_pass"].alias("gopher_pass"),
+    )
+
+
+SQL_GOPHER = (
+    "WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+    "length(replace(text, ' ', '')) AS chars, "
+    "length(text) - length(replace(text, '#', '')) AS hashes, "
+    "(length(text) - length(replace(text, '...', ''))) / 3 AS ellipses "
+    "FROM documents), "
+    "t AS (SELECT doc_id, len(toks) AS nw, "
+    "chars / greatest(len(toks), 1) AS ml, "
+    "len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+    "/ greatest(len(toks), 1) AS af, "
+    "(hashes + ellipses) / greatest(len(toks), 1) AS sr FROM s) "
+    "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
+    "floor(ml * 1e6) / 1e6 AS mean_word_len, "
+    "floor(af * 1e6) / 1e6 AS alpha_word_frac, "
+    "nw >= 50 AND nw <= 100000 AS word_count_ok, "
+    "nw >= 50 AND nw <= 100000 AND ml >= 3.0 AND ml <= 10.0 "
+    "AND af >= 0.8 AND sr < 0.1 AS gopher_pass FROM t"
+)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Repetition removal signals: top-bigram mass fraction and unique-
+    word fraction (the duplicate-n-gram family of Gopher/C4 cleaning).
+    Bigram counting is explode → map-side-combined groupBy — no
+    per-document Python, scale-safe."""
+    d = _docs(spark, sf_dir)
+    bg = d.select(
+        "doc_id",
+        F.explode(ts.bigrams_col(F.col("text"))).alias("bg"),
+    )
+    top = (
+        bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top"), F.sum("n").alias("total"))
+    )
+    words = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("nw"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("uw"),
+    )
+    return (
+        words.join(top, "doc_id")
+        .select(
+            "doc_id",
+            (F.floor(F.col("top") / F.col("total") * 1e6) / 1e6)
+            .alias("top_bigram_frac"),
+            (F.floor(F.col("uw") / F.col("nw") * 1e6) / 1e6)
+            .alias("uniq_word_frac"),
+        )
+    )
+
+
+SQL_REPETITION = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1] "
+    "for i in range(1, len(toks))]) AS b FROM w), "
+    "c AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2), "
+    "t AS (SELECT doc_id, max(n) AS top, sum(n) AS total FROM c "
+    "GROUP BY 1), "
+    "s AS (SELECT doc_id, len(toks) AS nw, "
+    "len(list_distinct(toks)) AS uw FROM w) "
+    "SELECT s.doc_id, floor(top / total * 1e6) / 1e6 "
+    "AS top_bigram_frac, floor(CAST(uw AS DOUBLE) / nw * 1e6) / 1e6 "
+    "AS uniq_word_frac FROM s JOIN t ON s.doc_id = t.doc_id"
+)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID heuristic."""
     d = _docs(spark, sf_dir)
@@ -1182,6 +1268,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
+    "gopher_quality": q_gopher_quality,
+    "repetition_stats": q_repetition_stats,
     "lang_id": q_lang_id,
     "skills_match": q_skills_match,
     "topk_longest": q_topk_longest,
@@ -1225,6 +1313,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY,
+    "gopher_quality": SQL_GOPHER,
+    "repetition_stats": SQL_REPETITION,
     "lang_id": SQL_LANG_ID,
     "skills_match": SQL_SKILLS,
     "topk_longest": SQL_TOPK_LONGEST,
