@@ -61,9 +61,13 @@ def test_filter_pushdown_reaches_parquet(spark):
 
 
 def test_analytics_queries_no_cartesian(spark):
+    from document_text_extraction_spark.queries import (
+        q_gopher_quality,
+        q_repetition_stats,
+    )
     for q in (q_token_stats, q_topk_longest, q_sessions_per_user,
               q_sections_planted, q_span_merge_planted, q_positions_zip,
-              q_cv_entities_planted):
+              q_cv_entities_planted, q_gopher_quality, q_repetition_stats):
         assert_pushdown(q(spark, "/root/testdata/sf0.001"),
                         forbid_cartesian=True)
 
