@@ -121,6 +121,56 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     assert got == want, got
 
 
+def test_streaming_windowed_counts_watermark(spark, tmp_path):
+    """Watermarked tumbling-window counts in append mode: a window is
+    emitted once the watermark passes its end; still-open windows stay
+    pending (late-data tolerance)."""
+    import datetime
+    import os
+    from document_text_extraction_spark.streaming import (
+        streaming_windowed_counts,
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    epoch = datetime.datetime(2025, 1, 1)
+
+    def ev(kind, sec, value):
+        return (kind, epoch + datetime.timedelta(seconds=sec), value)
+
+    in_dir = str(tmp_path / "wev")
+    os.makedirs(in_dir)
+    schema = "event_type string, ts timestamp, value double"
+    # batch 1: window [0, 1h) data + one event far enough ahead that the
+    # watermark (10 min delay) passes the first window's end
+    spark.createDataFrame(
+        [ev("click", 10, 1.25), ev("click", 3000, 2.0),
+         ev("view", 100, 0.5), ev("view", 7200, 9.0)],
+        schema).coalesce(1).write.parquet(os.path.join(in_dir, "f1"))
+    # batch 2: only advances processing; its own window stays open
+    spark.createDataFrame(
+        [ev("view", 99000, 1.0)], schema
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(in_dir + "/*"))
+    out = streaming_windowed_counts(stream, window_duration="1 hour",
+                                    watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("wcounts")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "wck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["event_type"], r["window_start"].minute,
+            r["n_events"], r["total_cents"])
+           for r in spark.sql("SELECT * FROM wcounts").collect()}
+    # the [0,1h) windows close mid-stream (watermark 7200s-600s>3600s);
+    # the [2h,3h) window closes in the availableNow final flush (final
+    # watermark 99000s-600s passes its end); the 99000s event's own
+    # window stays pending for late data
+    assert got == {("click", 0, 2, 325), ("view", 0, 1, 50),
+                   ("view", 0, 1, 900)}, got
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
