@@ -158,43 +158,83 @@ def minhash_near_duplicates(
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_doc_freq: int | None = None
+                        ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing >=1 shingle.
 
     Shuffle profile: explode (map-side) → equi-join on shingle →
     groupBy pair. No LSH approximation — the oracle-checkable exact
-    variant; at 100 TB use minhash_near_duplicates instead.
+    variant; at 100 TB use minhash_near_duplicates instead, OR pass
+    ``max_shingle_doc_freq``: shingles appearing in more than that many
+    documents are excluded from *candidate generation* (the classic hot-
+    shingle cap — a shingle in F docs contributes F² join rows, so one
+    boilerplate phrase can dominate the shuffle). The reported jaccard
+    stays EXACT (recomputed from full shingle sets per candidate pair);
+    only pairs whose entire overlap is hot shingles can be missed —
+    such pairs are boilerplate-similar, not content-similar.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), k)))
-        .alias("shingle"),
+    sh_arr = F.array_distinct(shingles_col(F.col(text_col), k))
+    base = df.select(F.col(id_col), sh_arr.alias("shingles"))
+    sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    if max_shingle_doc_freq is None:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        pair_inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        sa = sizes.select(F.col(id_col).alias("id_a"),
+                          F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"),
+                          F.col("n_sh").alias("n_b"))
+        # floor-scaling (not round) so the value is bit-stable vs the
+        # DuckDB oracle: both engines divide the same exact integers
+        jac_raw = (F.col("inter")
+                   / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        return (
+            pair_inter.join(F.broadcast(sa), "id_a")
+            .join(F.broadcast(sb), "id_b")
+            .filter(jac_raw >= threshold)
+            .select(
+                "id_a", "id_b",
+                (F.floor(jac_raw * 1e6) / 1e6).alias("jaccard"),
+            )
+        )
+    # hot-shingle-capped candidate generation + exact verification
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_doc_freq)
+        .select("shingle")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pair_inter = (
+    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"),
-                      F.col("n_sh").alias("n_b"))
-    # floor-scaling (not round) so the value is bit-stable vs the DuckDB
-    # oracle: both engines divide the same exact integers
-    jac_raw = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    cand = (
+        cand.join(base.select(F.col(id_col).alias("id_a"),
+                              F.col("shingles").alias("sh_a")), "id_a")
+        .join(base.select(F.col(id_col).alias("id_b"),
+                          F.col("shingles").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac_raw = inter / union
     return (
-        pair_inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(jac_raw >= threshold)
-        .select(
-            "id_a", "id_b",
-            (F.floor(jac_raw * 1e6) / 1e6).alias("jaccard"),
-        )
+        cand.filter(jac_raw >= threshold)
+        .select("id_a", "id_b",
+                (F.floor(jac_raw * 1e6) / 1e6).alias("jaccard"))
     )
 
 

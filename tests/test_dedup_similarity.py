@@ -69,6 +69,35 @@ def test_minhash_precision_is_exact(spark, near_docs):
         assert pair in exact and abs(exact[pair] - j) < 1e-9
 
 
+def test_ngram_hot_shingle_cap(spark, near_docs):
+    """The hot-shingle cap must (a) be a no-op when no shingle exceeds
+    the cap, and (b) still report EXACT jaccard for surviving pairs
+    while dropping only pairs whose entire overlap is hot."""
+    uncapped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                ngram_jaccard_pairs(near_docs, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              ngram_jaccard_pairs(near_docs, threshold=0.5,
+                                  max_shingle_doc_freq=100).collect()}
+    assert capped == uncapped  # nothing is hot in this corpus
+    # craft a hot shingle: every doc shares one phrase; two docs also
+    # share real content
+    rows = [(i, f"hot hot hot unique{i} a{i} b{i} c{i}") for i in range(30)]
+    rows.append((100, "hot hot hot shared real content words here"))
+    rows.append((101, "hot hot hot shared real content words here extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(df, threshold=0.3,
+                               max_shingle_doc_freq=10).collect()}
+    assert (100, 101) in got  # cold shingles still pair them
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    capped2 = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               ngram_jaccard_pairs(df, threshold=0.3,
+                                   max_shingle_doc_freq=10).collect()}
+    for pair, j in capped2.items():
+        assert abs(exact[pair] - j) < 1e-9  # jaccard stays exact
+
+
 def test_simhash_finds_planted_neardups(spark, near_docs):
     pairs = {(r["id_a"], r["id_b"]) for r in
              simhash_near_duplicates(near_docs, max_hamming=6).collect()}
