@@ -50,6 +50,31 @@ def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def deduplicate_keep_first(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """The dedup *transform* (not the report): keep exactly one row per
+    exact-duplicate group — the lowest id ("first capture wins", the
+    crawl-dedup policy). One window over the fingerprint hash; no join.
+    """
+    from pyspark.sql import Window as W
+    fp = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    w = W.partitionBy(fp).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def canonical_text_col(text: Column) -> Column:
+    """Dedup canonicalization: casefold, strip punctuation, collapse
+    whitespace — the standard pre-fingerprint normalization so trivial
+    formatting variants hash identically."""
+    low = F.lower(text)
+    stripped = F.regexp_replace(low, r"[^\w\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 def minhash_signature_df(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 3,
                          num_hashes: int = 32) -> DataFrame:

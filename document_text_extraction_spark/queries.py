@@ -653,6 +653,91 @@ SQL_DEDUP_EXACT = (
 )
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    """The dedup TRANSFORM (lowest-id survivor per exact-dup group —
+    'first capture wins'), not just the group report."""
+    survivors = dedup.deduplicate_keep_first(_dup_docs(spark, sf_dir))
+    return survivors.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fingerprint"),
+    )
+
+
+SQL_DEDUP_KEEP_FIRST = (
+    f"WITH all_docs AS ({DUP_DOCS_SQL}), "
+    "r AS (SELECT doc_id, md5(text) AS fp, row_number() OVER "
+    "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM all_docs) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, fp AS fingerprint "
+    "FROM r WHERE rn = 1"
+)
+
+
+def q_canonical_text(spark, sf_dir):
+    """Pre-fingerprint text canonicalization (casefold + punctuation
+    strip + whitespace collapse): formatting variants of the same text
+    must produce identical canonical forms."""
+    d = _docs(spark, sf_dir)
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.upper(F.col("text")), F.lit("  !!  ")),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        dedup.canonical_text_col(messy).alias("canonical"),
+        (dedup.canonical_text_col(messy)
+         == dedup.canonical_text_col(F.col("text"))).alias("variant_equal"),
+    )
+
+
+SQL_CANONICAL_TEXT = (
+    "WITH p AS (SELECT doc_id, text, CASE WHEN doc_id % 2 = 0 THEN "
+    "upper(text) || '  !!  ' ELSE text END AS m FROM documents), "
+    "c AS (SELECT doc_id, "
+    r"trim(regexp_replace(regexp_replace(lower(m), '[^\w\s]', '', 'g'), "
+    r"'\s+', ' ', 'g')) AS canonical, "
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', "
+    r"'g'), '\s+', ' ', 'g')) AS canon0 FROM p) "
+    "SELECT doc_id, canonical, canonical = canon0 AS variant_equal FROM c"
+)
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization on planted messy URLs (mixed case, default
+    ports, unsorted query params, fragments, trailing slashes)."""
+    from .functions.urls import canonical_url_col
+    d = _docs(spark, sf_dir)
+    u = F.concat(
+        F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".ORG:443/Path"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("?b=2&a="), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return d.select("doc_id", canonical_url_col(u).alias("canonical_url"))
+
+
+def _url_canonical_sql() -> str:
+    from .functions.urls import CANONICAL_URL_SQL
+    plant = (
+        "'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.ORG:443/Path' || CAST(doc_id AS VARCHAR) || "
+        "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+        "CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=' || "
+        "CAST(doc_id AS VARCHAR) ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"
+    )
+    return (
+        f"WITH p AS (SELECT doc_id, {plant} AS u FROM documents) "
+        f"SELECT doc_id, {CANONICAL_URL_SQL} AS canonical_url FROM p"
+    )
+
+
+SQL_URL_CANONICAL = _url_canonical_sql()
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting (whitespace) + uniq + avg token length."""
     d = _docs(spark, sf_dir)
@@ -1266,6 +1351,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sections_planted": q_sections_planted,
     "span_merge_planted": q_span_merge_planted,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_first": q_dedup_keep_first,
+    "canonical_text": q_canonical_text,
+    "url_canonical": q_url_canonical,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "gopher_quality": q_gopher_quality,
@@ -1311,6 +1399,9 @@ ORACLE_SQL: dict[str, str] = {
     "sections_planted": SQL_SECTIONS_PLANTED,
     "span_merge_planted": SQL_SPAN_MERGE,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
+    "canonical_text": SQL_CANONICAL_TEXT,
+    "url_canonical": SQL_URL_CANONICAL,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY,
     "gopher_quality": SQL_GOPHER,

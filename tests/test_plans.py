@@ -2,6 +2,8 @@
 plans Catalyst produces (column pruning, single shuffle, no cartesians).
 """
 
+import re
+
 from pyspark.sql import functions as F
 
 from document_text_extraction_spark import pipeline
@@ -70,6 +72,30 @@ def test_analytics_queries_no_cartesian(spark):
               q_cv_entities_planted, q_gopher_quality, q_repetition_stats):
         assert_pushdown(q(spark, "/root/testdata/sf0.001"),
                         forbid_cartesian=True)
+
+
+def test_ivf_partitioned_layout_prunes_scan(spark, tmp_path):
+    """The IVF scale path: writing the index partitioned by list_id
+    makes a probe read only the probed lists — PartitionFilters on the
+    scan, not a post-scan filter (at 10^12 rows this is the difference
+    between reading n_probe/n_lists of the data and all of it)."""
+    from document_text_extraction_spark.operators.similarity import (
+        ivf_assign_col,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = (emb.filter(F.col("vec_id") < 16)
+          .orderBy("vec_id").collect())
+    centroids = [[float(x) for x in r["embedding"]] for r in cb]
+    p = str(tmp_path / "ivf")
+    (emb.withColumn("list_id", ivf_assign_col(centroids,
+                                              F.col("embedding")))
+     .write.partitionBy("list_id").parquet(p))
+    probe = spark.read.parquet(p).filter(F.col("list_id").isin(0, 3, 7))
+    rep = plan_report(probe)
+    m = re.search(r"PartitionFilters: \[(.*?)\]", rep["plan"])
+    assert m and "list_id" in m.group(1), rep["plan"]
+    assert rep["pushed_filters"] == [], (
+        "probe predicate should be a partition filter, not a data filter")
 
 
 def test_topk_is_take_ordered(spark):
