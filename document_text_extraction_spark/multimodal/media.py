@@ -175,6 +175,86 @@ def extract_media_features(media: DataFrame,
     return keyed.mapInPandas(_feature_batch, schema=MEDIA_FEATURE_SCHEMA)
 
 
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decode (documented stand-in for
+    ``_decode_pixels`` — codecs absent in this container): an (h, w, 3)
+    uint8 array derived from md5(payload), so the resize math downstream
+    is real and testable while the codec is swapped in at deployment."""
+    seed = hashlib.md5(payload or b"").digest()
+    base = np.frombuffer(seed, dtype=np.uint8)
+    n = max(1, width) * max(1, height) * 3
+    reps = -(-n // len(base))
+    return np.tile(base, reps)[:n].reshape(max(1, height), max(1, width), 3)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),
+    T.StructField("status", T.StringType()),
+])
+
+
+def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64,
+                  partitions: int | None = None) -> DataFrame:
+    """Image resize as an Arrow-batched map: header dims → decode
+    (deployment hook; deterministic fake here) → vectorized
+    nearest-neighbor resample → fixed-size pixel buffer per row.
+
+    The resample is pure numpy index arithmetic over the whole image
+    (no per-pixel Python); a deployment replaces ``_fake_pixels`` with
+    the real decoder and keeps everything else."""
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for b in batches:
+            out = []
+            for mid, payload, w, h in zip(
+                b["media_id"], b["payload"], b["width"], b["height"]
+            ):
+                w = int(w) if w and w > 0 else 16
+                h = int(h) if h and h > 0 else 16
+                try:
+                    px = _decode_pixels(bytes(payload or b""))
+                except NotImplementedError:
+                    px = _fake_pixels(bytes(payload or b""), w, h)
+                # nearest-neighbor: one fancy-index gather
+                ys = (np.arange(out_h) * px.shape[0]) // out_h
+                xs = (np.arange(out_w) * px.shape[1]) // out_w
+                resized = px[ys][:, xs]
+                out.append((int(mid), out_w, out_h,
+                            resized.tobytes(), "ok"))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             RESIZED_SCHEMA.fields])
+
+    imgs = media.filter(F.col("kind") == "image")
+    keyed = imgs.repartition(partitions or 64, F.xxhash64("media_id"))
+    return keyed.mapInPandas(batch, schema=RESIZED_SCHEMA)
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunking plan: one row per (media_id, chunk_start_ms) —
+    JVM-side explode over the duration; decode happens per chunk in the
+    deployment's decoder (same shape as frame_sample_plan)."""
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(
+            "media_id", "duration_ms",
+            F.explode(
+                F.sequence(F.lit(0),
+                           F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                           F.lit(chunk_ms))
+            ).alias("chunk_start_ms"),
+        )
+        .withColumn(
+            "chunk_end_ms",
+            F.least(F.col("chunk_start_ms") + chunk_ms,
+                    F.col("duration_ms")),
+        )
+        .drop("duration_ms")
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts) —
     the explode is JVM-side; actual frame decode is the stubbed hook."""

@@ -199,6 +199,35 @@ def test_media_features(spark, media):
     assert (feats["byte_entropy"] > 0).all()
 
 
+def test_media_resize_plumbing(spark, media):
+    """Resize batch shape: fixed out-dims, correct buffer size per row,
+    deterministic across partitionings (fake decode is md5-derived)."""
+    from document_text_extraction_spark.multimodal.media import (
+        resize_images,
+    )
+    a = resize_images(media, out_w=32, out_h=16, partitions=4).toPandas()
+    assert len(a) == 30  # 90 rows / 3 kinds
+    assert (a["status"] == "ok").all()
+    assert all(len(p) == 32 * 16 * 3 for p in a["pixels"])
+    b = resize_images(media.repartition(7), out_w=32, out_h=16,
+                      partitions=2).toPandas()
+    am = dict(zip(a["media_id"], a["pixels"]))
+    bm = dict(zip(b["media_id"], b["pixels"]))
+    assert am == bm
+
+
+def test_audio_chunk_plan(spark, media):
+    from document_text_extraction_spark.multimodal.media import (
+        audio_chunk_plan,
+    )
+    chunks = audio_chunk_plan(media, chunk_ms=5000).toPandas()
+    assert (chunks["chunk_end_ms"] > chunks["chunk_start_ms"]).all()
+    src = {r[0]: r[6] for r in synth_media_rows(90) if r[1] == "audio"}
+    per = chunks.groupby("media_id").size()
+    for mid, n in per.items():
+        assert n == -(-src[mid] // 5000), mid  # ceil(duration/chunk)
+
+
 def test_media_decode_is_stubbed():
     from document_text_extraction_spark.multimodal.media import (
         _decode_pixels,
