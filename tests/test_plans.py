@@ -98,6 +98,31 @@ def test_ivf_partitioned_layout_prunes_scan(spark, tmp_path):
         "probe predicate should be a partition filter, not a data filter")
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join via bucketBy: two tables bucketed+sorted on the
+    join key merge-join with ZERO exchanges — the pre-shuffle layout a
+    100 TB pipeline uses for repeated doc_id joins (extraction output ⋈
+    quality scores ⋈ dedup verdicts)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    left = docs.select("doc_id", "n_chars")
+    right = docs.select("doc_id", "lang")
+    for name, df in (("bkt_left", left), ("bkt_right", right)):
+        (df.write.mode("overwrite").format("parquet")
+         .bucketBy(8, "doc_id").sortBy("doc_id")
+         .option("path", str(tmp_path / name)).saveAsTable(name))
+    # hint("merge") pins SortMergeJoin (the tiny test table would
+    # otherwise broadcast — at real scale SMJ is the only option and
+    # the bucket layout is what removes its exchanges AND its sorts)
+    j = (spark.table("bkt_left").hint("merge")
+         .join(spark.table("bkt_right"), "doc_id"))
+    rep = plan_report(j)
+    assert rep["n_exchanges"] == 0, rep["plan"]
+    assert "SortMergeJoin" in rep["plan"], rep["plan"]
+    assert j.count() == docs.count()
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
 def test_topk_is_take_ordered(spark):
     s = plan_report(q_topk_longest(spark, "/root/testdata/sf0.001"))["plan"]
     assert "TakeOrderedAndProject" in s, (
