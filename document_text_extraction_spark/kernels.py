@@ -410,6 +410,8 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     )
     spans = [spans_per_doc.get(i, []) if status[i] == "ok" else []
              for i in range(n)]
+    sections = [oracle.sections_from_spans(sp) if status[i] == "ok" else []
+                for i, sp in enumerate(spans)]
     fields = _fields_batch(texts, headings)
     empty_fields = dict(oracle.EMPTY_FIELDS)
     fields = pd.Series(
@@ -425,6 +427,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         "extracted_text": texts.to_numpy(),
         "spans": spans,
         "fields": fields.to_numpy(),
+        "sections": sections,
         "n_pages": n_pages,
         "n_blocks": np.array([len(s) for s in spans], dtype=np.int64),
         "elapsed_ms": elapsed,

@@ -14,13 +14,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-SECTION_KEYWORDS = {
-    "experience": "experience",
-    "education": "education",
-    "skills": "skills",
-    "projects": "projects",
-    "summary": "summary",
-}
+# single source of truth for O48 keyword normalization (the per-doc
+# form in oracle.sections_from_spans shares it)
+from ..oracle import SECTION_KEYWORDS  # noqa: F401
 
 
 def normalize_section_name(col) -> F.Column:

@@ -977,6 +977,58 @@ EMPTY_FIELDS = {
     "skills": [],
 }
 
+# O48 keyword → canonical section name (shared with the dataset-level
+# operators/sections.py so the two cannot drift)
+SECTION_KEYWORDS = {
+    "experience": "experience",
+    "education": "education",
+    "skills": "skills",
+    "projects": "projects",
+    "summary": "summary",
+}
+_SECTION_CONTENT_KINDS = frozenset({"main", "heading", "list_item"})
+
+
+def normalize_section_name(name: str) -> str:
+    """O48: keyword → canonical; else lowercased/underscored
+    (``final.py:171-186``)."""
+    low = name.lower()
+    for kw, canon in SECTION_KEYWORDS.items():
+        if kw in low:
+            return canon
+    return _WS_RE.sub("_", low.strip())
+
+
+def sections_from_spans(spans: list[dict]) -> list[dict]:
+    """O58 per-document section segmentation: headings open sections,
+    blocks before the first heading form '_preamble' (O43/O64 fallback).
+    The per-document form of ``operators/sections.sections_df`` —
+    reference emits sections in its single-pass output
+    (``final.py:370-395``)."""
+    sections: list[dict] = []
+    cur = None
+    for s in spans:
+        if s["kind"] not in _SECTION_CONTENT_KINDS:
+            continue
+        if s["kind"] == "heading":
+            if cur is not None:
+                sections.append(cur)
+            cur = {"section": normalize_section_name(s["text"]),
+                   "heading": s["text"], "body": [], "n_blocks": 1}
+        else:
+            if cur is None:
+                cur = {"section": "_preamble", "heading": None,
+                       "body": [], "n_blocks": 0}
+            cur["body"].append(s["text"])
+            cur["n_blocks"] += 1
+    if cur is not None:
+        sections.append(cur)
+    return [
+        {"section": c["section"], "heading": c["heading"],
+         "body": "\n".join(c["body"]), "n_blocks": c["n_blocks"]}
+        for c in sections
+    ]
+
 
 def fail_reason(exc: Exception) -> str:
     """Stable failure-class code for ``lineage.reason`` (shared by the
@@ -1015,12 +1067,14 @@ def extract_document(data: bytes) -> dict:
                 "status": "parse_failure", "route": route,
                 "reason": "unknown_route",
                 "extracted_text": "", "spans": [],
-                "fields": dict(EMPTY_FIELDS), "n_pages": 0, "n_blocks": 0,
+                "fields": dict(EMPTY_FIELDS), "sections": [],
+                "n_pages": 0, "n_blocks": 0,
             }
         return {
             "status": "ok", "route": route, "reason": None,
             "extracted_text": text, "spans": spans,
             "fields": extract_fields(text, spans),
+            "sections": sections_from_spans(spans),
             "n_pages": n_pages, "n_blocks": len(spans),
         }
     except Exception as e:
@@ -1028,5 +1082,6 @@ def extract_document(data: bytes) -> dict:
             "status": "parse_failure", "route": route,
             "reason": fail_reason(e),
             "extracted_text": "", "spans": [],
-            "fields": dict(EMPTY_FIELDS), "n_pages": 0, "n_blocks": 0,
+            "fields": dict(EMPTY_FIELDS), "sections": [],
+            "n_pages": 0, "n_blocks": 0,
         }

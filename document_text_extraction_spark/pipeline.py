@@ -68,6 +68,13 @@ FIELDS_TYPE = T.StructType([
     T.StructField("skills", T.ArrayType(T.StringType())),     # O49
 ])
 
+SECTION_TYPE = T.StructType([
+    T.StructField("section", T.StringType()),
+    T.StructField("heading", T.StringType()),   # null for _preamble
+    T.StructField("body", T.StringType()),
+    T.StructField("n_blocks", T.IntegerType()),
+])
+
 LINEAGE_TYPE = T.StructType([
     T.StructField("status", T.StringType()),
     T.StructField("route", T.StringType()),
@@ -85,6 +92,7 @@ OUTPUT_SCHEMA = T.StructType([
     T.StructField("extracted_text", T.StringType()),
     T.StructField("spans", T.ArrayType(SPAN_TYPE)),
     T.StructField("fields", FIELDS_TYPE),
+    T.StructField("sections", T.ArrayType(SECTION_TYPE)),
     T.StructField("lineage", LINEAGE_TYPE),
     T.StructField("part_bucket", T.IntegerType()),
 ])
@@ -126,6 +134,7 @@ def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "extracted_text": out["extracted_text"],
             "spans": out["spans"],
             "fields": out["fields"],
+            "sections": out["sections"],
             "lineage": lineage,
             "part_bucket": b["part_bucket"].to_numpy(),
         })

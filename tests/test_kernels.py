@@ -28,6 +28,7 @@ def _check_equivalence(rows):
         assert int(got["n_blocks"]) == ref["n_blocks"], i
         assert got["spans"] == ref["spans"], i
         assert got["fields"] == ref["fields"], i
+        assert got["sections"] == ref["sections"], i
 
 
 def test_batch_equivalence_200_mixed_docs():

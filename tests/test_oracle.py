@@ -417,6 +417,25 @@ def test_gzip_docx_route():
     assert rec["extracted_text"] == golden_text(words)
 
 
+def test_sections_in_single_pass_output():
+    """O58 per-document: headings in main content open sections;
+    pre-heading blocks form _preamble; keyword names normalize."""
+    doc = (b"<html><body><article><p>intro text here</p>"
+           b"<h2>Work Experience</h2><p>built systems</p>"
+           b"<p>shipped features</p><h2>Odd Header</h2>"
+           b"<p>tail content</p></article></body></html>")
+    rec = oracle.extract_document(doc)
+    assert rec["status"] == "ok"
+    secs = rec["sections"]
+    assert [s["section"] for s in secs] == [
+        "_preamble", "experience", "odd_header"]
+    assert secs[0]["heading"] is None
+    assert secs[1]["heading"] == "Work Experience"
+    assert secs[1]["body"] == "built systems\nshipped features"
+    assert secs[1]["n_blocks"] == 3  # heading + 2 body blocks
+    assert secs[2]["body"] == "tail content"
+
+
 def test_plain_zip_is_unknown():
     import io, zipfile
     buf = io.BytesIO()
