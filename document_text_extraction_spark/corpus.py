@@ -9,12 +9,12 @@ the DuckDB oracle SQL can all regenerate / predict the same payloads.
 
 Route mix (cf. FIXTURES.md §1): ``doc_id % 20`` → 0..13 HTML (slot 12 is
 DOCX, every other one gzip-wrapped; slot 13 gzip HTML), 14..18 PDF (even
-ids FlateDecode-compressed; slot 18 is PDF 1.5 with object + xref
-streams; every other slot-14 doc, ``doc_id % 40 == 34``, uses a Type0
-font with a ToUnicode CMap; ``%40 == 35/36/37`` exercise the
-ASCIIHexDecode / [ASCIIHex+Flate chain] / RunLengthDecode filters),
-19 malformed (LZW-filtered / truncated / binary noise by
-``doc_id % 3``).  The HTML route wraps the document's
+ids FlateDecode-compressed; ``doc_id % 40 == 18`` is PDF 1.5 with
+object + xref streams and ``%40 == 38`` is LZW-compressed;
+``%40 == 34`` uses a Type0 font with a ToUnicode CMap;
+``%40 == 35/36/37`` exercise the ASCIIHexDecode /
+[ASCII85+Flate chain] / RunLengthDecode filters), 19 malformed
+(JBIG2-declared / truncated / binary noise by ``doc_id % 3``).  The HTML route wraps the document's
 main text in boilerplate (link-dense nav/header/aside/ads/footer — the
 ground truth for the text-density/link-density classifier, the web-native
 analogue of the reference's histogram-valley separators,
@@ -37,7 +37,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -251,6 +251,59 @@ def _rle_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF-variant LZW encoder (MSB-first 9–12 bit codes, 256=clear,
+    257=EOD, EarlyChange=1) — produces streams for the parser's
+    ``oracle._lzw_decode`` and any spec-conforming reader."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    bits = 9
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << bits) | code
+        nbits += bits
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+            buf &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code == 4096:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            bits = 9
+        else:
+            table[wc] = next_code
+            next_code += 1
+            # EarlyChange=1 alignment: the decoder's table is one entry
+            # behind the encoder's (its first code appends nothing), so
+            # the encoder widens at 1<<bits exactly when the decoder's
+            # early-change rule (size+1 >= 1<<bits) fires
+            if next_code >= (1 << bits) and bits < 12:
+                bits += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(EOD)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _encode_stream(content: bytes, filter_mode: str | None) -> tuple:
     """(stream bytes, /Filter dict fragment) for a content stream."""
     import zlib
@@ -263,6 +316,12 @@ def _encode_stream(content: bytes, filter_mode: str | None) -> tuple:
         # decoding order = listed order: AHx first, then Flate
         return (zlib.compress(content, 6).hex().encode("ascii") + b">",
                 b" /Filter [/ASCIIHexDecode /FlateDecode]")
+    if filter_mode == "a85+flate":
+        import base64
+        return (base64.a85encode(zlib.compress(content, 6)) + b"~>",
+                b" /Filter [/ASCII85Decode /FlateDecode]")
+    if filter_mode == "lzw":
+        return _lzw_encode(content), b" /Filter /LZWDecode"
     if filter_mode == "rle":
         return _rle_encode(content), b" /Filter /RunLengthDecode"
     return content, b""
@@ -569,20 +628,20 @@ def make_junk(doc_id: int) -> bytes:
     ``/root/reference/batch_multi_column.py:573-592``).
 
     Variants by doc_id % 3: 0 → structurally-valid PDF whose content
-    stream declares /LZWDecode (a filter we intentionally do not
-    implement → reason=unsupported_filter); 1 → PDF magic truncated
-    mid-structure (reason=no_streams); 2 → binary noise
+    stream declares /JBIG2Decode (a raster-image codec we intentionally
+    do not implement → reason=unsupported_filter); 1 → PDF magic
+    truncated mid-structure (reason=no_streams); 2 → binary noise
     (reason=unknown_route)."""
     v = doc_id % 3
     if v == 0:
-        payload = hashlib.md5(b"lzw:%d" % doc_id).digest() * 4
+        payload = hashlib.md5(b"jbig2:%d" % doc_id).digest() * 4
         return (
             b"%%PDF-1.4\n"
             b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
             b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
             b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
             b"endobj\n"
-            b"4 0 obj\n<< /Length %d /Filter /LZWDecode >>\nstream\n%s\n"
+            b"4 0 obj\n<< /Length %d /Filter /JBIG2Decode >>\nstream\n%s\n"
             b"endstream\nendobj\n"
             b"trailer\n<< /Root 1 0 R >>\n%%%%EOF\n"
             % (len(payload), payload)
@@ -616,16 +675,18 @@ def payload_for(doc_id: int, text: str) -> bytes:
             return gzip.compress(raw, compresslevel=6, mtime=0)
         return raw
     if route == "pdf":
-        if doc_id % 20 == 18:
+        if doc_id % 40 == 18:
             # PDF 1.5: object streams + xref stream
             return make_pdf15(doc_id, text)
+        if doc_id % 40 == 38:
+            return make_pdf(doc_id, text, filter_mode="lzw")
         if doc_id % 40 == 34:
             # Type0 font + ToUnicode CMap (non-latin-capable route)
             return make_pdf_cmap(doc_id, text)
         if doc_id % 40 == 35:
             return make_pdf(doc_id, text, filter_mode="ahx")
         if doc_id % 40 == 36:
-            return make_pdf(doc_id, text, filter_mode="ahx+flate")
+            return make_pdf(doc_id, text, filter_mode="a85+flate")
         if doc_id % 40 == 37:
             return make_pdf(doc_id, text, filter_mode="rle")
         return make_pdf(doc_id, text)

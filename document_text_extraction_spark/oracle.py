@@ -243,6 +243,71 @@ def _ascii_hex_decode(data: bytes) -> bytes:
                             code="bad_filter_data") from e
 
 
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode: Adobe base-85 with optional <~ prefix and ~> EOD,
+    whitespace ignored (PDF 1.7 §7.4.3)."""
+    import base64
+    body = _HEXWS_RE.sub(b"", data)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    end = body.find(b"~")
+    if end != -1:
+        body = body[:end]
+    try:
+        return base64.a85decode(body)
+    except ValueError as e:
+        raise PdfParseError(f"bad ASCII85 stream: {e}",
+                            code="bad_filter_data") from e
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode (PDF 1.7 §7.4.4 / TIFF variant): MSB-first variable
+    9–12 bit codes, 256=clear, 257=EOD, EarlyChange=1 (the code width
+    grows one code early — the PDF default)."""
+    out = bytearray()
+    CLEAR, EOD = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits = 9
+    prev: bytes | None = None
+    buf = 0
+    nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            nbits -= bits
+            code = (buf >> nbits) & ((1 << bits) - 1)
+            buf &= (1 << nbits) - 1
+            if code == CLEAR:
+                table = table[:258]
+                bits = 9
+                prev = None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfParseError("bad initial LZW code",
+                                        code="bad_filter_data")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]  # KwKwK case
+                else:
+                    raise PdfParseError("LZW code out of range",
+                                        code="bad_filter_data")
+                table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            # EarlyChange=1: width grows when the NEXT code to assign
+            # would be (1<<bits)-1
+            if len(table) >= (1 << bits) - 1 and bits < 12:
+                bits += 1
+    return bytes(out)
+
+
 def _run_length_decode(data: bytes) -> bytes:
     """RunLengthDecode: length byte l<128 → copy l+1 literal bytes;
     l>128 → repeat next byte 257-l times; 128 = EOD (PDF 1.7 §7.4.5)."""
@@ -263,10 +328,12 @@ def _run_length_decode(data: bytes) -> bytes:
 
 def _apply_stream_filters(data: bytes, head: bytes) -> bytes:
     """Decode the stream's /Filter chain in listed order. Supported:
-    FlateDecode, ASCIIHexDecode, RunLengthDecode (stdlib-expressible);
-    anything else (LZW, DCT, A85, CCITT, JBIG2, JPX, Crypt) raises a
-    counted ``unsupported_filter`` failure, never silently-corrupt
-    output — the reference inherits the full set from MuPDF/pdfplumber
+    every *text-relevant* filter — FlateDecode, LZWDecode,
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode; the remaining
+    filters are raster-image codecs (DCT, CCITT, JBIG2, JPX) or
+    encryption (Crypt) and raise a counted ``unsupported_filter``
+    failure, never silently-corrupt output — the reference inherits the
+    full set from MuPDF/pdfplumber
     (``/root/reference/approach4_v1.py:21-31``)."""
     fm = _FILTER_ENTRY_RE.search(head)
     if fm is None:
@@ -284,8 +351,12 @@ def _apply_stream_filters(data: bytes, head: bytes) -> bytes:
             except zlib.error as e:
                 raise PdfParseError(f"bad FlateDecode stream: {e}",
                                     code="bad_flate") from e
+        elif name == b"LZWDecode":
+            data = _lzw_decode(data)
         elif name == b"ASCIIHexDecode":
             data = _ascii_hex_decode(data)
+        elif name == b"ASCII85Decode":
+            data = _ascii85_decode(data)
         elif name == b"RunLengthDecode":
             data = _run_length_decode(data)
         else:

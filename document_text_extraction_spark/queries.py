@@ -181,18 +181,18 @@ SQL_EXTRACT_PDF = (
 
 def q_extract_pdf15_roundtrip(spark, sf_dir):
     """O36 byte-identity on the PDF 1.5 slot (object streams + xref
-    stream, doc_id%20==18): the modern layout most post-2005 crawl PDFs
+    stream, doc_id%40==18): the modern layout most post-2005 crawl PDFs
     use. Same golden text as the 1.4 path."""
     out = _extracted(spark, sf_dir)
     return (
-        out.filter(F.col("doc_id") % 20 == 18)
+        out.filter(F.col("doc_id") % 40 == 18)
         .select("doc_id", "extracted_text")
     )
 
 
 SQL_EXTRACT_PDF15 = (
     f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
-    "FROM documents WHERE doc_id % 20 = 18"
+    "FROM documents WHERE doc_id % 40 = 18"
 )
 
 
@@ -215,18 +215,19 @@ SQL_EXTRACT_PDF_CMAP = (
 
 def q_extract_pdf_filters_roundtrip(spark, sf_dir):
     """O36 byte-identity across the implemented stream-filter set:
-    ASCIIHexDecode (doc_id%40==35), an [ASCIIHex → Flate] chain (36)
-    and RunLengthDecode (37)."""
+    ASCIIHexDecode (doc_id%40==35), an [ASCII85 → Flate] chain (36),
+    RunLengthDecode (37) and LZWDecode (38) — every text-relevant
+    filter; only raster-image codecs remain counted failures."""
     out = _extracted(spark, sf_dir)
     return (
-        out.filter((F.col("doc_id") % 40).isin(35, 36, 37))
+        out.filter((F.col("doc_id") % 40).isin(35, 36, 37, 38))
         .select("doc_id", "extracted_text")
     )
 
 
 SQL_EXTRACT_PDF_FILTERS = (
     f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
-    "FROM documents WHERE doc_id % 40 IN (35, 36, 37)"
+    "FROM documents WHERE doc_id % 40 IN (35, 36, 37, 38)"
 )
 
 

@@ -375,7 +375,9 @@ def test_pdf_cmap_multipage_and_bfrange():
 @pytest.mark.parametrize("mode,marker", [
     ("ahx", b"/ASCIIHexDecode"),
     ("ahx+flate", b"[/ASCIIHexDecode /FlateDecode]"),
+    ("a85+flate", b"[/ASCII85Decode /FlateDecode]"),
     ("rle", b"/RunLengthDecode"),
+    ("lzw", b"/LZWDecode"),
 ])
 def test_pdf_filter_variants_roundtrip(mode, marker):
     words = " ".join(f"f{i}" for i in range(80))
@@ -390,6 +392,38 @@ def test_rle_codec_runs_and_literals():
                     b"x" * 129, b"lit" + b"z" * 200 + b"tail"):
         assert oracle._run_length_decode(
             corpus._rle_encode(payload)) == payload
+
+
+def test_lzw_codec_roundtrip_across_width_boundaries():
+    """Encoder/decoder stay code-width-synchronized across the 9→10→11→
+    12-bit boundaries (EarlyChange=1) and the 4096-entry dict reset."""
+    import hashlib as _h
+    cases = [
+        b"", b"A", b"ABABABABAB", b"aaaaaaaaaaaaaaaa",
+        bytes(range(256)) * 3,
+        b"the quick brown fox " * 100,          # crosses 511 and 1023
+        b"".join(_h.md5(b"%d" % i).digest() for i in range(1500)),  # reset
+    ]
+    for payload in cases:
+        enc = corpus._lzw_encode(payload)
+        assert oracle._lzw_decode(enc) == payload, payload[:40]
+
+
+def test_ascii85_decode_forms():
+    import base64
+    raw = b"hello \x00\x00\x00\x00 world \xff"
+    enc = base64.a85encode(raw)
+    assert oracle._ascii85_decode(enc + b"~>") == raw
+    assert oracle._ascii85_decode(b"<~" + enc + b"~>") == raw
+    assert oracle._ascii85_decode(enc[:6] + b"\n " + enc[6:] + b"~>") == raw
+    with pytest.raises(oracle.PdfParseError):
+        oracle._ascii85_decode(b"\x01\x02~>")
+
+
+def test_jbig2_junk_is_counted_unsupported():
+    rec = oracle.extract_document(corpus.make_junk(0))
+    assert rec["status"] == "parse_failure"
+    assert rec["reason"] == "unsupported_filter"
 
 
 def test_ascii_hex_decode_forms():

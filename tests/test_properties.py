@@ -159,6 +159,15 @@ def test_truncated_pdf15_never_crashes(suffix):
         _equiv([payload])
 
 
+@given(st.binary(min_size=0, max_size=5000))
+@settings(**_SETTINGS)
+def test_lzw_codec_roundtrip_property(payload):
+    """corpus._lzw_encode ∘ oracle._lzw_decode == identity on arbitrary
+    bytes (exercises KwKwK, width growth and compressible runs)."""
+    assert oracle._lzw_decode(corpus._lzw_encode(payload)) == payload
+    assert oracle._lzw_decode(corpus._lzw_encode(payload * 3)) == payload * 3
+
+
 _PDF_OPS = st.sampled_from([
     "BT", "ET", "12 Tf", "/F1", "72 700 Td", "0 -14 TD", "T*", "14 TL",
     "(text here) Tj", "(a\\(b\\)c) Tj", "[(x) -20 (y)] TJ", "' ",
