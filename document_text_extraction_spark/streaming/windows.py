@@ -13,6 +13,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def streaming_dedup(stream: DataFrame, key_cols: list[str],
+                    ts_col: str = "ts",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: first record per key wins; the watermark
+    bounds the dedup state (keys older than it are evicted — the
+    streaming form of `deduplicate_keep_first`, with the same
+    'first capture wins' semantics inside the watermark horizon)."""
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(list(key_cols))
+    )
+
+
 def streaming_windowed_counts(events: DataFrame,
                               window_duration: str = "1 hour",
                               slide: str | None = None,

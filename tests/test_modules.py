@@ -171,6 +171,41 @@ def test_streaming_windowed_counts_watermark(spark, tmp_path):
                    ("view", 0, 1, 900)}, got
 
 
+def test_streaming_dedup_first_wins(spark, tmp_path):
+    """Streaming exact dedup: re-crawled urls across micro-batches are
+    dropped (state keyed by url, bounded by the watermark)."""
+    import datetime
+    import os
+    from document_text_extraction_spark.streaming import streaming_dedup
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    epoch = datetime.datetime(2025, 1, 1)
+    in_dir = str(tmp_path / "dup")
+    os.makedirs(in_dir)
+    schema = "url string, ts timestamp, body string"
+
+    def row(u, sec, b):
+        return (u, epoch + datetime.timedelta(seconds=sec), b)
+
+    spark.createDataFrame(
+        [row("a", 0, "first-a"), row("b", 1, "first-b"),
+         row("a", 2, "dup-a-same-batch")],
+        schema).coalesce(1).write.parquet(os.path.join(in_dir, "f1"))
+    spark.createDataFrame(
+        [row("a", 100, "dup-a-next-batch"), row("c", 101, "first-c")],
+        schema).coalesce(1).write.parquet(os.path.join(in_dir, "f2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir + "/*"))
+    q = (streaming_dedup(stream, ["url"], watermark="1 hour")
+         .writeStream.format("memory").queryName("dedup_s")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["url"], r["body"])
+           for r in spark.sql("SELECT url, body FROM dedup_s").collect()}
+    assert got == {("a", "first-a"), ("b", "first-b"), ("c", "first-c")}
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
