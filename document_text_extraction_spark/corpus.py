@@ -13,7 +13,8 @@ ids FlateDecode-compressed; ``doc_id % 40 == 18`` is PDF 1.5 with
 object + xref streams and ``%40 == 38`` is LZW-compressed;
 ``%40 == 34`` uses a Type0 font with a ToUnicode CMap;
 ``%40 == 35/36/37`` exercise the ASCIIHexDecode /
-[ASCII85+Flate chain] / RunLengthDecode filters), 19 malformed
+[ASCII85+Flate chain] / RunLengthDecode filters;
+``%80 == 16/56`` Flate + PNG / TIFF /Predictor), 19 malformed
 (JBIG2-declared / truncated / binary noise by ``doc_id % 3``).  The HTML route wraps the document's
 main text in boilerplate (link-dense nav/header/aside/ads/footer — the
 ground truth for the text-density/link-density classifier, the web-native
@@ -37,7 +38,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -324,7 +325,67 @@ def _encode_stream(content: bytes, filter_mode: str | None) -> tuple:
         return _lzw_encode(content), b" /Filter /LZWDecode"
     if filter_mode == "rle":
         return _rle_encode(content), b" /Filter /RunLengthDecode"
+    if filter_mode == "pred-png":
+        cols = 59
+        return (zlib.compress(_png_predict_encode(content, cols), 6),
+                b" /Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 15 /Columns %d >>" % cols)
+    if filter_mode == "pred-tiff":
+        cols = 59
+        return (zlib.compress(_tiff_predict_encode(content, cols), 6),
+                b" /Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 2 /Columns %d >>" % cols)
     return content, b""
+
+
+def _pad_rows(content: bytes, columns: int) -> bytes:
+    """Pad to a whole number of predictor rows with spaces — harmless
+    trailing whitespace in a content-stream token stream."""
+    rem = len(content) % columns
+    return content + b" " * (columns - rem) if rem else content
+
+
+def _png_predict_encode(content: bytes, columns: int) -> bytes:
+    """Apply PNG row filters (type cycling None/Sub/Up/Average/Paeth by
+    row index, the /Predictor>=10 wire format of PDF 1.7 §7.4.4.4) so
+    decode exercises every filter type. bpp=1 (Colors=1, 8-bit)."""
+    content = _pad_rows(content, columns)
+    out = bytearray()
+    prev = bytes(columns)
+    for base in range(0, len(content), columns):
+        row = content[base: base + columns]
+        ftype = (base // columns) % 5
+        out.append(ftype)
+        for i in range(columns):
+            a = row[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if ftype == 0:
+                pr = 0
+            elif ftype == 1:
+                pr = a
+            elif ftype == 2:
+                pr = b
+            elif ftype == 3:
+                pr = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((row[i] - pr) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def _tiff_predict_encode(content: bytes, columns: int) -> bytes:
+    """TIFF /Predictor 2 horizontal differencing per row (Colors=1)."""
+    content = _pad_rows(content, columns)
+    out = bytearray(content)
+    for base in range(0, len(out), columns):
+        end = min(base + columns, len(out))
+        for i in range(end - 1, base, -1):
+            out[i] = (out[i] - out[i - 1]) & 0xFF
+    return bytes(out)
 
 
 def make_pdf(doc_id: int, text: str,
@@ -339,7 +400,8 @@ def make_pdf(doc_id: int, text: str,
     a kerning split to exercise TJ parsing
     (``/root/reference`` never parses content streams — it delegates to
     MuPDF; our from-scratch parser is the honest Spark-side equivalent).
-    ``filter_mode``: None (raw) | "flate" | "ahx" | "ahx+flate" | "rle";
+    ``filter_mode``: None (raw) | "flate" | "ahx" | "ahx+flate" | "rle"
+    | "pred-png" | "pred-tiff" (Flate + /Predictor DecodeParms);
     "auto" = flate for even doc_ids (the historical default).
     """
     if filter_mode == "auto":
@@ -689,6 +751,12 @@ def payload_for(doc_id: int, text: str) -> bytes:
             return make_pdf(doc_id, text, filter_mode="a85+flate")
         if doc_id % 40 == 37:
             return make_pdf(doc_id, text, filter_mode="rle")
+        if doc_id % 80 == 16:
+            # Flate + PNG predictor (row filters cycle through all 5)
+            return make_pdf(doc_id, text, filter_mode="pred-png")
+        if doc_id % 80 == 56:
+            # Flate + TIFF predictor 2
+            return make_pdf(doc_id, text, filter_mode="pred-tiff")
         return make_pdf(doc_id, text)
     return make_junk(doc_id)
 

@@ -228,6 +228,111 @@ _INT_OBJ_RE = re.compile(rb"\s*(\d+)\s*$")
 _FILTER_ENTRY_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _HEXWS_RE = re.compile(rb"\s+")
+# /DecodeParms (or its /DP abbreviation): a single flat dict or an
+# array of dict|null aligned with the /Filter array (PDF 1.7 §7.4.1)
+_DECODEPARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*(?=(<<|\[))")
+_PARMS_ITEM_RE = re.compile(rb"null|<<.*?>>", re.S)
+
+
+def _decode_parms_list(head: bytes, n: int) -> list:
+    """The per-filter /DecodeParms dicts (bytes) aligned with the n
+    filter names; None where absent/null."""
+    out: list = [None] * n
+    m = _DECODEPARMS_RE.search(head)
+    if m is None:
+        return out
+    if m.group(1) == b"<<":
+        end = head.find(b">>", m.end())
+        if end != -1 and n:
+            out[0] = head[m.end():end + 2]
+        return out
+    close = head.find(b"]", m.end())
+    body = head[m.end() + 1: close if close != -1 else len(head)]
+    for i, item in enumerate(_PARMS_ITEM_RE.finditer(body)):
+        if i >= n:
+            break
+        if item.group(0) != b"null":
+            out[i] = item.group(0)
+    return out
+
+
+def _parm_int(parm: bytes, key: bytes, default: int) -> int:
+    m = re.search(rb"/" + key + rb"\s+(\d+)", parm)
+    return int(m.group(1)) if m else default
+
+
+def _apply_predictor(data: bytes, parm) -> bytes:
+    """Undo the /Predictor transform declared in a filter's DecodeParms
+    (PDF 1.7 §7.4.4.4): 1/absent = none, 2 = TIFF horizontal
+    differencing, 10–15 = PNG row filters (the per-row filter-type byte
+    decides — all PNG values decode identically). Real-world files use
+    these mostly on xref/object streams, occasionally on content
+    streams; the reference inherits them from MuPDF
+    (``/root/reference/approach4_v1.py:21-31``)."""
+    if not parm:
+        return data
+    pred = _parm_int(parm, b"Predictor", 1)
+    if pred <= 1:
+        return data
+    colors = _parm_int(parm, b"Colors", 1)
+    bpc = _parm_int(parm, b"BitsPerComponent", 8)
+    columns = _parm_int(parm, b"Columns", 1)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if rowlen <= 0:
+        raise PdfParseError("bad predictor Columns", code="bad_filter_data")
+    if pred == 2:
+        if bpc != 8:
+            raise PdfParseError(
+                "TIFF predictor with BitsPerComponent != 8",
+                code="unsupported_filter")
+        out = bytearray(data)
+        for base in range(0, len(out), rowlen):
+            end = min(base + rowlen, len(out))
+            for i in range(base + colors, end):
+                out[i] = (out[i] + out[i - colors]) & 0xFF
+        return bytes(out)
+    if not 10 <= pred <= 15:
+        raise PdfParseError(f"unsupported predictor {pred}",
+                            code="unsupported_filter")
+    if len(data) % (rowlen + 1):
+        raise PdfParseError("PNG-predicted stream length mismatch",
+                            code="bad_filter_data")
+    bpp = max(1, (colors * bpc) // 8)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for off in range(0, len(data), rowlen + 1):
+        ftype = data[off]
+        row = bytearray(data[off + 1: off + 1 + rowlen])
+        if ftype == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                row[i] = (row[i] + pr) & 0xFF
+        elif ftype != 0:  # 0 = None
+            raise PdfParseError(f"bad PNG filter type {ftype}",
+                                code="bad_filter_data")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def _ascii_hex_decode(data: bytes) -> bytes:
@@ -329,21 +434,19 @@ def _run_length_decode(data: bytes) -> bytes:
 def _apply_stream_filters(data: bytes, head: bytes) -> bytes:
     """Decode the stream's /Filter chain in listed order. Supported:
     every *text-relevant* filter — FlateDecode, LZWDecode,
-    ASCIIHexDecode, ASCII85Decode, RunLengthDecode; the remaining
-    filters are raster-image codecs (DCT, CCITT, JBIG2, JPX) or
-    encryption (Crypt) and raise a counted ``unsupported_filter``
-    failure, never silently-corrupt output — the reference inherits the
-    full set from MuPDF/pdfplumber
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode — plus TIFF/PNG
+    /Predictor transforms on the compressed ones (per-filter
+    /DecodeParms); the remaining filters are raster-image codecs (DCT,
+    CCITT, JBIG2, JPX) or encryption (Crypt) and raise a counted
+    ``unsupported_filter`` failure, never silently-corrupt output — the
+    reference inherits the full set from MuPDF/pdfplumber
     (``/root/reference/approach4_v1.py:21-31``)."""
     fm = _FILTER_ENTRY_RE.search(head)
     if fm is None:
         return data
-    if b"/Predictor" in head:
-        # PNG/TIFF predictors on content streams: not implemented
-        raise PdfParseError("predictor on content stream",
-                            code="unsupported_filter")
-    for m in _FILTER_NAME_RE.finditer(fm.group(1)):
-        name = m.group(1)
+    names = [m.group(1) for m in _FILTER_NAME_RE.finditer(fm.group(1))]
+    parms = _decode_parms_list(head, len(names))
+    for name, parm in zip(names, parms):
         if name == b"FlateDecode":
             import zlib
             try:
@@ -351,8 +454,9 @@ def _apply_stream_filters(data: bytes, head: bytes) -> bytes:
             except zlib.error as e:
                 raise PdfParseError(f"bad FlateDecode stream: {e}",
                                     code="bad_flate") from e
+            data = _apply_predictor(data, parm)
         elif name == b"LZWDecode":
-            data = _lzw_decode(data)
+            data = _apply_predictor(_lzw_decode(data), parm)
         elif name == b"ASCIIHexDecode":
             data = _ascii_hex_decode(data)
         elif name == b"ASCII85Decode":

@@ -378,6 +378,8 @@ def test_pdf_cmap_multipage_and_bfrange():
     ("a85+flate", b"[/ASCII85Decode /FlateDecode]"),
     ("rle", b"/RunLengthDecode"),
     ("lzw", b"/LZWDecode"),
+    ("pred-png", b"/Predictor 15"),
+    ("pred-tiff", b"/Predictor 2"),
 ])
 def test_pdf_filter_variants_roundtrip(mode, marker):
     words = " ".join(f"f{i}" for i in range(80))
@@ -407,6 +409,55 @@ def test_lzw_codec_roundtrip_across_width_boundaries():
     for payload in cases:
         enc = corpus._lzw_encode(payload)
         assert oracle._lzw_decode(enc) == payload, payload[:40]
+
+
+def test_predictor_codec_roundtrip():
+    """Every PNG filter type (the encoder cycles 0..4 by row) and TIFF
+    horizontal differencing invert exactly, including row padding."""
+    payload = bytes(range(256)) * 3 + b"tail bytes that force padding"
+    cols = 59
+    png = corpus._png_predict_encode(payload, cols)
+    assert len(png) % (cols + 1) == 0
+    dec = oracle._apply_predictor(
+        png, b"<< /Predictor 15 /Columns %d >>" % cols)
+    assert dec.rstrip(b" ") == payload.rstrip(b" ")
+    tiff = corpus._tiff_predict_encode(payload, cols)
+    dec2 = oracle._apply_predictor(
+        tiff, b"<< /Predictor 2 /Columns %d >>" % cols)
+    assert dec2.rstrip(b" ") == payload.rstrip(b" ")
+
+
+def test_predictor_error_paths():
+    # truncated PNG-predicted data → counted bad_filter_data
+    with pytest.raises(oracle.PdfParseError) as e:
+        oracle._apply_predictor(b"\x00abc", b"<< /Predictor 12 /Columns 59 >>")
+    assert e.value.code == "bad_filter_data"
+    # unknown predictor value → unsupported_filter (honest failure)
+    with pytest.raises(oracle.PdfParseError) as e:
+        oracle._apply_predictor(b"abc", b"<< /Predictor 7 /Columns 3 >>")
+    assert e.value.code == "unsupported_filter"
+    # TIFF predictor with sub-byte samples: refused, not corrupted
+    with pytest.raises(oracle.PdfParseError) as e:
+        oracle._apply_predictor(
+            b"abc", b"<< /Predictor 2 /Columns 8 /BitsPerComponent 4 >>")
+    assert e.value.code == "unsupported_filter"
+    # Predictor 1 / no parms = identity
+    assert oracle._apply_predictor(b"abc", None) == b"abc"
+    assert oracle._apply_predictor(b"abc", b"<< /Predictor 1 >>") == b"abc"
+
+
+def test_decode_parms_array_alignment():
+    """/DecodeParms arrays align null|dict entries with the /Filter
+    array (PDF 1.7 §7.4.1)."""
+    head = (b"<< /Length 9 /Filter [/ASCIIHexDecode /FlateDecode] "
+            b"/DecodeParms [null << /Predictor 15 /Columns 4 >>] >>")
+    parms = oracle._decode_parms_list(head, 2)
+    assert parms[0] is None
+    assert b"/Predictor 15" in parms[1]
+    single = oracle._decode_parms_list(
+        b"<< /Filter /FlateDecode /DP << /Predictor 2 /Columns 3 >> >>", 1)
+    assert b"/Predictor 2" in single[0]
+    assert oracle._decode_parms_list(b"<< /Filter /FlateDecode >>", 1) == [None]
 
 
 def test_ascii85_decode_forms():

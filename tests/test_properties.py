@@ -168,6 +168,25 @@ def test_lzw_codec_roundtrip_property(payload):
     assert oracle._lzw_decode(corpus._lzw_encode(payload * 3)) == payload * 3
 
 
+@given(st.binary(min_size=1, max_size=4000),
+       st.integers(min_value=1, max_value=300))
+@settings(**_SETTINGS)
+def test_predictor_codec_roundtrip_property(payload, cols):
+    """PNG (all five row filters) and TIFF predictor encode∘decode is
+    the identity on arbitrary bytes, modulo the documented trailing
+    space padding to a whole row."""
+    png = oracle._apply_predictor(
+        corpus._png_predict_encode(payload, cols),
+        b"<< /Predictor 15 /Columns %d >>" % cols)
+    assert png[:len(payload)] == payload
+    assert png[len(payload):].strip(b" ") == b""
+    tiff = oracle._apply_predictor(
+        corpus._tiff_predict_encode(payload, cols),
+        b"<< /Predictor 2 /Columns %d >>" % cols)
+    assert tiff[:len(payload)] == payload
+    assert tiff[len(payload):].strip(b" ") == b""
+
+
 _PDF_OPS = st.sampled_from([
     "BT", "ET", "12 Tf", "/F1", "72 700 Td", "0 -14 TD", "T*", "14 TL",
     "(text here) Tj", "(a\\(b\\)c) Tj", "[(x) -20 (y)] TJ", "' ",
