@@ -14,7 +14,8 @@ object + xref streams and ``%40 == 38`` is LZW-compressed;
 ``%40 == 34`` uses a Type0 font with a ToUnicode CMap;
 ``%40 == 35/36/37`` exercise the ASCIIHexDecode /
 [ASCII85+Flate chain] / RunLengthDecode filters;
-``%80 == 16/56`` Flate + PNG / TIFF /Predictor), 19 malformed
+``%80 == 16/56`` Flate + PNG / TIFF /Predictor;
+``%80 == 15`` WinAnsi + /Differences simple-font encoding), 19 malformed
 (JBIG2-declared / truncated / binary noise by ``doc_id % 3``).  The HTML route wraps the document's
 main text in boilerplate (link-dense nav/header/aside/ads/footer — the
 ground truth for the text-density/link-density classifier, the web-native
@@ -38,7 +39,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -445,6 +446,91 @@ def make_pdf(doc_id: int, text: str,
     return bytes(out)
 
 
+# /Differences substitutions for make_pdf_winansi: frequent letters are
+# shown as remapped codes, so extraction MUST interpret the encoding
+# (bare glyph names and uniXXXX forms both exercised). Codes 1-7 sit
+# outside every base encoding, so no representable character is
+# shadowed and the roundtrip holds for all cp1252 text.
+_WINANSI_SUBS = {"e": 1, "t": 2, "a": 3, "o": 4, "i": 5, "n": 6, "s": 7}
+_WINANSI_DIFFS = b"[1 /e /t /a /o /uni0069 /n /uni0073]"
+
+
+def make_pdf_winansi(doc_id: int, text: str) -> bytes:
+    """A PDF-1.4 file whose simple Type1 font carries an /Encoding dict
+    (/BaseEncoding /WinAnsiEncoding + /Differences) remapping seven
+    frequent letters to 0xC0-0xC6 — the legacy-font layout MuPDF
+    handles for the reference (``/root/reference/approach4_v1.py:21-31``;
+    PDF 1.7 §9.6.6). Odd doc_ids reference the encoding dict
+    indirectly; even ids inline it and Flate-compress the streams.
+    Same layout/golden-text contract as :func:`make_pdf`."""
+    import zlib
+    pages = _pdf_layout(doc_id, text)
+    compress = doc_id % 2 == 0
+    indirect_enc = doc_id % 2 == 1
+
+    def enc_line(ln: str) -> str:
+        # substituted letters → their /Differences code; the rest →
+        # true cp1252 bytes (kept as latin-1 chars for _pdf_escape)
+        return "".join(
+            chr(_WINANSI_SUBS[c]) if c in _WINANSI_SUBS
+            else c.encode("cp1252", errors="replace").decode("latin-1")
+            for c in ln)
+
+    streams = []
+    for placed in pages:
+        ops = []
+        for li, (x, y, ln) in enumerate(placed):
+            esc = _pdf_escape(enc_line(ln))
+            if li % 3 == 2 and len(esc) > 4:
+                mid = len(esc) // 2
+                while mid < len(esc) and esc[mid - 1] == "\\":
+                    mid += 1
+                show = f"[({esc[:mid]}) -15 ({esc[mid:]})] TJ"
+            else:
+                show = f"({esc}) Tj"
+            ops.append(f"BT /F1 {FONT_SIZE} Tf {x:.1f} {y:.1f} Td {show} ET")
+        streams.append("\n".join(ops).encode("latin-1"))
+
+    npages = len(streams)
+    font_num = 3 + 2 * npages
+    enc_num = font_num + 1
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    for i, content in enumerate(streams):
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode())
+        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
+                     if compress else (content, b""))
+        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                    % (len(enc), filt, enc))
+    enc_dict = (b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+                b"/Differences " + _WINANSI_DIFFS + b" >>")
+    enc_entry = (b"%d 0 R" % enc_num) if indirect_enc else enc_dict
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding " + enc_entry + b" >>")
+    if indirect_enc:
+        objs.append(enc_dict)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_pos))
+    return bytes(out)
+
+
 def make_pdf_cmap(doc_id: int, text: str) -> bytes:
     """A PDF-1.4 file whose text is shown as 2-byte codes through a
     /Type0 font with a /ToUnicode CMap — the layout real readers use
@@ -751,6 +837,9 @@ def payload_for(doc_id: int, text: str) -> bytes:
             return make_pdf(doc_id, text, filter_mode="a85+flate")
         if doc_id % 40 == 37:
             return make_pdf(doc_id, text, filter_mode="rle")
+        if doc_id % 80 == 15:
+            # simple-font /Encoding: WinAnsi base + /Differences remap
+            return make_pdf_winansi(doc_id, text)
         if doc_id % 80 == 16:
             # Flate + PNG predictor (row filters cycle through all 5)
             return make_pdf(doc_id, text, filter_mode="pred-png")

@@ -605,6 +605,155 @@ def _parse_cmap(stream: bytes) -> dict:
     return {"width": width, "map": mapping}
 
 
+# ---- Simple-font /Encoding support (WinAnsi/MacRoman + /Differences,
+# PDF 1.7 §9.6.6; the reference inherits it from MuPDF) ----
+
+_ENCODING_NAME_RE = re.compile(
+    rb"/Encoding\s*/(WinAnsiEncoding|MacRomanEncoding|StandardEncoding)")
+_ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
+_ENCODING_DICT_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.S)
+_BASEENC_RE = re.compile(rb"/BaseEncoding\s*/(\w+)")
+_DIFFS_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([A-Za-z0-9._]+)")
+
+# Adobe Glyph List subset: the non-trivial names a Latin-script simple
+# font realistically uses in /Differences (single-letter names and
+# uniXXXX/uXXXXXX are handled algorithmically in _glyph_to_char).
+_GLYPH_TO_UNI = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 supplement and common typographic glyphs
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "acute": "´",
+    "mu": "µ", "micro": "µ", "paragraph": "¶",
+    "periodcentered": "·", "cedilla": "¸",
+    "ordmasculine": "º", "guillemotright": "»",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+    "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î",
+    "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Odieresis": "Ö", "multiply": "×",
+    "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú",
+    "Ucircumflex": "Û", "Udieresis": "Ü", "Yacute": "Ý",
+    "Thorn": "Þ", "germandbls": "ß",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ae": "æ", "ccedilla": "ç", "egrave": "è",
+    "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "eth": "ð", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö", "divide": "÷",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š",
+    "scaron": "š", "Ydieresis": "Ÿ", "Zcaron": "Ž",
+    "zcaron": "ž", "florin": "ƒ", "circumflex": "ˆ",
+    "tilde": "˜", "endash": "–", "emdash": "—",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotesinglbase": "‚", "quotedblleft": "“",
+    "quotedblright": "”", "quotedblbase": "„",
+    "dagger": "†", "daggerdbl": "‡", "bullet": "•",
+    "ellipsis": "…", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "fraction": "⁄", "Euro": "€", "trademark": "™",
+    "minus": "−", "fi": "ﬁ", "fl": "ﬂ",
+}
+
+
+def _glyph_to_char(name: str):
+    """Adobe-Glyph-List name → character: single letters/digits map to
+    themselves, ``uniXXXX``/``uXXXX(XX)`` decode algorithmically, the
+    rest through the table; None = unknown (code drops, like an
+    unmapped CMap entry)."""
+    if len(name) == 1:
+        return name
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return _GLYPH_TO_UNI.get(name)
+
+
+def _base_encoding_map(name: str) -> dict:
+    """code → char for a named base encoding. WinAnsi is cp1252 and
+    MacRoman is mac-roman (exact). StandardEncoding (and the absent
+    default) approximates as latin-1 — matching the parser's historical
+    raw-byte behavior for unencoded fonts."""
+    codec = {"WinAnsiEncoding": "cp1252",
+             "MacRomanEncoding": "mac-roman"}.get(name, "latin-1")
+    out: dict[int, str] = {}
+    for code in range(32, 256):
+        try:
+            out[code] = bytes([code]).decode(codec)
+        except UnicodeDecodeError:
+            pass  # the five undefined cp1252 slots: code drops
+    return out
+
+
+def _parse_simple_encoding(font_body: bytes, objs: dict) -> dict | None:
+    """Build a width-1 cmap from a simple font's /Encoding entry —
+    named encoding, or dict (inline or indirect) with /BaseEncoding +
+    /Differences. None when the font has no /Encoding (raw latin-1
+    passthrough, the no-op default)."""
+    nm = _ENCODING_NAME_RE.search(font_body)
+    if nm is not None:
+        return {"width": 1,
+                "map": _base_encoding_map(nm.group(1).decode("ascii"))}
+    enc_body = None
+    dm = _ENCODING_DICT_RE.search(font_body)
+    if dm is not None:
+        enc_body = dm.group(0)
+    else:
+        rm = _ENCODING_REF_RE.search(font_body)
+        if rm is not None:
+            enc_body = objs.get(int(rm.group(1)))
+    if enc_body is None:
+        return None
+    bm = _BASEENC_RE.search(enc_body)
+    base = bm.group(1).decode("ascii") if bm else "StandardEncoding"
+    mapping = _base_encoding_map(base)
+    dfm = _DIFFS_RE.search(enc_body)
+    if dfm is not None:
+        code = 0
+        for num, glyph in _DIFF_TOK_RE.findall(dfm.group(1)):
+            if num:
+                code = int(num)
+                continue
+            ch = _glyph_to_char(glyph.decode("latin-1"))
+            if ch is not None:
+                mapping[code] = ch
+            else:
+                mapping.pop(code, None)
+            code += 1
+    return {"width": 1, "map": mapping}
+
+
 def _page_fonts(page_body: bytes, objs: dict[int, bytes],
                 cmap_cache: dict) -> dict:
     """Resolve the page's /Resources /Font dict → {name: cmap|None}."""
@@ -631,6 +780,10 @@ def _page_fonts(page_body: bytes, objs: dict[int, bytes],
                     objs[int(tm.group(1))], objs, strict=True)
                 if stream is not None:
                     cmap = _parse_cmap(stream)
+            if cmap is None:
+                # simple-font /Encoding (WinAnsi/MacRoman/Differences);
+                # a /ToUnicode map always takes precedence
+                cmap = _parse_simple_encoding(body, objs)
         cmap_cache[fnum] = cmap
         fonts[fname] = cmap
     return fonts

@@ -411,6 +411,61 @@ def test_lzw_codec_roundtrip_across_width_boundaries():
         assert oracle._lzw_decode(enc) == payload, payload[:40]
 
 
+def test_winansi_differences_roundtrip():
+    """Simple-font /Encoding: the /Differences-remapped show bytes must
+    decode back to the golden text — inline dict (even ids, Flate) and
+    indirect encoding object (odd ids, raw) both."""
+    words = " ".join(f"sentinel{i} notes" for i in range(40))
+    for doc_id in (14, 15):
+        data = corpus.make_pdf_winansi(doc_id, words)
+        assert b"/WinAnsiEncoding" in data and b"/Differences" in data
+        # substituted letters must NOT appear as plain ASCII shows
+        if doc_id % 2 == 1:  # raw streams: inspect bytes directly
+            assert b"(sentinel" not in data
+        text, _, _ = oracle.extract_pdf(data)
+        assert text == golden_text(words)
+
+
+def test_glyph_to_char_forms():
+    assert oracle._glyph_to_char("a") == "a"
+    assert oracle._glyph_to_char("Z") == "Z"
+    assert oracle._glyph_to_char("eacute") == "é"
+    assert oracle._glyph_to_char("emdash") == "—"
+    assert oracle._glyph_to_char("uni0041") == "A"
+    assert oracle._glyph_to_char("u1F600") == "😀"
+    assert oracle._glyph_to_char("nonexistentglyph") is None
+    assert oracle._glyph_to_char("uniZZZZ") is None
+
+
+def test_simple_encoding_parsing():
+    # named encoding: cp1252 high range (0x92 = quoteright)
+    enc = oracle._parse_simple_encoding(
+        b"<< /Subtype /Type1 /Encoding /WinAnsiEncoding >>", {})
+    assert enc["width"] == 1
+    assert enc["map"][0x92] == "’" and enc["map"][0x41] == "A"
+    assert 0x81 not in enc["map"]  # undefined cp1252 slot drops
+    # MacRoman differs from latin-1 in the high range
+    mac = oracle._parse_simple_encoding(
+        b"<< /Encoding /MacRomanEncoding >>", {})
+    assert mac["map"][0x8E] == "é"
+    # /Differences consecutive-code semantics after each base code
+    d = oracle._parse_simple_encoding(
+        b"<< /Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [65 /b /c 200 /emdash] >> >>", {})
+    assert d["map"][65] == "b" and d["map"][66] == "c"
+    assert d["map"][200] == "—"
+    assert d["map"][67] == "C"  # untouched base entry
+    # unknown glyph name removes the code (strict drop, not garbage)
+    u = oracle._parse_simple_encoding(
+        b"<< /Encoding << /Differences [65 /bogusglyphname] >> >>", {})
+    assert 65 not in u["map"]
+    # no /Encoding at all → None (raw latin-1 passthrough)
+    assert oracle._parse_simple_encoding(b"<< /Subtype /Type1 >>", {}) is None
+    # /ToUnicode must take precedence over /Encoding (both present)
+    # — covered at the _page_fonts level: simple encoding is only
+    # consulted when the CMap lookup yields None.
+
+
 def test_predictor_codec_roundtrip():
     """Every PNG filter type (the encoder cycles 0..4 by row) and TIFF
     horizontal differencing invert exactly, including row padding."""

@@ -100,6 +100,26 @@ def test_roundtrip_any_clean_text_pdf(words_raw):
     assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
 
 
+@given(st.text(alphabet=st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0xFF),
+    min_size=1, max_size=300),
+    st.integers(min_value=0, max_value=1))
+@settings(**_SETTINGS)
+def test_roundtrip_any_clean_text_pdf_winansi(words_raw, parity):
+    """Simple-font /Encoding route: WinAnsi + /Differences substitution
+    inverts exactly for any cp1252-encodable text (letters/digits in
+    the latin-1 range all are), for both the inline+Flate and the
+    indirect-encoding-object variants."""
+    words = words_raw.split()
+    if not words:
+        return
+    text = " ".join(words)
+    rec = oracle.extract_document(
+        corpus.make_pdf_winansi(14 + parity, text))
+    assert rec["status"] == "ok", rec["reason"]
+    assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
+
+
 @given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
                 max_size=200))
 @settings(**_SETTINGS)
