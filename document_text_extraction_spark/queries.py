@@ -875,6 +875,62 @@ SQL_REPETITION = (
 )
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line deduplication (C4/CCNet-style repeated-line
+    removal): split every document into its 10-word lines, count the
+    DISTINCT documents each line occurs in corpus-wide, and strip lines
+    shared by >= 2 documents, reassembling the survivors in order.
+
+    Scale shape: one explode, a map-side-combinable count-distinct
+    keyed on the line, then — the 100-TB detail — only the lines with
+    nd >= 2 are joined back (left join; a miss means unique). The dup
+    set is a tiny fraction of all distinct lines, so it stays
+    broadcast-able long after the full count table wouldn't be; the
+    exploded corpus side is never shuffled for the join. All JVM-side,
+    no cross join, no Python. Reference analogue: the per-page
+    boilerplate stripping (``grid_detector_v1.py:24-85``) lifted to
+    corpus scope."""
+    d = _docs(spark, sf_dir)
+    lines = d.select(
+        "doc_id",
+        F.posexplode(F.split(
+            F.regexp_replace("text", r"((?:\S+ ){9}\S+) ", "$1\n"),
+            "\n")).alias("pos", "line"),
+    )
+    dup = (lines.groupBy("line")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2))
+    j = lines.join(dup, "line", "left")
+    is_dup = F.col("nd").isNotNull()
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(is_dup.cast("int")).cast("long").alias("n_dup_lines"),
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(
+                F.when(~is_dup, F.struct("pos", "line")))),
+            lambda s: s["line"])).alias("cleaned_text"),
+    )
+
+
+SQL_LINE_DEDUP = (
+    "WITH d AS (SELECT doc_id, string_split(regexp_replace(text, "
+    r"'((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g'), chr(10)) AS l "
+    "FROM documents), "
+    "lines AS (SELECT doc_id, unnest(l) AS line, "
+    "unnest(generate_series(1, len(l))) AS pos FROM d), "
+    "c AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lines "
+    "GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), "
+    "j AS (SELECT lines.doc_id, lines.pos, lines.line, c.nd "
+    "FROM lines LEFT JOIN c USING (line)) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dup_lines, "
+    "coalesce(string_agg(CASE WHEN nd IS NULL THEN line END, chr(10) "
+    "ORDER BY pos), '') AS cleaned_text "
+    "FROM j GROUP BY doc_id"
+)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID heuristic."""
     d = _docs(spark, sf_dir)
@@ -1359,6 +1415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
+    "line_dedup": q_line_dedup,
     "lang_id": q_lang_id,
     "skills_match": q_skills_match,
     "topk_longest": q_topk_longest,
@@ -1407,6 +1464,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_scores": SQL_QUALITY,
     "gopher_quality": SQL_GOPHER,
     "repetition_stats": SQL_REPETITION,
+    "line_dedup": SQL_LINE_DEDUP,
     "lang_id": SQL_LANG_ID,
     "skills_match": SQL_SKILLS,
     "topk_longest": SQL_TOPK_LONGEST,
