@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"
 URL_PATTERN = r"https?://[^\s\"'<>]+"
+IPV4_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 
 # the reference's fixed skills vocabulary family (final.py:225-265) —
 # substring matched case-insensitively
@@ -54,6 +55,18 @@ def links_col(text: Column) -> Column:
             F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))
         )
     )
+
+
+def pii_scrub_col(text: Column) -> Column:
+    """Anonymize PII in training text: emails, then IPv4 addresses,
+    then phone numbers, each replaced by a typed placeholder token —
+    the CCNet/FineWeb-style anonymization pass. Fixed application
+    order (email → ip → phone) is part of the contract: the IP pass
+    must not see digits already consumed by emails, and the phone pass
+    must not see the dotted quads. Pure JVM regexp_replace chain."""
+    scrubbed = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, IPV4_PATTERN, "<IP>")
+    return F.regexp_replace(scrubbed, PHONE_PATTERN, "<PHONE>")
 
 
 def skills_col(text: Column, vocab: list[str] | None = None) -> Column:

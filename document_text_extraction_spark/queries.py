@@ -931,6 +931,57 @@ SQL_LINE_DEDUP = (
 )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII anonymization (CCNet/FineWeb-style): plant one email, one
+    IPv4 and one phone number per document (deterministic from doc_id,
+    same planting in the oracle), then scrub email → ip → phone with
+    typed placeholders and count what was removed. Pure JVM
+    regexp_replace chain — codegen'd, no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +1 (555) 010-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.pmod(F.col("doc_id"), 256).cast("string"), F.lit(".7"),
+    )
+    return d.select(
+        "doc_id",
+        ff.pii_scrub_col(planted).alias("scrubbed"),
+        F.size(F.regexp_extract_all(planted, F.lit(ff.EMAIL_PATTERN),
+                                    F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(planted, F.lit(ff.IPV4_PATTERN),
+                                    F.lit(0)))
+        .cast("long").alias("n_ips"),
+    )
+
+
+_SQL_PLANTED_PII = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.org or +1 (555) 010-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+SQL_PII_SCRUB = (
+    "WITH p AS (SELECT doc_id, " + _SQL_PLANTED_PII + " AS t "
+    "FROM documents) "
+    "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    r"'\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'), "
+    r"'\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}', "
+    "'<PHONE>', 'g') AS scrubbed, "
+    "CAST(len(regexp_extract_all(t, "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) "
+    "AS n_emails, "
+    "CAST(len(regexp_extract_all(t, "
+    r"'\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips "
+    "FROM p"
+)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID heuristic."""
     d = _docs(spark, sf_dir)
@@ -1416,6 +1467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
     "line_dedup": q_line_dedup,
+    "pii_scrub": q_pii_scrub,
     "lang_id": q_lang_id,
     "skills_match": q_skills_match,
     "topk_longest": q_topk_longest,
@@ -1465,6 +1517,7 @@ ORACLE_SQL: dict[str, str] = {
     "gopher_quality": SQL_GOPHER,
     "repetition_stats": SQL_REPETITION,
     "line_dedup": SQL_LINE_DEDUP,
+    "pii_scrub": SQL_PII_SCRUB,
     "lang_id": SQL_LANG_ID,
     "skills_match": SQL_SKILLS,
     "topk_longest": SQL_TOPK_LONGEST,

@@ -19,6 +19,18 @@ from document_text_extraction_spark.functions import (
 )
 
 
+def test_pii_scrub_order_contract(spark):
+    """email → ip → phone application order: the dotted quad must not
+    survive as a partial phone match, and an email's digits must not be
+    consumed by the phone pass."""
+    from document_text_extraction_spark.functions.fields import pii_scrub_col
+    df = spark.createDataFrame(
+        [("mail 5551234567a@b.co from 10.0.42.7 call +1 (555) 123-4567 end",)],
+        ["text"])
+    out = df.select(pii_scrub_col(F.col("text")).alias("s")).first().s
+    assert out == "mail <EMAIL> from <IP> call <PHONE> end"
+
+
 def test_field_expressions(spark):
     df = spark.createDataFrame(
         [("mail a@b.co and c@d.org call +1 (555) 123-4567 "
