@@ -216,18 +216,23 @@ SQL_EXTRACT_PDF_CMAP = (
 def q_extract_pdf_filters_roundtrip(spark, sf_dir):
     """O36 byte-identity across the implemented stream-filter set:
     ASCIIHexDecode (doc_id%40==35), an [ASCII85 → Flate] chain (36),
-    RunLengthDecode (37) and LZWDecode (38) — every text-relevant
-    filter; only raster-image codecs remain counted failures."""
+    RunLengthDecode (37), LZWDecode (38), Flate + PNG / TIFF
+    /Predictor DecodeParms (%80==16/56) and a WinAnsi+/Differences
+    simple-font encoding (%80==15) — every text-relevant filter and
+    legacy-encoding shape; only raster-image codecs remain counted
+    failures."""
     out = _extracted(spark, sf_dir)
     return (
-        out.filter((F.col("doc_id") % 40).isin(35, 36, 37, 38))
+        out.filter((F.col("doc_id") % 40).isin(35, 36, 37, 38)
+                   | (F.col("doc_id") % 80).isin(15, 16, 56))
         .select("doc_id", "extracted_text")
     )
 
 
 SQL_EXTRACT_PDF_FILTERS = (
     f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
-    "FROM documents WHERE doc_id % 40 IN (35, 36, 37, 38)"
+    "FROM documents WHERE doc_id % 40 IN (35, 36, 37, 38) "
+    "OR doc_id % 80 IN (15, 16, 56)"
 )
 
 
