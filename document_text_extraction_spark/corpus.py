@@ -15,7 +15,8 @@ object + xref streams and ``%40 == 38`` is LZW-compressed;
 ``%40 == 35/36/37`` exercise the ASCIIHexDecode /
 [ASCII85+Flate chain] / RunLengthDecode filters;
 ``%80 == 16/56`` Flate + PNG / TIFF /Predictor;
-``%80 == 15`` WinAnsi + /Differences simple-font encoding), 19 malformed
+``%80 == 15`` WinAnsi + /Differences simple-font encoding;
+``%80 == 57`` text in nested Form XObjects), 19 malformed
 (JBIG2-declared / truncated / binary noise by ``doc_id % 3``).  The HTML route wraps the document's
 main text in boilerplate (link-dense nav/header/aside/ads/footer — the
 ground truth for the text-density/link-density classifier, the web-native
@@ -39,7 +40,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 9
+CORPUS_VERSION = 10
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -531,6 +532,102 @@ def make_pdf_winansi(doc_id: int, text: str) -> bytes:
     return bytes(out)
 
 
+def _show_op(li: int, x: float, y: float, ln: str) -> str:
+    """One line's BT..ET show op (TJ kerning split every 3rd line) —
+    shared by the plain and form-XObject emitters."""
+    esc = _pdf_escape(ln)
+    if li % 3 == 2 and len(esc) > 4:
+        mid = len(esc) // 2
+        while mid < len(esc) and esc[mid - 1] == "\\":
+            mid += 1
+        show = f"[({esc[:mid]}) -15 ({esc[mid:]})] TJ"
+    else:
+        show = f"({esc}) Tj"
+    return f"BT /F1 {FONT_SIZE} Tf {x:.1f} {y:.1f} Td {show} ET"
+
+
+def make_pdf_form(doc_id: int, text: str) -> bytes:
+    """A PDF-1.4 file that carries part of its text inside Form
+    XObjects invoked with ``Do`` (PDF 1.7 §8.10) — the letterhead/
+    stamp/LaTeX layout. Per page: lines ``li%4==1`` live in form /Fx1,
+    of which ``li%8==5`` live in a NESTED form /Fx2 (which declares no
+    /Resources, exercising font inheritance); an image XObject /Im1 is
+    also invoked and must contribute nothing. Reading order is
+    recovered purely from coordinates, so the split is invisible in
+    the golden text. Even doc_ids Flate-compress all streams."""
+    import zlib
+    pages = _pdf_layout(doc_id, text)
+    compress = doc_id % 2 == 0
+
+    page_ops, fa_ops, fb_ops = [], [], []
+    for placed in pages:
+        po, fa, fb = [], [], []
+        for li, (x, y, ln) in enumerate(placed):
+            op = _show_op(li, x, y, ln)
+            (fb if li % 8 == 5 else fa if li % 4 == 1 else po).append(op)
+        po.append("/Im1 Do")   # image XObject: a text no-op
+        po.append("/Fx1 Do")
+        fa.append("/Fx2 Do")
+        page_ops.append("\n".join(po).encode("latin-1"))
+        fa_ops.append("\n".join(fa).encode("latin-1"))
+        fb_ops.append("\n".join(fb).encode("latin-1"))
+
+    npages = len(pages)
+    font_num = 3 + 2 * npages
+    img_num = font_num + 1 + 2 * npages
+
+    def stream_obj(content: bytes, extra: bytes = b"") -> bytes:
+        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
+                     if compress else (content, b""))
+        return (b"<< %s/Length %d%s >>\nstream\n%s\nendstream"
+                % (extra, len(enc), filt, enc))
+
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    for i, content in enumerate(page_ops):
+        fa_num = font_num + 1 + 2 * i
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << /F1 {font_num} 0 R >> /XObject "
+            f"<< /Fx1 {fa_num} 0 R /Im1 {img_num} 0 R >> >> >>"
+        ).encode())
+        objs.append(stream_obj(content))
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i in range(npages):
+        fb_num = font_num + 2 + 2 * i
+        objs.append(stream_obj(
+            fa_ops[i],
+            (f"/Type /XObject /Subtype /Form /BBox [0 0 {PAGE_W:.0f} "
+             f"{PAGE_H:.0f}] /Resources << /Font << /F1 {font_num} 0 R >> "
+             f"/XObject << /Fx2 {fb_num} 0 R >> >> ").encode()))
+        # nested form: deliberately NO /Resources (inherits the parent's)
+        objs.append(stream_obj(
+            fb_ops[i],
+            (f"/Type /XObject /Subtype /Form /BBox [0 0 {PAGE_W:.0f} "
+             f"{PAGE_H:.0f}] ").encode()))
+    objs.append(
+        b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceGray /Length 1 >>\n"
+        b"stream\n\x00\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_pos))
+    return bytes(out)
+
+
 def make_pdf_cmap(doc_id: int, text: str) -> bytes:
     """A PDF-1.4 file whose text is shown as 2-byte codes through a
     /Type0 font with a /ToUnicode CMap — the layout real readers use
@@ -846,6 +943,9 @@ def payload_for(doc_id: int, text: str) -> bytes:
         if doc_id % 80 == 56:
             # Flate + TIFF predictor 2
             return make_pdf(doc_id, text, filter_mode="pred-tiff")
+        if doc_id % 80 == 57:
+            # text split across nested Form XObjects (Do operator)
+            return make_pdf_form(doc_id, text)
         return make_pdf(doc_id, text)
     return make_junk(doc_id)
 

@@ -145,8 +145,8 @@ def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int]:
     if not pages_fonts:
         raise oracle.PdfParseError("no content streams", code="no_streams")
     shows: list[dict] = []
-    for page, (content, fonts) in enumerate(pages_fonts):
-        shows.extend(_interpret_page(content, page, fonts))
+    for page, (content, fonts, xobjects) in enumerate(pages_fonts):
+        shows.extend(_interpret_page(content, page, fonts, xobjects))
     return shows, len(pages_fonts)
 
 

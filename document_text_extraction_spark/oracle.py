@@ -789,8 +789,51 @@ def _page_fonts(page_body: bytes, objs: dict[int, bytes],
     return fonts
 
 
-def page_contents(data: bytes) -> list[tuple[bytes, dict]]:
-    """(content stream, font map) per page, in PAGE order.
+# ---- Form XObject support (text in /Do-invoked forms, PDF 1.7 §8.10;
+# letterheads/stamps/LaTeX output put real text there — the reference
+# gets it from MuPDF) ----
+
+_XOBJDICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
+_FORM_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Form\b")
+
+
+def _page_xobjects(body: bytes, objs: dict[int, bytes],
+                   cmap_cache: dict, seen: frozenset = frozenset()) -> dict:
+    """Resolve /Resources /XObject form entries → {"/Name": {content,
+    fonts, xobjects}}. Image XObjects are excluded (no text); nested
+    forms resolve recursively with a visited-set cycle guard. A form
+    whose stream fails to decode propagates the error — unsupported
+    means a counted failure, never silently-lost text."""
+    res = body
+    rm = _RESOURCES_REF_RE.search(body)
+    if rm is not None and int(rm.group(1)) in objs:
+        res = objs[int(rm.group(1))]
+    xm = _XOBJDICT_RE.search(res)
+    if xm is None:
+        return {}
+    out: dict[str, dict] = {}
+    for name, ref in _FONTREF_RE.findall(xm.group(1)):
+        num = int(ref)
+        if num in seen:
+            continue
+        xbody = objs.get(num)
+        if xbody is None or _FORM_SUBTYPE_RE.search(xbody) is None:
+            continue
+        stream = _decode_object_stream(xbody, objs, strict=True)
+        if stream is None:
+            continue
+        out["/" + name.decode("latin-1")] = {
+            "content": stream,
+            "fonts": _page_fonts(xbody, objs, cmap_cache),
+            "xobjects": _page_xobjects(xbody, objs, cmap_cache,
+                                       seen | {num}),
+        }
+    return out
+
+
+def page_contents(data: bytes) -> list[tuple[bytes, dict, dict]]:
+    """(content stream, font map, form-XObject map) per page, in PAGE
+    order.
 
     Strategy (lenient, deterministic):
     1. scan all ``N 0 obj … endobj`` objects;
@@ -856,7 +899,8 @@ def page_contents(data: bytes) -> list[tuple[bytes, dict]]:
                 if s is not None:
                     parts.append(s)
             out.append((b"\n".join(parts),
-                        _page_fonts(body, objs, cmap_cache)))
+                        _page_fonts(body, objs, cmap_cache),
+                        _page_xobjects(body, objs, cmap_cache)))
             return True
 
         if not walk(int(m.group(1))):
@@ -875,16 +919,16 @@ def page_contents(data: bytes) -> list[tuple[bytes, dict]]:
                 continue
             s = _decode_object_stream(objs[num], objs, strict=False)
             if s is not None:
-                streams.append((s, {}))
+                streams.append((s, {}, {}))
         if streams:
             return streams
-    return [(s, {}) for s in _STREAM_RE.findall(data)]
+    return [(s, {}, {}) for s in _STREAM_RE.findall(data)]
 
 
 def page_streams(data: bytes) -> list[bytes]:
-    """Content streams in PAGE order (font info dropped — see
+    """Content streams in PAGE order (font/xobject info dropped — see
     :func:`page_contents`)."""
-    return [c for c, _ in page_contents(data)]
+    return [c for c, _, _ in page_contents(data)]
 
 # trailer-dict encryption marker ("/Encrypt N 0 R"); anchored to the
 # indirect-ref shape so content-stream text can't false-positive
@@ -961,9 +1005,43 @@ def _scan_string(buf: bytes, i: int) -> tuple[str, int]:
 _WS_BYTES = frozenset(b" \t\r\n\x00\x0c")
 
 
+_ID_TOKEN_RE = re.compile(rb"(?<![A-Za-z])ID(?![A-Za-z])")
+
+
+def _skip_inline_image(buf: bytes, i: int) -> int:
+    """Index just past the ``EI`` that closes an inline image whose
+    ``BI`` ended at ``i`` (PDF 1.7 §8.9.7). The raw sample bytes after
+    ``ID`` are unframed binary — they may contain ``(``/``[``/operator
+    lookalikes that would desync the tokenizer — so scan for an ``EI``
+    delimited by whitespace on the left and whitespace/EOF on the
+    right; unterminated images consume the rest of the stream (the
+    lenient choice: never raise from the tokenizer)."""
+    m = _ID_TOKEN_RE.search(buf, i)
+    if m is None:
+        return len(buf)
+    k = m.end()
+    if k < len(buf) and buf[k] in _WS_BYTES:
+        k += 1  # the single whitespace byte the spec puts after ID
+    n = len(buf)
+    while True:
+        j = buf.find(b"EI", k)
+        if j < 0:
+            return n
+        before_ws = j > 0 and buf[j - 1] in _WS_BYTES
+        after_ok = j + 2 >= n or buf[j + 2] in _WS_BYTES
+        if before_ws and after_ok:
+            return j + 2
+        k = j + 2
+
+
 def _tokenize_content(buf: bytes):
     """Yield ('num', float) | ('str', str) | ('name', str) | ('op', str)
     | ('[', None) | (']', None) tokens from a content stream.
+
+    Inline images (``BI … ID <binary> EI``) are skipped wholesale so
+    their unframed sample bytes cannot desync the scan — real scanned-
+    page hybrids carry text between images (the reference gets this
+    from MuPDF, ``/root/reference/approach4_v1.py:21-31``).
 
     Hot loop uses int byte comparisons (indexing bytes yields int;
     slicing per char would allocate)."""
@@ -1013,7 +1091,11 @@ def _tokenize_content(buf: bytes):
                 continue
             m = _OP_RE.match(buf, i)
             if m and m.end() > i:
-                yield ("op", m.group().decode("latin-1"))
+                op = m.group().decode("latin-1")
+                if op == "BI":  # inline image: skip to its EI wholesale
+                    i = _skip_inline_image(buf, m.end())
+                    continue
+                yield ("op", op)
                 i = m.end()
             else:
                 i += 1  # unknown byte — skip
@@ -1034,12 +1116,18 @@ def _apply_cmap(s: str, cmap: dict) -> str:
 
 
 def _interpret_page(content: bytes, page: int,
-                    fonts: dict | None = None) -> list[dict]:
+                    fonts: dict | None = None,
+                    xobjects: dict | None = None,
+                    depth: int = 0) -> list[dict]:
     """Interpret text operators of one page's content stream into raw
     show-spans ``{page, x, y, text}`` (text line matrix semantics for
     BT/Td/TD/T*; Tm supported with translation part). ``fonts`` maps
     /Name → parsed ToUnicode CMap (or None); ``Tf`` switches the active
-    map and show strings decode through it (non-latin text)."""
+    map and show strings decode through it (non-latin text).
+    ``xobjects`` maps /Name → form-XObject entries; ``Do`` interprets
+    the form's content recursively (its own fonts, falling back to the
+    page's; depth-capped) so form-carried text lands in the same
+    coordinate-sorted reading order."""
     shows: list[dict] = []
     stack: list = []
     in_array: list | None = None
@@ -1097,6 +1185,16 @@ def _interpret_page(content: bytes, page: int,
             # [..., /Name, size] — switch the active ToUnicode map
             if len(stack) >= 2 and isinstance(stack[-2], str):
                 cur_cmap = fonts.get(stack[-2])
+        elif op == "Do":
+            if (xobjects and depth < 4 and stack
+                    and isinstance(stack[-1], str)):
+                xo = xobjects.get(stack[-1])
+                if xo is not None:
+                    shows.extend(_interpret_page(
+                        xo["content"], page,
+                        xo["fonts"] or fonts,
+                        xo["xobjects"] or xobjects,
+                        depth + 1))
         elif op == "Tj" or op == "'":
             if op == "'":
                 ly -= leading
@@ -1151,8 +1249,8 @@ def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
     if not pages_fonts:
         raise PdfParseError("no content streams", code="no_streams")
     shows: list[dict] = []
-    for page, (content, fonts) in enumerate(pages_fonts):
-        shows.extend(_interpret_page(content, page, fonts))
+    for page, (content, fonts, xobjects) in enumerate(pages_fonts):
+        shows.extend(_interpret_page(content, page, fonts, xobjects))
     spans: list[dict] = []
     for page in sorted({s["page"] for s in shows}):
         page_shows = [s for s in shows if s["page"] == page]

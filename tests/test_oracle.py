@@ -466,6 +466,65 @@ def test_simple_encoding_parsing():
     # consulted when the CMap lookup yields None.
 
 
+def test_form_xobject_text_roundtrip():
+    """Text split across nested Form XObjects must reassemble into the
+    same reading order as the plain layout; the forms must actually
+    carry text (Do is load-bearing, not decorative)."""
+    words = " ".join(f"fx{i} marker" for i in range(120))
+    for doc_id in (17, 16):  # raw and flate-compressed variants
+        data = corpus.make_pdf_form(doc_id, words)
+        assert b"/Subtype /Form" in data
+        if doc_id % 2 == 1:  # raw streams: the Do ops are visible bytes
+            assert b"Do" in data
+        text, _, _ = oracle.extract_pdf(data)
+        assert text == golden_text(words)
+    # load-bearing check: raw (uncompressed) variant — page content
+    # alone is missing the form-carried lines
+    data = corpus.make_pdf_form(17, words)
+    page_only = [s for s, _, _ in oracle.page_contents(data)]
+    inline_text = b"\n".join(page_only)
+    # line li=1 (words fx5..fx9) lives in /Fx1, not the page stream
+    assert b"fx5 marker fx6" not in inline_text
+
+
+def test_form_xobject_mechanics():
+    """Unknown names and image XObjects are no-ops; self-referential
+    forms cannot loop (visited-set + depth guard)."""
+    # image Do + undefined name Do: both ignored
+    shows = oracle._interpret_page(
+        b"BT /F1 12 Tf 72 700 Td (keep) Tj ET\n/Im9 Do\n/Nope Do", 0,
+        fonts={}, xobjects={})
+    assert [s["text"] for s in shows] == ["keep"]
+    # a form that invokes itself: one level only, no recursion blowup
+    xo = {"/F": {"content": b"BT (loop) Tj ET /F Do",
+                 "fonts": {}, "xobjects": {}}}
+    xo["/F"]["xobjects"] = xo  # self-cycle at interpret level
+    shows = oracle._interpret_page(b"/F Do", 0, fonts={}, xobjects=xo)
+    assert [s["text"] for s in shows] == ["loop"] * 4  # depth-capped
+
+
+def test_inline_image_skipped_wholesale():
+    """BI…ID <binary> EI sample bytes may contain string-openers and
+    operator lookalikes; text before AND after the image must survive
+    (PDF 1.7 §8.9.7 inline images — scanned-page hybrids)."""
+    binary = b"\x00\xff(((\x89PNG Tj ET BT [ \x01EI-not-it\x02"
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /DeviceGray ID " + binary + b" EI\n"
+        b"BT /F1 12 Tf 72 680 Td (after) Tj ET"
+    )
+    shows = oracle._interpret_page(content, 0)
+    assert [s["text"] for s in shows] == ["before", "after"]
+    # unterminated image: consume the tail, never crash or mis-show
+    shows2 = oracle._interpret_page(
+        b"BT (keep) Tj ET BI /W 1 ID \x00( garbage", 0)
+    assert [s["text"] for s in shows2] == ["keep"]
+    # EI embedded in the binary without whitespace framing is not EOD
+    shows3 = oracle._interpret_page(
+        b"BI /W 1 ID xEIx more EI\nBT (tail) Tj ET", 0)
+    assert [s["text"] for s in shows3] == ["tail"]
+
+
 def test_predictor_codec_roundtrip():
     """Every PNG filter type (the encoder cycles 0..4 by row) and TIFF
     horizontal differencing invert exactly, including row padding."""

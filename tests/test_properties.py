@@ -120,6 +120,22 @@ def test_roundtrip_any_clean_text_pdf_winansi(words_raw, parity):
     assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
 
 
+@given(st.text(alphabet=st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0xFF),
+    min_size=1, max_size=300))
+@settings(**_SETTINGS)
+def test_roundtrip_any_clean_text_pdf_form(words_raw):
+    """Form-XObject route: text split across nested Do-invoked forms
+    reassembles byte-identically for any latin-1 text."""
+    words = words_raw.split()
+    if not words:
+        return
+    text = " ".join(words)
+    rec = oracle.extract_document(corpus.make_pdf_form(17, text))
+    assert rec["status"] == "ok", rec["reason"]
+    assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
+
+
 @given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
                 max_size=200))
 @settings(**_SETTINGS)
@@ -212,6 +228,7 @@ _PDF_OPS = st.sampled_from([
     "(text here) Tj", "(a\\(b\\)c) Tj", "[(x) -20 (y)] TJ", "' ",
     "1 0 0 1 50 50 Tm", "% comment", "<< /x 1 >>", "<48656c6c6f>",
     "q", "Q", "0.5 g", "()Tj", "((nested)) Tj",
+    "BI /W 2 /H 2 ID \x00\xff(\x89 EI", "BI /W 1 ID zz",  # inline images
 ])
 
 
