@@ -987,6 +987,107 @@ SQL_PII_SCRUB = (
 )
 
 
+def _curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (every 7th, +100000) ∪ last-word-dropped
+    near copies (every 11th, +200000): the raw pool a curation pipeline
+    has to clean."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", r"\s\S+$", "").alias("text"))
+    return d.unionAll(exact).unionAll(near)
+
+
+CURATION_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text FROM documents "
+    "WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT doc_id + 200000, "
+    r"regexp_replace(text, '\s\S+$', '') FROM documents "
+    "WHERE doc_id % 11 = 0"
+)
+
+
+def q_curate_corpus(spark, sf_dir):
+    """The full training-data curation pipeline as ONE dataflow —
+    quality gate (Gopher rules) → exact dedup (first capture wins) →
+    near-dup removal (MinHash+LSH pairs; drop the higher id) → PII
+    scrub — emitting one row per surviving document.
+
+    Scale shape: the gate is a pure filter (pushed to the scan), exact
+    dedup is one window over the fingerprint hash, the near-dup drop
+    set is tiny and broadcast for a left-anti join, and the scrub is a
+    codegen'd regexp chain — no driver-side step anywhere. Oracle: the
+    DuckDB replica uses the exact n-gram Jaccard pair set, equal to the
+    MinHash output under the corpus's 100%-band-recall invariant (see
+    q_minhash_neardup)."""
+    docs = _curation_docs(spark, sf_dir)
+    flags = ts.gopher_flags_cols(F.col("text"))
+    gated = docs.filter(flags["gopher_pass"])
+    unique = dedup.deduplicate_keep_first(gated)
+    pairs = dedup.minhash_near_duplicates(unique, threshold=0.5)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = unique.join(F.broadcast(drop), "doc_id", "left_anti")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or +1 (555) 010-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.pmod(F.col("doc_id"), 256).cast("string"), F.lit(".7"),
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.encode(ff.pii_scrub_col(planted), "UTF-8"))
+        .alias("fingerprint"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+SQL_CURATE = (
+    f"WITH all_docs AS ({CURATION_DOCS_SQL}), "
+    # Gopher gate (same arithmetic as SQL_GOPHER)
+    "s AS (SELECT doc_id, text, string_split(text, ' ') AS toks, "
+    "length(replace(text, ' ', '')) AS chars, "
+    "length(text) - length(replace(text, '#', '')) AS hashes, "
+    "(length(text) - length(replace(text, '...', ''))) / 3 AS ellipses "
+    "FROM all_docs), "
+    "g AS (SELECT doc_id, text, len(toks) AS nw FROM s WHERE "
+    "len(toks) >= 50 AND len(toks) <= 100000 "
+    "AND chars / greatest(len(toks), 1) >= 3.0 "
+    "AND chars / greatest(len(toks), 1) <= 10.0 "
+    "AND len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+    "/ greatest(len(toks), 1) >= 0.8 "
+    "AND (hashes + ellipses) / greatest(len(toks), 1) < 0.1), "
+    # exact dedup, first capture wins
+    "r AS (SELECT *, row_number() OVER (PARTITION BY md5(text) "
+    "ORDER BY doc_id) AS rn FROM g), "
+    "u AS (SELECT doc_id, text, nw FROM r WHERE rn = 1), "
+    # near-dup pairs: exact n-gram Jaccard (= MinHash under the
+    # 100%-recall invariant), drop the higher id of each pair
+    "w AS (SELECT doc_id, string_split(text, ' ') AS words FROM u), "
+    f"sh AS (SELECT doc_id, unnest({SHINGLE_SQL}) AS shingle FROM w), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+    "pair_inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "count(*) AS inter FROM sh a JOIN sh b ON a.shingle = b.shingle "
+    "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "dropids AS (SELECT DISTINCT id_b FROM pair_inter "
+    "JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b "
+    "WHERE inter / (na.n_sh + nb.n_sh - inter) >= 0.5), "
+    "kept AS (SELECT * FROM u WHERE doc_id NOT IN "
+    "(SELECT id_b FROM dropids)), "
+    f"p AS (SELECT doc_id, nw, {_SQL_PLANTED_PII} AS t FROM kept) "
+    "SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace(t, "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    r"'\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'), "
+    r"'\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}', "
+    "'<PHONE>', 'g')) AS fingerprint, "
+    "CAST(nw AS BIGINT) AS n_tokens FROM p"
+)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID heuristic."""
     d = _docs(spark, sf_dir)
@@ -1473,6 +1574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
+    "curate_corpus": q_curate_corpus,
     "lang_id": q_lang_id,
     "skills_match": q_skills_match,
     "topk_longest": q_topk_longest,
@@ -1523,6 +1625,7 @@ ORACLE_SQL: dict[str, str] = {
     "repetition_stats": SQL_REPETITION,
     "line_dedup": SQL_LINE_DEDUP,
     "pii_scrub": SQL_PII_SCRUB,
+    "curate_corpus": SQL_CURATE,
     "lang_id": SQL_LANG_ID,
     "skills_match": SQL_SKILLS,
     "topk_longest": SQL_TOPK_LONGEST,
