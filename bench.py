@@ -180,6 +180,8 @@ def main() -> None:
     timed("running_value", Q.q_running_value)
     timed("ann_cosine_topk", Q.q_ann_cosine_topk)
     timed("quality_scores", Q.q_quality_scores)
+    timed("line_dedup", Q.q_line_dedup)
+    timed("curate_corpus", Q.q_curate_corpus)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     result = {

@@ -1017,9 +1017,14 @@ def q_curate_corpus(spark, sf_dir):
     scrub — emitting one row per surviving document.
 
     Scale shape: the gate is a pure filter (pushed to the scan), exact
-    dedup is one window over the fingerprint hash, the near-dup drop
-    set is tiny and broadcast for a left-anti join, and the scrub is a
-    codegen'd regexp chain — no driver-side step anywhere. Oracle: the
+    dedup is one window over the fingerprint hash (WindowGroupLimit
+    pre-prunes rank>1 rows map-side), the near-dup drop set is tiny and
+    broadcast for a left-anti join, and the scrub is a codegen'd regexp
+    chain — no driver-side step anywhere. The unpersisted dataflow
+    re-derives the deduped pool for each MinHash sub-plan (fine on
+    parquet at test scale); a production run materializes the survivor
+    table between stages, as jobs/run_extract.py does for extraction.
+    Oracle: the
     DuckDB replica uses the exact n-gram Jaccard pair set, equal to the
     MinHash output under the corpus's 100%-band-recall invariant (see
     q_minhash_neardup)."""
