@@ -1093,6 +1093,66 @@ SQL_CURATE = (
 )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy contiguous sequence packing for training batches: within
+    each of 16 independent shards (pmod(doc_id)), docs are laid out in
+    id order and assigned to the fixed 2048-token window their first
+    token falls in. Per-shard windows keep the cumulative sum
+    parallel — the global-order variant would funnel everything through
+    one partition, which is exactly how NOT to pack at 100 TB; real
+    packers work per output shard."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir)
+    n = F.size(F.split("text", " ")).cast("long")
+    shard = F.pmod(F.col("doc_id"), F.lit(16)).cast("long")
+    base = d.select("doc_id", n.alias("n_tokens"), shard.alias("shard"))
+    w = (W.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id", "shard", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 2048).cast("long")
+        .alias("seq_id"),
+    )
+
+
+SQL_PACK_SEQUENCES = (
+    "WITH b AS (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "doc_id % 16 AS shard FROM documents) "
+    "SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, "
+    "CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+    "/ 2048) AS BIGINT) AS seq_id FROM b"
+)
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic content-hash train/val/test assignment (90/5/5):
+    the first 4 md5 hex digits of the text, mod 100 — stable across
+    engines and runs, no RNG, no shuffle (pure projection). Splitting
+    on CONTENT (not id) keeps exact duplicates in the same split, the
+    property that prevents train/test leakage."""
+    d = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 4),
+               16, 10).cast("long") % 100
+    return d.select(
+        "doc_id",
+        h.alias("h_bucket"),
+        F.when(h < 90, "train").when(h < 95, "val")
+        .otherwise("test").alias("split"),
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = (
+    "WITH h AS (SELECT doc_id, "
+    "CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 100 AS hb "
+    "FROM documents) "
+    "SELECT doc_id, hb AS h_bucket, CASE WHEN hb < 90 THEN 'train' "
+    "WHEN hb < 95 THEN 'val' ELSE 'test' END AS split FROM h"
+)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID heuristic."""
     d = _docs(spark, sf_dir)
@@ -1580,6 +1640,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
+    "pack_sequences": q_pack_sequences,
+    "train_val_split": q_train_val_split,
     "lang_id": q_lang_id,
     "skills_match": q_skills_match,
     "topk_longest": q_topk_longest,
@@ -1631,6 +1693,8 @@ ORACLE_SQL: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "pii_scrub": SQL_PII_SCRUB,
     "curate_corpus": SQL_CURATE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "lang_id": SQL_LANG_ID,
     "skills_match": SQL_SKILLS,
     "topk_longest": SQL_TOPK_LONGEST,
