@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from document_text_extraction_spark import pipeline
 from document_text_extraction_spark.plans import assert_pushdown, plan_report
 from document_text_extraction_spark.queries import (
+    q_curate_corpus,
     q_cv_entities_planted,
+    q_line_dedup,
     q_positions_zip,
     q_sections_planted,
     q_sessions_per_user,
@@ -127,3 +129,28 @@ def test_topk_is_take_ordered(spark):
     s = plan_report(q_topk_longest(spark, "/root/testdata/sf0.001"))["plan"]
     assert "TakeOrderedAndProject" in s, (
         "top-k should compile to TakeOrderedAndProject, not global sort")
+
+
+def test_line_dedup_broadcasts_dup_set(spark):
+    """line_dedup must not shuffle the exploded corpus side for the
+    join-back: the nd>=2 dup set is the broadcast side, and there is
+    no cartesian anywhere."""
+    rep = plan_report(q_line_dedup(spark, "/root/testdata/sf0.001"))
+    assert not rep["has_cartesian"], rep["plan"]
+    assert "BroadcastHashJoin" in rep["plan"], rep["plan"]
+    # the exploded (Generate) side must feed the join directly — no
+    # Exchange between the page-side Generate and the join
+    plan = rep["plan"]
+    gen = plan.index("Generate")
+    join = plan.index("BroadcastHashJoin")
+    assert join < gen or "Exchange" not in plan[gen:join], plan
+
+
+def test_curate_corpus_plan_shape(spark):
+    """The curation dataflow: no cartesian, the near-dup drop set joins
+    via broadcast LEFT ANTI, and exact dedup uses WindowGroupLimit
+    (rank pushdown — rows beyond rank 1 are pruned map-side)."""
+    rep = plan_report(q_curate_corpus(spark, "/root/testdata/sf0.001"))
+    assert not rep["has_cartesian"], rep["plan"]
+    assert "LeftAnti" in rep["plan"], rep["plan"]
+    assert "WindowGroupLimit" in rep["plan"], rep["plan"]
