@@ -8,7 +8,8 @@ no RNG state, no external data — so the Spark job, the pure-Python oracle and
 the DuckDB oracle SQL can all regenerate / predict the same payloads.
 
 Route mix (cf. FIXTURES.md §1): ``doc_id % 20`` → 0..13 HTML (slot 12 is
-DOCX, every other one gzip-wrapped; slot 13 gzip HTML), 14..18 PDF (even
+DOCX, every other one gzip-wrapped; slot 13 gzip HTML; ``%40 == 26``
+UTF-16LE+BOM HTML), 14..18 PDF (even
 ids FlateDecode-compressed; ``doc_id % 40 == 18`` is PDF 1.5 with
 object + xref streams and ``%40 == 38`` is LZW-compressed;
 ``%40 == 34`` uses a Type0 font with a ToUnicode CMap;
@@ -40,7 +41,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 10
+CORPUS_VERSION = 11
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -906,6 +907,10 @@ def payload_for(doc_id: int, text: str) -> bytes:
     route = route_for(doc_id)
     if route == "html":
         raw = make_html(doc_id, text)
+        if doc_id % 40 == 26:
+            # UTF-16LE + BOM charset variant (a steady share of real
+            # WARC payloads); same logical route, same golden text
+            return raw.decode("utf-8").encode("utf-16")
         if doc_id % 20 == 13:
             # gzip transfer-encoding variant (Common-Crawl WARC payloads
             # are frequently gzip) — same logical route, same golden text

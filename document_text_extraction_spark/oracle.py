@@ -55,6 +55,7 @@ def sniff(data: bytes) -> str:
         # OOXML container: zip whose member names include the Word
         # document part (names live in local headers, scan is cheap)
         return "docx" if b"word/document.xml" in data else "unknown"
+    data = _transcode_bom(bytes(data[:4096]))
     head = data[:1024].lstrip()
     if head.startswith(b"%PDF-"):
         return "pdf"
@@ -64,12 +65,26 @@ def sniff(data: bytes) -> str:
     return "unknown"
 
 
+def _transcode_bom(data: bytes) -> bytes:
+    """UTF-16/UTF-32 BOM sniff → UTF-8 bytes (real crawls carry a
+    steady share of UTF-16 pages; the downstream byte-level tag
+    scan assumes UTF-8). No BOM → unchanged. The utf-16/utf-32 codecs
+    consume the BOM themselves; order matters — the UTF-32LE BOM
+    starts with the UTF-16LE one."""
+    if data[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        return data.decode("utf-32", errors="replace").encode("utf-8")
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return data.decode("utf-16", errors="replace").encode("utf-8")
+    return data
+
+
 def _decode_transfer(data: bytes) -> bytes:
-    """Undo transfer encoding (gzip) before content parsing."""
+    """Undo transfer encoding (gzip) and BOM charsets (UTF-16/32 →
+    UTF-8) before content parsing."""
     if data[:2] == b"\x1f\x8b":
         import gzip
-        return gzip.decompress(data)
-    return data
+        data = gzip.decompress(data)
+    return _transcode_bom(data)
 
 
 # ---------------------------------------------------------------------------

@@ -466,6 +466,29 @@ def test_simple_encoding_parsing():
     # consulted when the CMap lookup yields None.
 
 
+def test_utf16_bom_html_roundtrip():
+    """UTF-16/32 BOM payloads route as html and extract the same golden
+    text as their UTF-8 form (WARC charset reality)."""
+    words = " ".join(f"bom{i} word" for i in range(40)) + " naïve café"
+    raw = corpus.make_html(26, words)
+    for enc in ("utf-16", "utf-16-be", "utf-32"):
+        payload = raw.decode("utf-8").encode(enc)
+        if enc == "utf-16-be":
+            payload = b"\xfe\xff" + payload  # BE codec emits no BOM
+        assert oracle.sniff(payload) == "html", enc
+        rec = oracle.extract_document(payload)
+        assert rec["status"] == "ok", (enc, rec["reason"])
+        assert rec["extracted_text"] == golden_text(words), enc
+    # no BOM → bytes pass through untouched (identity)
+    assert oracle._transcode_bom(raw) is raw
+    # gzip + BOM stack: transfer decode then charset decode
+    import gzip
+    stacked = gzip.compress(raw.decode("utf-8").encode("utf-16"), mtime=0)
+    rec = oracle.extract_document(stacked)
+    assert rec["status"] == "ok"
+    assert rec["extracted_text"] == golden_text(words)
+
+
 def test_form_xobject_text_roundtrip():
     """Text split across nested Form XObjects must reassemble into the
     same reading order as the plain layout; the forms must actually
