@@ -17,7 +17,8 @@ object + xref streams and ``%40 == 38`` is LZW-compressed;
 [ASCII85+Flate chain] / RunLengthDecode filters;
 ``%80 == 16/56`` Flate + PNG / TIFF /Predictor;
 ``%80 == 15`` WinAnsi + /Differences simple-font encoding;
-``%80 == 57`` text in nested Form XObjects), 19 malformed
+``%80 == 57`` text in nested Form XObjects;
+``%80 == 55`` word spacing as TJ kerns), 19 malformed
 (JBIG2-declared / truncated / binary noise by ``doc_id % 3``).  The HTML route wraps the document's
 main text in boilerplate (link-dense nav/header/aside/ads/footer — the
 ground truth for the text-density/link-density classifier, the web-native
@@ -41,7 +42,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 11
+CORPUS_VERSION = 12
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -547,6 +548,56 @@ def _show_op(li: int, x: float, y: float, ln: str) -> str:
     return f"BT /F1 {FONT_SIZE} Tf {x:.1f} {y:.1f} Td {show} ET"
 
 
+def make_pdf_tj_spacing(doc_id: int, text: str) -> bytes:
+    """A PDF-1.4 file that encodes every inter-word space as a large
+    negative TJ kern instead of a space glyph — the layout LaTeX/
+    InDesign-style generators emit (PDF 1.7 §9.4.3). Extraction must
+    reinsert the word breaks from the kern magnitude (oracle
+    ``TJ_WORD_GAP``). The kern varies per doc (-150 - doc_id%200) to
+    exercise the threshold range; golden text is unchanged."""
+    pages = _pdf_layout(doc_id, text)
+    gap = -(150 + doc_id % 200)
+    streams = []
+    for placed in pages:
+        ops = []
+        for x, y, ln in placed:
+            arr = f" {gap} ".join(
+                f"({_pdf_escape(w)})" for w in ln.split(" "))
+            ops.append(f"BT /F1 {FONT_SIZE} Tf {x:.1f} {y:.1f} Td "
+                       f"[{arr}] TJ ET")
+        streams.append("\n".join(ops).encode("latin-1"))
+
+    npages = len(streams)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    font_num = 3 + 2 * npages
+    for i, content in enumerate(streams):
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode())
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(content), content))
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_pos))
+    return bytes(out)
+
+
 def make_pdf_form(doc_id: int, text: str) -> bytes:
     """A PDF-1.4 file that carries part of its text inside Form
     XObjects invoked with ``Do`` (PDF 1.7 §8.10) — the letterhead/
@@ -951,6 +1002,9 @@ def payload_for(doc_id: int, text: str) -> bytes:
         if doc_id % 80 == 57:
             # text split across nested Form XObjects (Do operator)
             return make_pdf_form(doc_id, text)
+        if doc_id % 80 == 55:
+            # word spacing encoded as TJ kerns, no space glyphs
+            return make_pdf_tj_spacing(doc_id, text)
         return make_pdf(doc_id, text)
     return make_junk(doc_id)
 

@@ -1220,13 +1220,29 @@ def _interpret_page(content: bytes, page: int,
                 shows.append({"page": page, "x": cx, "y": cy, "text": txt})
         elif op == "TJ":
             if stack and isinstance(stack[-1], list) and in_text:
-                txt = "".join(
-                    _apply_cmap(e, cur_cmap) if cur_cmap else e
-                    for e in stack[-1] if isinstance(e, str)
-                )
-                shows.append({"page": page, "x": cx, "y": cy, "text": txt})
+                parts = []
+                for e in stack[-1]:
+                    if isinstance(e, str):
+                        parts.append(_apply_cmap(e, cur_cmap)
+                                     if cur_cmap else e)
+                    elif (isinstance(e, float)
+                          and e <= TJ_WORD_GAP
+                          and parts and not parts[-1].endswith(" ")):
+                        # large negative kern = an encoded word gap
+                        parts.append(" ")
+                shows.append({"page": page, "x": cx, "y": cy,
+                              "text": "".join(parts)})
         stack.clear()
     return shows
+
+
+# TJ array offsets are thousandths of a text-space unit, negative =
+# rightward gap. Many generators encode inter-word SPACES as kerns
+# instead of literal space glyphs; below this threshold the gap is a
+# word break (~0.12 em — space glyphs are ~0.25 em, intra-word kerns
+# are tens of units). MuPDF applies the same heuristic for the
+# reference (``/root/reference/approach4_v1.py:21-31``).
+TJ_WORD_GAP = -120.0
 
 
 def _column_clusters(xs: list[float], gap: float = COLUMN_GAP_PT) -> list[float]:

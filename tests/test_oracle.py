@@ -466,6 +466,28 @@ def test_simple_encoding_parsing():
     # consulted when the CMap lookup yields None.
 
 
+def test_tj_kern_word_spacing():
+    """Large negative TJ kerns are word gaps and must reinsert spaces;
+    small intra-word kerns must not (threshold TJ_WORD_GAP)."""
+    words = " ".join(f"tj{i} word" for i in range(60))
+    data = corpus.make_pdf_tj_spacing(55, words)
+    # the streams genuinely contain no inter-word space glyphs
+    body = data.split(b"stream\n", 1)[1]
+    assert b"(" in body and b") -" in body
+    text, _, _ = oracle.extract_pdf(data)
+    assert text == golden_text(words)
+    # unit semantics at the threshold boundary
+    shows = oracle._interpret_page(
+        b"BT [(a) -119 (b) -120 (c) -500 (d)] TJ ET", 0)
+    assert shows[0]["text"] == "ab c d"
+    # explicit space + kern never doubles the gap
+    shows = oracle._interpret_page(b"BT [(a ) -300 (b)] TJ ET", 0)
+    assert shows[0]["text"] == "a b"
+    # leading kern emits nothing
+    shows = oracle._interpret_page(b"BT [-300 (x)] TJ ET", 0)
+    assert shows[0]["text"] == "x"
+
+
 def test_utf16_bom_html_roundtrip():
     """UTF-16/32 BOM payloads route as html and extract the same golden
     text as their UTF-8 form (WARC charset reality)."""

@@ -136,6 +136,22 @@ def test_roundtrip_any_clean_text_pdf_form(words_raw):
     assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
 
 
+@given(st.text(alphabet=st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0xFF),
+    min_size=1, max_size=300))
+@settings(**_SETTINGS)
+def test_roundtrip_any_clean_text_pdf_tj_spacing(words_raw):
+    """TJ-kern word spacing: spaces reconstructed from kern magnitude
+    roundtrip byte-identically for any latin-1 text."""
+    words = words_raw.split()
+    if not words:
+        return
+    text = " ".join(words)
+    rec = oracle.extract_document(corpus.make_pdf_tj_spacing(55, text))
+    assert rec["status"] == "ok", rec["reason"]
+    assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
+
+
 @given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
                 max_size=200))
 @settings(**_SETTINGS)
