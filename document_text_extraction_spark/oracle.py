@@ -1210,8 +1210,11 @@ def _interpret_page(content: bytes, page: int,
                         xo["fonts"] or fonts,
                         xo["xobjects"] or xobjects,
                         depth + 1))
-        elif op == "Tj" or op == "'":
-            if op == "'":
+        elif op in ("Tj", "'", '"'):
+            if op != "Tj":
+                # ' and " (aw ac string ") both move to the next line
+                # before showing (PDF 1.7 §9.4.3); the " spacing args
+                # are geometry only
                 ly -= leading
                 cx, cy = lx, ly
             if stack and isinstance(stack[-1], str) and in_text:

@@ -466,6 +466,16 @@ def test_simple_encoding_parsing():
     # consulted when the CMap lookup yields None.
 
 
+def test_quote_show_operators():
+    """' and \" both advance a line before showing (PDF 1.7 §9.4.3);
+    the \" word/char-spacing operands are geometry-only."""
+    shows = oracle._interpret_page(
+        b'BT 14 TL 72 700 Td (first) Tj 0.5 0.1 (quoted) " (apos) \' ET',
+        0)
+    assert [(s["text"], s["y"]) for s in shows] == [
+        ("first", 700.0), ("quoted", 686.0), ("apos", 672.0)]
+
+
 def test_tj_kern_word_spacing():
     """Large negative TJ kerns are word gaps and must reinsert spaces;
     small intra-word kerns must not (threshold TJ_WORD_GAP)."""
