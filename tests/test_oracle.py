@@ -627,6 +627,16 @@ def test_decode_parms_array_alignment():
         b"<< /Filter /FlateDecode /DP << /Predictor 2 /Columns 3 >> >>", 1)
     assert b"/Predictor 2" in single[0]
     assert oracle._decode_parms_list(b"<< /Filter /FlateDecode >>", 1) == [None]
+    # key order is free: DecodeParms may precede Filter
+    pre = oracle._decode_parms_list(
+        b"<< /DecodeParms << /Predictor 2 /Columns 3 >> /Length 9 "
+        b"/Filter /FlateDecode >>", 1)
+    assert b"/Predictor 2" in pre[0]
+    # 3-filter array with parms only for the middle entry
+    mid = oracle._decode_parms_list(
+        b"<< /Filter [/ASCIIHexDecode /FlateDecode /RunLengthDecode] "
+        b"/DP [null << /Predictor 12 /Columns 4 >> null] >>", 3)
+    assert mid[0] is None and b"Predictor 12" in mid[1] and mid[2] is None
 
 
 def test_ascii85_decode_forms():
