@@ -213,18 +213,8 @@ def _pdf_content_streams(doc_id: int, text: str) -> list[bytes]:
 
     streams = []
     for placed in pages:
-        ops = []
-        for li, (x, y, ln) in enumerate(placed):
-            esc = _pdf_escape(ln)
-            if li % 3 == 2 and len(esc) > 4:
-                mid = len(esc) // 2
-                # avoid splitting inside an escape sequence
-                while mid < len(esc) and esc[mid - 1] == "\\":
-                    mid += 1
-                show = f"[({esc[:mid]}) -15 ({esc[mid:]})] TJ"
-            else:
-                show = f"({esc}) Tj"
-            ops.append(f"BT /F1 {FONT_SIZE} Tf {x:.1f} {y:.1f} Td {show} ET")
+        ops = [_show_op(li, x, y, ln)
+               for li, (x, y, ln) in enumerate(placed)]
         streams.append("\n".join(ops).encode("latin-1"))
     return streams
 
@@ -392,6 +382,26 @@ def _tiff_predict_encode(content: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+
+def _assemble_pdf(objs: list) -> bytes:
+    """Classic-xref document assembly shared by every PDF-1.4 emitter
+    (the 1.5 emitter builds an xref STREAM instead)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_pos)
+    )
+    return bytes(out)
+
+
 def make_pdf(doc_id: int, text: str,
              filter_mode: str | None = "auto") -> bytes:
     """A PDF-1.4 file whose text layer carries the 10-word lines.
@@ -433,20 +443,7 @@ def make_pdf(doc_id: int, text: str,
         )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
-    xref_pos = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_pos)
-    )
-    return bytes(out)
+    return _assemble_pdf(objs)
 
 
 # /Differences substitutions for make_pdf_winansi: frequent letters are
@@ -461,7 +458,8 @@ _WINANSI_DIFFS = b"[1 /e /t /a /o /uni0069 /n /uni0073]"
 def make_pdf_winansi(doc_id: int, text: str) -> bytes:
     """A PDF-1.4 file whose simple Type1 font carries an /Encoding dict
     (/BaseEncoding /WinAnsiEncoding + /Differences) remapping seven
-    frequent letters to 0xC0-0xC6 — the legacy-font layout MuPDF
+    frequent letters to codes 1-7 (outside every base encoding, so no
+    representable character is shadowed) — the legacy-font layout MuPDF
     handles for the reference (``/root/reference/approach4_v1.py:21-31``;
     PDF 1.7 §9.6.6). Odd doc_ids reference the encoding dict
     indirectly; even ids inline it and Flate-compress the streams.
@@ -481,17 +479,8 @@ def make_pdf_winansi(doc_id: int, text: str) -> bytes:
 
     streams = []
     for placed in pages:
-        ops = []
-        for li, (x, y, ln) in enumerate(placed):
-            esc = _pdf_escape(enc_line(ln))
-            if li % 3 == 2 and len(esc) > 4:
-                mid = len(esc) // 2
-                while mid < len(esc) and esc[mid - 1] == "\\":
-                    mid += 1
-                show = f"[({esc[:mid]}) -15 ({esc[mid:]})] TJ"
-            else:
-                show = f"({esc}) Tj"
-            ops.append(f"BT /F1 {FONT_SIZE} Tf {x:.1f} {y:.1f} Td {show} ET")
+        ops = [_show_op(li, x, y, enc_line(ln))
+               for li, (x, y, ln) in enumerate(placed)]
         streams.append("\n".join(ops).encode("latin-1"))
 
     npages = len(streams)
@@ -520,18 +509,7 @@ def make_pdf_winansi(doc_id: int, text: str) -> bytes:
     if indirect_enc:
         objs.append(enc_dict)
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
-    xref_pos = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, xref_pos))
-    return bytes(out)
+    return _assemble_pdf(objs)
 
 
 def _show_op(li: int, x: float, y: float, ln: str) -> str:
@@ -584,18 +562,7 @@ def make_pdf_tj_spacing(doc_id: int, text: str) -> bytes:
                     % (len(content), content))
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
-    xref_pos = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, xref_pos))
-    return bytes(out)
+    return _assemble_pdf(objs)
 
 
 def make_pdf_form(doc_id: int, text: str) -> bytes:
@@ -666,18 +633,7 @@ def make_pdf_form(doc_id: int, text: str) -> bytes:
         b"/BitsPerComponent 8 /ColorSpace /DeviceGray /Length 1 >>\n"
         b"stream\n\x00\nendstream")
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
-    xref_pos = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, xref_pos))
-    return bytes(out)
+    return _assemble_pdf(objs)
 
 
 def make_pdf_cmap(doc_id: int, text: str) -> bytes:
@@ -760,20 +716,7 @@ def make_pdf_cmap(doc_id: int, text: str) -> bytes:
     objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
                 % (len(cmap), cmap))
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
-    xref_pos = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_pos)
-    )
-    return bytes(out)
+    return _assemble_pdf(objs)
 
 
 def make_pdf15(doc_id: int, text: str) -> bytes:

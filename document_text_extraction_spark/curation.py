@@ -52,27 +52,43 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
            run_id: str = "run1", near_threshold: float = 0.5) -> dict:
     """Run the four curation stages with materialization between them.
 
-    ``docs`` needs (doc_id, text). Returns the manifest dict (also
-    committed to ``{out_dir}/manifest_{run_id}.json`` via atomic
-    rename); the curated table lands in ``{out_dir}/curated``.
+    ``docs`` needs (doc_id, text). All stage data lives under
+    ``{out_dir}/{run_id}/`` (concurrent or repeated runs with distinct
+    run_ids never clobber each other), the curated table lands in
+    ``{out_dir}/{run_id}/curated``, and the manifest at
+    ``{out_dir}/manifest_{run_id}.json`` is re-committed (atomic
+    rename) after EVERY stage, so a crash leaves the completed stages'
+    counters on disk — the same commit protocol as
+    ``pipeline.run_extraction``. Returns the manifest dict.
     """
-    os.makedirs(out_dir, exist_ok=True)
+    base = f"{out_dir}/{run_id}"
+    os.makedirs(base, exist_ok=True)
     manifest: dict = {"run_id": run_id, "near_threshold": near_threshold,
-                      "stages": {}}
+                      "data_dir": base, "stages": {}}
+
+    def commit() -> None:
+        tmp = f"{out_dir}/.manifest_{run_id}.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, f"{out_dir}/manifest_{run_id}.json")
 
     docs = docs.select("doc_id", "text")
     n_in = docs.count()
+    manifest["docs_in"] = n_in
+    commit()
 
     flags = ts.gopher_flags_cols(F.col("text"))
     gated = _write_read(spark, docs.filter(flags["gopher_pass"]),
-                        f"{out_dir}/stage1_gated")
+                        f"{base}/stage1_gated")
     n_gated = gated.count()
     manifest["stages"]["gate"] = {"in": n_in, "out": n_gated}
+    commit()
 
     unique = _write_read(spark, dedup.deduplicate_keep_first(gated),
-                         f"{out_dir}/stage2_unique")
+                         f"{base}/stage2_unique")
     n_unique = unique.count()
     manifest["stages"]["exact_dedup"] = {"in": n_gated, "out": n_unique}
+    commit()
 
     pairs = dedup.minhash_near_duplicates(unique,
                                           threshold=near_threshold)
@@ -80,22 +96,21 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
     kept = _write_read(spark,
                        unique.join(F.broadcast(drop), "doc_id",
                                    "left_anti"),
-                       f"{out_dir}/stage3_kept")
+                       f"{base}/stage3_kept")
     n_kept = kept.count()
     manifest["stages"]["near_dedup"] = {"in": n_unique, "out": n_kept}
+    commit()
 
+    scrubbed = ff.pii_scrub_col(F.col("text"))
     curated = kept.select(
         "doc_id",
-        ff.pii_scrub_col(F.col("text")).alias("text"),
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        scrubbed.alias("text"),
+        # token count of the text actually stored (post-scrub) — a
+        # pre-scrub count would disagree with the column next to it
+        F.size(F.split(scrubbed, " ")).cast("long").alias("n_tokens"),
     )
-    curated.write.mode("overwrite").parquet(f"{out_dir}/curated")
+    curated.write.mode("overwrite").parquet(f"{base}/curated")
     manifest["stages"]["pii_scrub"] = {"in": n_kept, "out": n_kept}
-    manifest["docs_in"] = n_in
     manifest["docs_out"] = n_kept
-
-    tmp = f"{out_dir}/.manifest_{run_id}.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, f"{out_dir}/manifest_{run_id}.json")
+    commit()
     return manifest

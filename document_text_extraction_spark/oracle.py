@@ -66,11 +66,14 @@ def sniff(data: bytes) -> str:
 
 
 def _transcode_bom(data: bytes) -> bytes:
-    """UTF-16/UTF-32 BOM sniff → UTF-8 bytes (real crawls carry a
-    steady share of UTF-16 pages; the downstream byte-level tag
-    scan assumes UTF-8). No BOM → unchanged. The utf-16/utf-32 codecs
-    consume the BOM themselves; order matters — the UTF-32LE BOM
-    starts with the UTF-16LE one."""
+    """BOM charset normalization → UTF-8 bytes (real crawls carry a
+    steady share of BOM'd pages; the downstream byte-level tag scan
+    assumes UTF-8). UTF-8 BOM (by far the most common) is stripped;
+    UTF-16/UTF-32 transcode. No BOM → unchanged. The utf-16/utf-32
+    codecs consume the BOM themselves; order matters — the UTF-32LE
+    BOM starts with the UTF-16LE one."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:]
     if data[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
         return data.decode("utf-32", errors="replace").encode("utf-8")
     if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
@@ -243,19 +246,53 @@ _INT_OBJ_RE = re.compile(rb"\s*(\d+)\s*$")
 _FILTER_ENTRY_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _HEXWS_RE = re.compile(rb"\s+")
-# /DecodeParms (or its /DP abbreviation): a single flat dict or an
-# array of dict|null aligned with the /Filter array (PDF 1.7 §7.4.1)
+# /DecodeParms (or its /DP abbreviation): a single flat dict, an
+# array of dict|null aligned with the /Filter array, or an indirect
+# reference to either (PDF 1.7 §7.4.1)
 _DECODEPARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*(?=(<<|\[))")
-_PARMS_ITEM_RE = re.compile(rb"null|<<.*?>>", re.S)
+_DECODEPARMS_REF_RE = re.compile(rb"/(?:DecodeParms|DP)\s+(\d+)\s+0\s+R")
+_PARMS_ITEM_RE = re.compile(rb"null|<<.*?>>|\d+\s+0\s+R", re.S)
+_PARMS_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 
 
-def _decode_parms_list(head: bytes, n: int) -> list:
+def _resolve_parms_obj(item: bytes, objs: dict | None) -> bytes | None:
+    """Indirect parms entry ('N 0 R') → the referenced dict bytes."""
+    rm = _PARMS_REF_RE.fullmatch(item.strip())
+    if rm is None:
+        return item
+    body = (objs or {}).get(int(rm.group(1)))
+    if body is None:
+        return None
+    dm = re.search(rb"<<.*?>>", body, re.S)
+    return dm.group(0) if dm else None
+
+
+def _decode_parms_list(head: bytes, n: int,
+                       objs: dict | None = None) -> list:
     """The per-filter /DecodeParms dicts (bytes) aligned with the n
-    filter names; None where absent/null."""
+    filter names; None where absent/null. Indirect references (the
+    entry itself, or items inside the array) resolve through ``objs``
+    — an unresolvable ref yields None and the predictor check in
+    ``_apply_stream_filters`` turns that into a counted failure rather
+    than silently-garbled output."""
     out: list = [None] * n
     m = _DECODEPARMS_RE.search(head)
     if m is None:
-        return out
+        rm = _DECODEPARMS_REF_RE.search(head)
+        if rm is None:
+            return out
+        body = (objs or {}).get(int(rm.group(1)))
+        if body is None:
+            # declared but unresolvable: poison so the caller refuses
+            # (predictor 99 is invalid → counted unsupported_filter)
+            return [b"<< /Predictor 99 >>"] * n if n else out
+        dm = re.search(rb"(<<.*?>>|\[.*?\])", body, re.S)
+        if dm is None:
+            return out
+        head = b"/DecodeParms " + dm.group(0)
+        m = _DECODEPARMS_RE.search(head)
+        if m is None:
+            return out
     if m.group(1) == b"<<":
         end = head.find(b">>", m.end())
         if end != -1 and n:
@@ -267,7 +304,7 @@ def _decode_parms_list(head: bytes, n: int) -> list:
         if i >= n:
             break
         if item.group(0) != b"null":
-            out[i] = item.group(0)
+            out[i] = _resolve_parms_obj(item.group(0), objs)
     return out
 
 
@@ -446,21 +483,24 @@ def _run_length_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _apply_stream_filters(data: bytes, head: bytes) -> bytes:
+def _apply_stream_filters(data: bytes, head: bytes,
+                          objs: dict | None = None) -> bytes:
     """Decode the stream's /Filter chain in listed order. Supported:
     every *text-relevant* filter — FlateDecode, LZWDecode,
     ASCIIHexDecode, ASCII85Decode, RunLengthDecode — plus TIFF/PNG
     /Predictor transforms on the compressed ones (per-filter
-    /DecodeParms); the remaining filters are raster-image codecs (DCT,
-    CCITT, JBIG2, JPX) or encryption (Crypt) and raise a counted
-    ``unsupported_filter`` failure, never silently-corrupt output — the
+    /DecodeParms, inline or indirect via ``objs``); the remaining
+    filters are raster-image codecs (DCT, CCITT, JBIG2, JPX) or
+    encryption (Crypt) and raise a counted ``unsupported_filter``
+    failure, never silently-corrupt output — a predictor declared on a
+    filter that takes none is likewise refused, not ignored. The
     reference inherits the full set from MuPDF/pdfplumber
     (``/root/reference/approach4_v1.py:21-31``)."""
     fm = _FILTER_ENTRY_RE.search(head)
     if fm is None:
         return data
     names = [m.group(1) for m in _FILTER_NAME_RE.finditer(fm.group(1))]
-    parms = _decode_parms_list(head, len(names))
+    parms = _decode_parms_list(head, len(names), objs)
     for name, parm in zip(names, parms):
         if name == b"FlateDecode":
             import zlib
@@ -472,16 +512,22 @@ def _apply_stream_filters(data: bytes, head: bytes) -> bytes:
             data = _apply_predictor(data, parm)
         elif name == b"LZWDecode":
             data = _apply_predictor(_lzw_decode(data), parm)
-        elif name == b"ASCIIHexDecode":
-            data = _ascii_hex_decode(data)
-        elif name == b"ASCII85Decode":
-            data = _ascii85_decode(data)
-        elif name == b"RunLengthDecode":
-            data = _run_length_decode(data)
         else:
-            raise PdfParseError(
-                f"unsupported stream filter /{name.decode('latin-1')}",
-                code="unsupported_filter")
+            if parm and _parm_int(parm, b"Predictor", 1) > 1:
+                raise PdfParseError(
+                    "predictor on a filter that takes none",
+                    code="unsupported_filter")
+            if name == b"ASCIIHexDecode":
+                data = _ascii_hex_decode(data)
+            elif name == b"ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif name == b"RunLengthDecode":
+                data = _run_length_decode(data)
+            else:
+                raise PdfParseError(
+                    f"unsupported stream filter "
+                    f"/{name.decode('latin-1')}",
+                    code="unsupported_filter")
     return data
 
 
@@ -520,7 +566,7 @@ def _decode_object_stream(body: bytes,
             return None
         data = m.group(1)
     try:
-        return _apply_stream_filters(data, head)
+        return _apply_stream_filters(data, head, objs)
     except PdfParseError:
         if strict:
             raise
@@ -703,8 +749,14 @@ def _glyph_to_char(name: str):
     if len(name) == 1:
         return name
     if name.startswith("uni") and len(name) >= 7:
+        hexpart = name[3:]
+        if len(hexpart) % 4:
+            return None
         try:
-            return chr(int(name[3:7], 16))
+            # multi-group form maps a code to a SEQUENCE (AGL §3:
+            # e.g. uni00660069 = "fi")
+            return "".join(chr(int(hexpart[i:i + 4], 16))
+                           for i in range(0, len(hexpart), 4))
         except ValueError:
             return None
     if name.startswith("u") and 5 <= len(name) <= 7:

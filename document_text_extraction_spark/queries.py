@@ -936,14 +936,12 @@ SQL_LINE_DEDUP = (
 )
 
 
-def q_pii_scrub(spark, sf_dir):
-    """PII anonymization (CCNet/FineWeb-style): plant one email, one
-    IPv4 and one phone number per document (deterministic from doc_id,
-    same planting in the oracle), then scrub email → ip → phone with
-    typed placeholders and count what was removed. Pure JVM
-    regexp_replace chain — codegen'd, no shuffle at all."""
-    d = _docs(spark, sf_dir)
-    planted = F.concat(
+def _planted_pii_col():
+    """The Spark twin of ``_SQL_PLANTED_PII``: text + one email, one
+    phone and one IPv4, all deterministic from doc_id. Shared by
+    q_pii_scrub and q_curate_corpus so the two cannot drift from the
+    SQL replica independently."""
+    return F.concat(
         F.col("text"),
         F.lit(" reach user"), F.col("doc_id").cast("string"),
         F.lit("@mail.example.org or +1 (555) 010-"),
@@ -951,6 +949,16 @@ def q_pii_scrub(spark, sf_dir):
         F.lit(" from 10.0."),
         F.pmod(F.col("doc_id"), 256).cast("string"), F.lit(".7"),
     )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII anonymization (CCNet/FineWeb-style): plant one email, one
+    IPv4 and one phone number per document (deterministic from doc_id,
+    same planting in the oracle), then scrub email → ip → phone with
+    typed placeholders and count what was removed. Pure JVM
+    regexp_replace chain — codegen'd, no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    planted = _planted_pii_col()
     return d.select(
         "doc_id",
         ff.pii_scrub_col(planted).alias("scrubbed"),
@@ -1035,14 +1043,7 @@ def q_curate_corpus(spark, sf_dir):
     pairs = dedup.minhash_near_duplicates(unique, threshold=0.5)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = unique.join(F.broadcast(drop), "doc_id", "left_anti")
-    planted = F.concat(
-        F.col("text"),
-        F.lit(" reach user"), F.col("doc_id").cast("string"),
-        F.lit("@mail.example.org or +1 (555) 010-"),
-        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
-        F.lit(" from 10.0."),
-        F.pmod(F.col("doc_id"), 256).cast("string"), F.lit(".7"),
-    )
+    planted = _planted_pii_col()
     return kept.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.md5(F.encode(ff.pii_scrub_col(planted), "UTF-8"))

@@ -27,7 +27,7 @@ def test_curate_matches_registry_query(spark, tmp_path):
     # the materializing runner keeps exactly the ids the one-dataflow
     # oracle-checked query keeps
     kept_ids = {r.doc_id for r in
-                spark.read.parquet(f"{out}/curated").collect()}
+                spark.read.parquet(f"{out}/t1/curated").collect()}
     query_ids = {r.doc_id for r in q_curate_corpus(spark, SF).collect()}
     assert kept_ids == query_ids
     # manifest committed atomically and consistent with the data
@@ -44,12 +44,17 @@ def test_curate_scrubs_real_pii(spark, tmp_path):
         ["doc_id", "text"])
     out = str(tmp_path / "c2")
     manifest = curate(spark, docs, out, run_id="t2")
-    rows = spark.read.parquet(f"{out}/curated").collect()
+    rows = spark.read.parquet(f"{out}/t2/curated").collect()
     assert manifest["docs_out"] == len(rows) > 0
     for r in rows:
         assert "@leak.example.com" not in r.text
         assert "<EMAIL>" in r.text and "<IP>" in r.text
-        assert r.n_tokens > 0
-    # reruns are deterministic (overwrite semantics, same output)
+        # the stored count describes the stored (post-scrub) text
+        assert r.n_tokens == len(r.text.split(" "))
+    # a second run under its own run_id must not clobber the first
     again = curate(spark, docs, out, run_id="t3")
     assert again["docs_out"] == manifest["docs_out"]
+    assert spark.read.parquet(f"{out}/t2/curated").count() == len(rows)
+    import json as _json
+    with open(f"{out}/manifest_t2.json") as f:
+        assert _json.load(f)["docs_out"] == manifest["docs_out"]

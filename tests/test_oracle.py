@@ -466,6 +466,62 @@ def test_simple_encoding_parsing():
     # consulted when the CMap lookup yields None.
 
 
+def test_utf8_bom_html_routes_and_strips():
+    """The UTF-8 BOM (the most common BOM in the wild) must not break
+    routing or leak into the text."""
+    words = " ".join(f"u8bom{i}" for i in range(30))
+    payload = b"\xef\xbb\xbf" + corpus.make_html(3, words)
+    assert oracle.sniff(payload) == "html"
+    rec = oracle.extract_document(payload)
+    assert rec["status"] == "ok"
+    assert rec["extracted_text"] == golden_text(words)
+
+
+def test_indirect_decode_parms_resolved():
+    """'/DecodeParms N 0 R' must resolve through the object table —
+    ignoring it would emit garbled (un-unpredicted) text."""
+    import zlib
+    content = b"BT /F1 12 Tf 72 700 Td (indirect) Tj ET"
+    cols = 10
+    enc = zlib.compress(corpus._png_predict_encode(content, cols), 6)
+    pdf = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Length %d /Filter /FlateDecode "
+        b"/DecodeParms 5 0 R >>\nstream\n%s\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Predictor 15 /Columns %d >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%%%EOF\n"
+        % (len(enc), enc, cols)
+    )
+    text, _, _ = oracle.extract_pdf(pdf)
+    assert text == "indirect"
+    # an unresolvable ref must refuse, not garble
+    broken = pdf.replace(b"/DecodeParms 5 0 R", b"/DecodeParms 9 0 R")
+    rec = oracle.extract_document(broken)
+    assert rec["status"] == "parse_failure"
+    assert rec["reason"] in ("unsupported_filter", "bad_filter_data",
+                             "parse_error", "bad_flate")
+
+
+def test_predictor_on_nonpredicting_filter_refused():
+    """A predictor declared on RunLength/AHx (which take none) is a
+    counted failure, never silent corruption."""
+    head = (b"<< /Length 3 /Filter /RunLengthDecode "
+            b"/DecodeParms << /Predictor 12 /Columns 4 >> >>")
+    with pytest.raises(oracle.PdfParseError) as e:
+        oracle._apply_stream_filters(b"\x80", head)
+    assert e.value.code == "unsupported_filter"
+
+
+def test_glyph_uni_multigroup():
+    """AGL uniXXXXYYYY names map to character SEQUENCES."""
+    assert oracle._glyph_to_char("uni00660069") == "fi"
+    assert oracle._glyph_to_char("uni0066006900") is None  # ragged
+
+
 def test_quote_show_operators():
     """' and \" both advance a line before showing (PDF 1.7 §9.4.3);
     the \" word/char-spacing operands are geometry-only."""
