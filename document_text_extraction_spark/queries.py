@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from . import pipeline
 from .functions import fields as ff
 from .functions import textstats as ts
-from .operators import dedup, regions, similarity
+from .operators import contamination, dedup, regions, similarity
 from .operators.sections import sections_df
 from .operators.sessionize import mode_by, running_sum, user_session_counts
 from .sources import web_pages_from_documents
@@ -1605,6 +1605,74 @@ SQL_ANN_IVF = (
     "ORDER BY cos DESC, vec_id LIMIT 10"
 )
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (n-gram collision): the evaluation set
+    is synthesized deterministically as a 16-word slice (words 3..18) of
+    every 97th document, so every bench item's 8-grams are guaranteed to
+    collide with its source document (plus any near-duplicates). The
+    probe side is broadcast; the corpus side never shuffles before the
+    tiny hit aggregation (operators/contamination.py)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, 3, 16), " ").alias("text"),
+    )
+    return contamination.contamination_report(docs, bench, k=8)
+
+
+def _k8_shingles_sql() -> str:
+    return (
+        "list_distinct([array_to_string(words[i:least(i+7, len(words))], "
+        "' ') for i in range(1, greatest(len(words) - 7, 1) + 1)])"
+    )
+
+
+SQL_CONTAMINATION = (
+    "WITH bench AS (SELECT doc_id AS bench_id, "
+    "array_to_string((string_split(text, ' '))[3:18], ' ') AS btext "
+    "FROM documents WHERE doc_id % 97 = 0), "
+    "bw AS (SELECT bench_id, string_split(btext, ' ') AS words FROM bench), "
+    f"bsh AS (SELECT DISTINCT bench_id, unnest({_k8_shingles_sql()}) "
+    "AS shingle FROM bw), "
+    "dw AS (SELECT doc_id, string_split(text, ' ') AS words "
+    "FROM documents), "
+    f"dsh AS (SELECT DISTINCT doc_id, unnest({_k8_shingles_sql()}) "
+    "AS shingle FROM dw), "
+    "hits AS (SELECT doc_id, shingle, bench_id FROM dsh "
+    "JOIN bsh USING (shingle)) "
+    "SELECT doc_id, CAST(count(DISTINCT shingle) AS BIGINT) "
+    "AS n_hit_ngrams, "
+    "list_sort(list_distinct(list(bench_id))) AS bench_ids "
+    "FROM hits GROUP BY doc_id"
+)
+
+
+def q_decontaminate_count(spark, sf_dir):
+    """The decontamination *transform* result, summarized: surviving-doc
+    count + total surviving chars (aggregate so the oracle compares a
+    stable scalar row, not the whole corpus)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, 3, 16), " ").alias("text"),
+    )
+    kept = contamination.decontaminate(docs, bench, k=8)
+    return kept.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+SQL_DECONTAMINATE = (
+    f"WITH hits AS ({SQL_CONTAMINATION}) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM hits)"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1642,6 +1710,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
     "pack_sequences": q_pack_sequences,
+    "contamination": q_contamination,
+    "decontaminate_count": q_decontaminate_count,
     "train_val_split": q_train_val_split,
     "lang_id": q_lang_id,
     "skills_match": q_skills_match,
@@ -1695,6 +1765,8 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "curate_corpus": SQL_CURATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "contamination": SQL_CONTAMINATION,
+    "decontaminate_count": SQL_DECONTAMINATE,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "lang_id": SQL_LANG_ID,
     "skills_match": SQL_SKILLS,

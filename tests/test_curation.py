@@ -58,3 +58,45 @@ def test_curate_scrubs_real_pii(spark, tmp_path):
     import json as _json
     with open(f"{out}/manifest_t2.json") as f:
         assert _json.load(f)["docs_out"] == manifest["docs_out"]
+
+
+def test_contamination_planted(spark):
+    """A doc containing a benchmark 8-gram is flagged; shifted/partial
+    overlaps below 8 contiguous words are not; decontaminate drops
+    exactly the flagged ids."""
+    from document_text_extraction_spark.operators import contamination as ct
+
+    words = [f"w{i}" for i in range(20)]
+    bench_text = " ".join(words[0:8])          # one exact 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),               # contains the 8-gram
+            (2, "x " + " ".join(words[0:8]) + " y"),  # also contains it
+            (3, " ".join(words[1:9])),          # different 8-gram, no hit
+            (4, " ".join(words[0:7]) + " zz"),  # only 7-word overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "bench_id long, text string")
+    rep = {r.doc_id: r for r in
+           ct.contamination_report(docs, bench, k=8).collect()}
+    assert set(rep) == {1, 2}
+    assert rep[1].n_hit_ngrams == 1 and rep[1].bench_ids == [100]
+    kept = {r.doc_id for r in
+            ct.decontaminate(docs, bench, k=8).collect()}
+    assert kept == {3, 4}
+
+
+def test_contamination_probe_is_broadcast(spark):
+    """Scale shape: the benchmark probe join must be a broadcast hash
+    join (the corpus side never shuffles for the probe)."""
+    from document_text_extraction_spark.operators import contamination as ct
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")],
+                                 "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d e f g h")],
+                                  "bench_id long, text string")
+    plan = (ct.contamination_report(docs, bench, k=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
