@@ -42,7 +42,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 12
+CORPUS_VERSION = 13
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -565,6 +565,80 @@ def make_pdf_tj_spacing(doc_id: int, text: str) -> bytes:
     return _assemble_pdf(objs)
 
 
+_MATRIX_VARIANTS = [(90, 1.0), (180, 2.0), (270, 0.5), (30, 1.0), (60, 2.0)]
+
+
+def make_pdf_matrix(doc_id: int, text: str) -> bytes:
+    """A PDF-1.4 file whose text renders through a rotated+scaled
+    coordinate system (PDF 1.7 §8.3.4) — scanned-and-OCRed or
+    landscape-generated documents ship this shape. Each page's content
+    wraps in ``q <rot·scale> cm … Q``; lines place via
+    inverse-transformed ``Td`` coordinates, every 4th line via a full
+    six-element ``Tm`` (inverse rotation in the linear part), and lines
+    ``li%4==1`` nest an extra ``q 1 0 0 1 5 -3 cm … Q`` translation to
+    exercise the graphics-state stack. DEVICE-space geometry equals
+    ``make_pdf``'s layout, so a full-matrix interpreter recovers the
+    golden reading order while a translation-only reader sees scrambled
+    coordinates. Rotation angle / scale cycle with ``doc_id//80``;
+    streams Flate-compress on alternating parity of the same index."""
+    import math
+    import zlib
+    theta_deg, s = _MATRIX_VARIANTS[(doc_id // 80) % len(_MATRIX_VARIANTS)]
+    th = math.radians(theta_deg)
+    ca, sa = math.cos(th), math.sin(th)
+
+    def inv(dx: float, dy: float) -> tuple:
+        # the parser reads the written %.6f/%.4f decimals; the inverse
+        # here uses full precision, so device error stays ~1e-3 pt —
+        # far below LINE_H (14) and the 40pt column gap
+        return ((ca * dx + sa * dy) / s, (-sa * dx + ca * dy) / s)
+
+    pages = _pdf_layout(doc_id, text)
+    streams = []
+    for placed in pages:
+        ops = [f"q {s * ca:.6f} {s * sa:.6f} {-s * sa:.6f} "
+               f"{s * ca:.6f} 0 0 cm"]
+        for li, (x, y, ln) in enumerate(placed):
+            esc = _pdf_escape(ln)
+            tx, ty = inv(x, y)
+            if li % 4 == 0:
+                ops.append(
+                    f"BT /F1 {FONT_SIZE} Tf {ca / s:.6f} {-sa / s:.6f} "
+                    f"{sa / s:.6f} {ca / s:.6f} {tx:.4f} {ty:.4f} Tm "
+                    f"({esc}) Tj ET")
+            elif li % 4 == 1:
+                ops.append(
+                    f"q 1 0 0 1 5 -3 cm BT /F1 {FONT_SIZE} Tf "
+                    f"{tx - 5:.4f} {ty + 3:.4f} Td ({esc}) Tj ET Q")
+            else:
+                ops.append(f"BT /F1 {FONT_SIZE} Tf {tx:.4f} {ty:.4f} Td "
+                           f"({esc}) Tj ET")
+        ops.append("Q")
+        streams.append("\n".join(ops).encode("latin-1"))
+
+    compress = (doc_id // 80) % 2 == 0
+    npages = len(streams)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    font_num = 3 + 2 * npages
+    for i, content in enumerate(streams):
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode())
+        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
+                     if compress else (content, b""))
+        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                    % (len(enc), filt, enc))
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    return _assemble_pdf(objs)
+
+
 def make_pdf_form(doc_id: int, text: str) -> bytes:
     """A PDF-1.4 file that carries part of its text inside Form
     XObjects invoked with ``Do`` (PDF 1.7 §8.10) — the letterhead/
@@ -945,6 +1019,9 @@ def payload_for(doc_id: int, text: str) -> bytes:
         if doc_id % 80 == 57:
             # text split across nested Form XObjects (Do operator)
             return make_pdf_form(doc_id, text)
+        if doc_id % 80 == 54:
+            # rotated/scaled CTM + full Tm matrices + q/Q nesting
+            return make_pdf_matrix(doc_id, text)
         if doc_id % 80 == 55:
             # word spacing encoded as TJ kerns, no space glyphs
             return make_pdf_tj_spacing(doc_id, text)

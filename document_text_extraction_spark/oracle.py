@@ -862,6 +862,9 @@ def _page_fonts(page_body: bytes, objs: dict[int, bytes],
 
 _XOBJDICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
 _FORM_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Form\b")
+_FORM_MATRIX_RE = re.compile(
+    rb"/Matrix\s*\[\s*" + rb"\s+".join([rb"([-\d.]+)"] * 6) + rb"\s*\]"
+)
 
 
 def _page_xobjects(body: bytes, objs: dict[int, bytes],
@@ -889,11 +892,17 @@ def _page_xobjects(body: bytes, objs: dict[int, bytes],
         stream = _decode_object_stream(xbody, objs, strict=True)
         if stream is None:
             continue
+        mm = _FORM_MATRIX_RE.search(xbody)
+        try:
+            matrix = tuple(float(g) for g in mm.groups()) if mm else None
+        except ValueError:
+            matrix = None
         out["/" + name.decode("latin-1")] = {
             "content": stream,
             "fonts": _page_fonts(xbody, objs, cmap_cache),
             "xobjects": _page_xobjects(xbody, objs, cmap_cache,
                                        seen | {num}),
+            "matrix": matrix,
         }
     return out
 
@@ -1168,6 +1177,29 @@ def _tokenize_content(buf: bytes):
                 i += 1  # unknown byte — skip
 
 
+_MAT_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1: tuple, m2: tuple) -> tuple:
+    """PDF matrix concatenation (apply ``m1`` then ``m2``): row-vector
+    convention of PDF 1.7 §8.3.4, [a b 0; c d 0; e f 1]."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _mat_translate(tx: float, ty: float, m: tuple) -> tuple:
+    """``translate(tx,ty) × m`` without the general-product FLOPs — and,
+    for translation-only ``m``, bit-identical to the pre-matrix
+    accumulator arithmetic (e+tx, f+ty)."""
+    a, b, c, d, e, f = m
+    return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+
+
 def _apply_cmap(s: str, cmap: dict) -> str:
     """Map a raw show string (latin-1-preserved bytes) through a
     /ToUnicode CMap: fixed-width codes → Unicode; unmapped codes drop
@@ -1185,21 +1217,29 @@ def _apply_cmap(s: str, cmap: dict) -> str:
 def _interpret_page(content: bytes, page: int,
                     fonts: dict | None = None,
                     xobjects: dict | None = None,
-                    depth: int = 0) -> list[dict]:
+                    depth: int = 0,
+                    ctm: tuple = _MAT_ID) -> list[dict]:
     """Interpret text operators of one page's content stream into raw
-    show-spans ``{page, x, y, text}`` (text line matrix semantics for
-    BT/Td/TD/T*; Tm supported with translation part). ``fonts`` maps
-    /Name → parsed ToUnicode CMap (or None); ``Tf`` switches the active
-    map and show strings decode through it (non-latin text).
-    ``xobjects`` maps /Name → form-XObject entries; ``Do`` interprets
-    the form's content recursively (its own fonts, falling back to the
-    page's; depth-capped) so form-carried text lands in the same
-    coordinate-sorted reading order."""
+    show-spans ``{page, x, y, text}``.
+
+    Full matrix semantics (PDF 1.7 §8.3.4/§9.4.2): the CTM is tracked
+    through ``cm`` with a ``q``/``Q`` graphics-state stack, the text and
+    text-line matrices (Tm/Tlm) through ``BT Td TD Tm T* ' "`` — show
+    coordinates are the DEVICE-space origin of ``Tm × CTM``, so
+    rotated/scaled content sorts into the same reading order a raster
+    renderer would produce (reference behavior via MuPDF,
+    ``/root/reference/approach4_v1.py:21-31``). ``fonts`` maps /Name →
+    parsed ToUnicode CMap (or None); ``Tf`` switches the active map and
+    show strings decode through it (non-latin text). ``xobjects`` maps
+    /Name → form-XObject entries; ``Do`` interprets the form's content
+    recursively (its own fonts, falling back to the page's;
+    depth-capped) under ``form /Matrix × CTM`` so form-carried text
+    lands in the same coordinate-sorted reading order."""
     shows: list[dict] = []
     stack: list = []
     in_array: list | None = None
-    lx = ly = 0.0          # current line start (text line matrix translation)
-    cx = cy = 0.0
+    tm = tlm = _MAT_ID     # text matrix / text line matrix
+    gs_stack: list[tuple] = []
     leading = 0.0
     in_text = False
     cur_cmap: dict | None = None
@@ -1222,7 +1262,7 @@ def _interpret_page(content: bytes, page: int,
         op = val
         if op == "BT":
             in_text = True
-            lx = ly = cx = cy = 0.0
+            tm = tlm = _MAT_ID
             leading = 0.0
         elif op == "ET":
             in_text = False
@@ -1231,23 +1271,27 @@ def _interpret_page(content: bytes, page: int,
                 ty = stack[-1]
                 tx = stack[-2]
                 if isinstance(tx, float) and isinstance(ty, float):
-                    lx += tx
-                    ly += ty
-                    cx, cy = lx, ly
+                    tm = tlm = _mat_translate(tx, ty, tlm)
                     if op == "TD":
                         leading = -ty
         elif op == "Tm":
-            if len(stack) >= 6:
-                e, f = stack[-2], stack[-1]
-                if isinstance(e, float) and isinstance(f, float):
-                    lx, ly = e, f
-                    cx, cy = lx, ly
+            if len(stack) >= 6 and all(
+                    isinstance(v, float) for v in stack[-6:]):
+                tm = tlm = tuple(stack[-6:])
         elif op == "T*":
-            ly -= leading
-            cx, cy = lx, ly
+            tm = tlm = _mat_translate(0.0, -leading, tlm)
         elif op == "TL":
             if stack and isinstance(stack[-1], float):
                 leading = stack[-1]
+        elif op == "cm":
+            if len(stack) >= 6 and all(
+                    isinstance(v, float) for v in stack[-6:]):
+                ctm = _mat_mul(tuple(stack[-6:]), ctm)
+        elif op == "q":
+            gs_stack.append(ctm)
+        elif op == "Q":
+            if gs_stack:
+                ctm = gs_stack.pop()
         elif op == "Tf":
             # [..., /Name, size] — switch the active ToUnicode map
             if len(stack) >= 2 and isinstance(stack[-2], str):
@@ -1257,22 +1301,25 @@ def _interpret_page(content: bytes, page: int,
                     and isinstance(stack[-1], str)):
                 xo = xobjects.get(stack[-1])
                 if xo is not None:
+                    fmat = xo.get("matrix")
                     shows.extend(_interpret_page(
                         xo["content"], page,
                         xo["fonts"] or fonts,
                         xo["xobjects"] or xobjects,
-                        depth + 1))
+                        depth + 1,
+                        _mat_mul(fmat, ctm) if fmat else ctm))
         elif op in ("Tj", "'", '"'):
             if op != "Tj":
                 # ' and " (aw ac string ") both move to the next line
                 # before showing (PDF 1.7 §9.4.3); the " spacing args
                 # are geometry only
-                ly -= leading
-                cx, cy = lx, ly
+                tm = tlm = _mat_translate(0.0, -leading, tlm)
             if stack and isinstance(stack[-1], str) and in_text:
                 txt = (_apply_cmap(stack[-1], cur_cmap)
                        if cur_cmap else stack[-1])
-                shows.append({"page": page, "x": cx, "y": cy, "text": txt})
+                trm = _mat_mul(tm, ctm)
+                shows.append({"page": page, "x": trm[4], "y": trm[5],
+                              "text": txt})
         elif op == "TJ":
             if stack and isinstance(stack[-1], list) and in_text:
                 parts = []
@@ -1285,7 +1332,8 @@ def _interpret_page(content: bytes, page: int,
                           and parts and not parts[-1].endswith(" ")):
                         # large negative kern = an encoded word gap
                         parts.append(" ")
-                shows.append({"page": page, "x": cx, "y": cy,
+                trm = _mat_mul(tm, ctm)
+                shows.append({"page": page, "x": trm[4], "y": trm[5],
                               "text": "".join(parts)})
         stack.clear()
     return shows

@@ -236,6 +236,25 @@ SQL_EXTRACT_PDF_FILTERS = (
 )
 
 
+def q_extract_pdf_matrix_roundtrip(spark, sf_dir):
+    """O36 byte-identity on the rotated/scaled-CTM slot (doc_id%80==54):
+    full Tm/cm matrix tracking with a q/Q graphics-state stack — text
+    placed through rotated+scaled coordinate systems must extract in
+    DEVICE-space reading order (the scanned/landscape-PDF shape;
+    reference gets this from MuPDF, ``approach4_v1.py:21-31``)."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("doc_id") % 80 == 54)
+        .select("doc_id", "extracted_text")
+    )
+
+
+SQL_EXTRACT_PDF_MATRIX = (
+    f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
+    "FROM documents WHERE doc_id % 80 = 54"
+)
+
+
 def q_extract_fail_reasons(spark, sf_dir):
     """O31 failure attribution: parse_failure counts by (route, reason) —
     unsupported filters (LZW), truncated structure, unroutable bytes each
@@ -1682,6 +1701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_docx_roundtrip": q_extract_docx_roundtrip,
     "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
     "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
+    "extract_pdf_matrix_roundtrip": q_extract_pdf_matrix_roundtrip,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
     "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
     "extract_fail_reasons": q_extract_fail_reasons,
@@ -1737,6 +1757,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_docx_roundtrip": SQL_EXTRACT_DOCX,
     "extract_pdf_roundtrip": SQL_EXTRACT_PDF,
     "extract_pdf15_roundtrip": SQL_EXTRACT_PDF15,
+    "extract_pdf_matrix_roundtrip": SQL_EXTRACT_PDF_MATRIX,
     "extract_pdf_cmap_roundtrip": SQL_EXTRACT_PDF_CMAP,
     "extract_pdf_filters_roundtrip": SQL_EXTRACT_PDF_FILTERS,
     "extract_fail_reasons": SQL_FAIL_REASONS,
