@@ -42,7 +42,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 13
+CORPUS_VERSION = 14
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -565,6 +565,75 @@ def make_pdf_tj_spacing(doc_id: int, text: str) -> bytes:
     return _assemble_pdf(objs)
 
 
+def annot_uris_for(doc_id: int) -> list[str]:
+    """Deterministic /Annots link URIs: 1 + doc_id%3 links per doc (the
+    SQL-expressible ground truth for the extract_pdf_links oracle)."""
+    return [f"https://links.example.net/{doc_id}/{k}"
+            for k in range(1 + doc_id % 3)]
+
+
+def make_pdf_annots(doc_id: int, text: str) -> bytes:
+    """A PDF-1.4 file whose hyperlinks live in /Annots Link annotations
+    (PDF 1.7 §12.5.6.5) — where real-world PDF links are, invisible to
+    the text layer. Page 0 carries one /Subtype /Link per
+    ``annot_uris_for`` URI (the first one's /A action dict is INDIRECT)
+    plus a /Subtype /Text note annotation that must contribute nothing;
+    the /Annots array itself is indirect on alternating ``doc_id//80``
+    parity. Text layer and golden text are the plain ``make_pdf``
+    layout; streams Flate-compress on the same parity."""
+    import zlib
+    uris = annot_uris_for(doc_id)
+    variant = (doc_id // 80) % 2
+    streams = _pdf_content_streams(doc_id, text)
+    npages = len(streams)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    font_num = 3 + 2 * npages
+    # object layout after the font: [annots-array (variant 1 only)],
+    # text-note annot, link annots, indirect action for link 0
+    arr_num = font_num + 1
+    note_num = arr_num + (1 if variant == 1 else 0)
+    link0 = note_num + 1
+    action0 = link0 + len(uris)
+    annot_refs = " ".join(
+        f"{n} 0 R" for n in [note_num, *range(link0, link0 + len(uris))])
+    annots_entry = (f"/Annots {arr_num} 0 R" if variant == 1
+                    else f"/Annots [{annot_refs}]")
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    for i, content in enumerate(streams):
+        extra = f" {annots_entry}" if i == 0 else ""
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << /F1 {font_num} 0 R >> >>{extra} >>"
+        ).encode())
+        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
+                     if variant == 0 else (content, b""))
+        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                    % (len(enc), filt, enc))
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if variant == 1:
+        objs.append(b"[" + annot_refs.encode() + b"]")
+    objs.append(b"<< /Type /Annot /Subtype /Text /Rect [0 0 10 10] "
+                b"/Contents (reviewer note) >>")
+    for k, uri in enumerate(uris):
+        rect = f"[72 {40 + 14 * k} 172 {52 + 14 * k}]"
+        esc = uri.replace("(", r"\(").replace(")", r"\)")
+        if k == 0:
+            objs.append((f"<< /Type /Annot /Subtype /Link /Rect {rect} "
+                         f"/A {action0} 0 R >>").encode())
+        else:
+            objs.append((f"<< /Type /Annot /Subtype /Link /Rect {rect} "
+                         f"/A << /Type /Action /S /URI /URI ({esc}) >> "
+                         f">>").encode())
+    esc0 = uris[0].replace("(", r"\(").replace(")", r"\)")
+    objs.append(
+        f"<< /Type /Action /S /URI /URI ({esc0}) >>".encode())
+    return _assemble_pdf(objs)
+
+
 _MATRIX_VARIANTS = [(90, 1.0), (180, 2.0), (270, 0.5), (30, 1.0), (60, 2.0)]
 
 
@@ -1022,6 +1091,9 @@ def payload_for(doc_id: int, text: str) -> bytes:
         if doc_id % 80 == 54:
             # rotated/scaled CTM + full Tm matrices + q/Q nesting
             return make_pdf_matrix(doc_id, text)
+        if doc_id % 80 == 17:
+            # hyperlinks as /Annots Link annotations
+            return make_pdf_annots(doc_id, text)
         if doc_id % 80 == 55:
             # word spacing encoded as TJ kerns, no space glyphs
             return make_pdf_tj_spacing(doc_id, text)

@@ -132,10 +132,11 @@ def _scan_html_doc(data: bytes) -> list[tuple[int, str, str]]:
     return blocks
 
 
-def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int]:
-    """Content-stream scan → raw shows ``{page,x,y,text}`` + page count.
+def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int, list[str]]:
+    """Content-stream scan → raw shows ``{page,x,y,text}``, page count
+    and /Annots link URIs.
 
-    Shares ``oracle.page_streams`` (tree-walked page order, FlateDecode)
+    Shares ``oracle.page_contents`` (tree-walked page order, FlateDecode)
     so the two implementations cannot drift on document structure."""
     if not data.lstrip()[:5] == b"%PDF-":
         raise oracle.PdfParseError("missing %PDF- magic", code="bad_magic")
@@ -145,9 +146,11 @@ def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int]:
     if not pages_fonts:
         raise oracle.PdfParseError("no content streams", code="no_streams")
     shows: list[dict] = []
-    for page, (content, fonts, xobjects) in enumerate(pages_fonts):
+    links: list[str] = []
+    for page, (content, fonts, xobjects, uris) in enumerate(pages_fonts):
         shows.extend(_interpret_page(content, page, fonts, xobjects))
-    return shows, len(pages_fonts)
+        links.extend(uris)
+    return shows, len(pages_fonts), links
 
 
 # ---------------------------------------------------------------------------
@@ -305,6 +308,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     html_blocks_link: list[str] = []
     html_blocks_kind: list[int] = []
     pdf_rows: list[tuple] = []  # (doc, page, x, y, seq, text)
+    pdf_link_uris: dict[int, list[str]] = {}  # /Annots URIs per doc
     docx_spans: dict[int, list[dict]] = {}
 
     payload_arr = payloads.to_numpy()
@@ -329,9 +333,11 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
                 docx_spans[i] = dx_spans
                 n_pages[i] = 1
             elif r == "pdf":
-                shows, np_pages = _scan_pdf_doc(
+                shows, np_pages, uris = _scan_pdf_doc(
                     oracle._decode_transfer(payload_arr[i]))
                 n_pages[i] = np_pages
+                if uris:
+                    pdf_link_uris[i] = uris
                 for seq, s in enumerate(shows):
                     pdf_rows.append((i, s["page"], s["x"], s["y"], seq,
                                      s["text"]))
@@ -416,6 +422,9 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     sections = [oracle.sections_from_spans(sp) if status[i] == "ok" else []
                 for i, sp in enumerate(spans)]
     fields = _fields_batch(texts, headings)
+    for i, uris in pdf_link_uris.items():
+        if status[i] == "ok":
+            oracle.merge_link_uris(fields.iloc[i], uris)
     empty_fields = dict(oracle.EMPTY_FIELDS)
     fields = pd.Series(
         [f if status[i] == "ok" else dict(empty_fields)

@@ -907,9 +907,93 @@ def _page_xobjects(body: bytes, objs: dict[int, bytes],
     return out
 
 
-def page_contents(data: bytes) -> list[tuple[bytes, dict, dict]]:
-    """(content stream, font map, form-XObject map) per page, in PAGE
-    order.
+# ---- Link annotations (/Annots → /Subtype /Link → /A /S /URI; PDF 1.7
+# §12.5.6.5) — real-world hyperlinks live here, not in the text layer
+# (the reference reads them via MuPDF's page.get_links()) ----
+
+_ANNOTS_RE = re.compile(rb"/Annots\s*(\[[^\]]*\]|\d+\s+0\s+R)")
+_LINK_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Link\b")
+_ACTION_RE = re.compile(rb"/A\s*(<<|\d+\s+0\s+R)")
+_URI_ACTION_RE = re.compile(rb"/S\s*/URI\b")
+_URI_STR_RE = re.compile(rb"/URI\s*\(((?:[^()\\]|\\.)*)\)")
+_LIT_ESC = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+            b"(": "(", b")": ")", b"\\": "\\"}
+
+
+def _unescape_pdf_literal(raw: bytes) -> str:
+    """Backslash escapes + octal codes of a literal string
+    (PDF 1.7 §7.3.4.2), latin-1 byte semantics."""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        ch = raw[i : i + 1]
+        if ch != b"\\":
+            out.append(ch.decode("latin-1"))
+            i += 1
+            continue
+        nxt = raw[i + 1 : i + 2]
+        if nxt.isdigit():
+            j = i + 1
+            while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(chr(int(raw[i + 1 : j], 8) & 0xFF))
+            i = j
+        elif nxt in _LIT_ESC:
+            out.append(_LIT_ESC[nxt])
+            i += 2
+        else:
+            i += 2  # unknown escape: drop the backslash (spec behavior)
+            out.append(nxt.decode("latin-1"))
+    return "".join(out)
+
+
+def _page_annot_uris(body: bytes, objs: dict[int, bytes]) -> list[str]:
+    """URI strings of the page's /Subtype /Link annotations, in /Annots
+    array order. Inline and indirect /Annots arrays and /A action dicts
+    both resolve; non-link annotations and non-URI actions contribute
+    nothing."""
+    am = _ANNOTS_RE.search(body)
+    if am is None:
+        return []
+    arr = am.group(1)
+    if not arr.startswith(b"["):
+        ref_obj = objs.get(int(_REF_RE.match(arr).group(1)))
+        if ref_obj is None:
+            return []
+        arr = ref_obj
+    uris: list[str] = []
+    for r in _REF_RE.finditer(arr):
+        abody = objs.get(int(r.group(1)))
+        if abody is None or _LINK_SUBTYPE_RE.search(abody) is None:
+            continue
+        act = _ACTION_RE.search(abody)
+        if act is None:
+            continue
+        action = abody
+        if act.group(1) != b"<<":
+            action = objs.get(int(_REF_RE.match(act.group(1)).group(1)))
+            if action is None:
+                continue
+        if _URI_ACTION_RE.search(action) is None:
+            continue
+        um = _URI_STR_RE.search(action)
+        if um is not None:
+            uris.append(_unescape_pdf_literal(um.group(1)))
+    return uris
+
+
+def merge_link_uris(fields: dict, uris: list[str]) -> dict:
+    """Fold annotation URIs into the regex-found ``fields['links']``
+    (sorted distinct union) — shared by the oracle and the batch kernel
+    so the merge cannot drift."""
+    if uris:
+        fields["links"] = sorted(set(fields["links"]).union(uris))
+    return fields
+
+
+def page_contents(data: bytes) -> list[tuple[bytes, dict, dict, list]]:
+    """(content stream, font map, form-XObject map, link-annotation
+    URIs) per page, in PAGE order.
 
     Strategy (lenient, deterministic):
     1. scan all ``N 0 obj … endobj`` objects;
@@ -976,7 +1060,8 @@ def page_contents(data: bytes) -> list[tuple[bytes, dict, dict]]:
                     parts.append(s)
             out.append((b"\n".join(parts),
                         _page_fonts(body, objs, cmap_cache),
-                        _page_xobjects(body, objs, cmap_cache)))
+                        _page_xobjects(body, objs, cmap_cache),
+                        _page_annot_uris(body, objs)))
             return True
 
         if not walk(int(m.group(1))):
@@ -995,16 +1080,16 @@ def page_contents(data: bytes) -> list[tuple[bytes, dict, dict]]:
                 continue
             s = _decode_object_stream(objs[num], objs, strict=False)
             if s is not None:
-                streams.append((s, {}, {}))
+                streams.append((s, {}, {}, []))
         if streams:
             return streams
-    return [(s, {}, {}) for s in _STREAM_RE.findall(data)]
+    return [(s, {}, {}, []) for s in _STREAM_RE.findall(data)]
 
 
 def page_streams(data: bytes) -> list[bytes]:
     """Content streams in PAGE order (font/xobject info dropped — see
     :func:`page_contents`)."""
-    return [c for c, _, _ in page_contents(data)]
+    return [c for c, _, _, _ in page_contents(data)]
 
 # trailer-dict encryption marker ("/Encrypt N 0 R"); anchored to the
 # indirect-ref shape so content-stream text can't false-positive
@@ -1365,7 +1450,15 @@ def _column_clusters(xs: list[float], gap: float = COLUMN_GAP_PT) -> list[float]
 
 
 def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
-    """Parse the PDF text layer; returns (extracted_text, spans, n_pages).
+    """Back-compat form of :func:`extract_pdf_full` without the
+    link-annotation URIs."""
+    text, spans, n_pages, _ = extract_pdf_full(data)
+    return text, spans, n_pages
+
+
+def extract_pdf_full(data: bytes) -> tuple[str, list[dict], int, list[str]]:
+    """Parse the PDF text layer; returns (extracted_text, spans,
+    n_pages, link_annotation_uris).
 
     Page order comes from the /Root→/Pages→/Kids tree walk with a
     byte-order fallback for damaged files (``page_streams``); FlateDecode
@@ -1383,8 +1476,10 @@ def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
     if not pages_fonts:
         raise PdfParseError("no content streams", code="no_streams")
     shows: list[dict] = []
-    for page, (content, fonts, xobjects) in enumerate(pages_fonts):
+    links: list[str] = []
+    for page, (content, fonts, xobjects, uris) in enumerate(pages_fonts):
         shows.extend(_interpret_page(content, page, fonts, xobjects))
+        links.extend(uris)
     spans: list[dict] = []
     for page in sorted({s["page"] for s in shows}):
         page_shows = [s for s in shows if s["page"] == page]
@@ -1407,7 +1502,7 @@ def extract_pdf(data: bytes) -> tuple[str, list[dict], int]:
                 "kind": "block", "text": t,
             })
     text = "\n".join(s["text"] for s in spans)
-    return text, spans, len(pages_fonts)
+    return text, spans, len(pages_fonts), links
 
 
 # ---------------------------------------------------------------------------
@@ -1611,6 +1706,7 @@ def extract_document(data: bytes) -> dict:
     | parse_error).
     """
     route = sniff(data)
+    link_uris: list[str] = []
     try:
         if route == "html":
             text, spans = extract_html(_decode_transfer(data))
@@ -1621,7 +1717,8 @@ def extract_document(data: bytes) -> dict:
             text, spans = extract_docx(_decode_transfer(data))
             n_pages = 1
         elif route == "pdf":
-            text, spans, n_pages = extract_pdf(_decode_transfer(data))
+            text, spans, n_pages, link_uris = extract_pdf_full(
+                _decode_transfer(data))
         else:
             return {
                 "status": "parse_failure", "route": route,
@@ -1633,7 +1730,8 @@ def extract_document(data: bytes) -> dict:
         return {
             "status": "ok", "route": route, "reason": None,
             "extracted_text": text, "spans": spans,
-            "fields": extract_fields(text, spans),
+            "fields": merge_link_uris(
+                extract_fields(text, spans), link_uris),
             "sections": sections_from_spans(spans),
             "n_pages": n_pages, "n_blocks": len(spans),
         }

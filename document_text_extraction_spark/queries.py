@@ -255,6 +255,28 @@ SQL_EXTRACT_PDF_MATRIX = (
 )
 
 
+def q_extract_pdf_links(spark, sf_dir):
+    """Hyperlink extraction from /Annots Link annotations
+    (doc_id%80==17): real-world PDF links live in annotation objects,
+    not the text layer (reference reads them via MuPDF page.get_links).
+    Covers inline + indirect /Annots arrays and /A action dicts; the
+    /Subtype /Text note annot must contribute nothing. Text roundtrip
+    for the same slot stays covered by extract_pdf_roundtrip."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("doc_id") % 80 == 17)
+        .select("doc_id", F.col("fields.links").alias("links"))
+    )
+
+
+SQL_EXTRACT_PDF_LINKS = (
+    "SELECT doc_id, ['https://links.example.net/' || CAST(doc_id AS "
+    "VARCHAR) || '/' || CAST(k AS VARCHAR) for k in "
+    "range(0, doc_id % 3 + 1)] AS links "
+    "FROM documents WHERE doc_id % 80 = 17"
+)
+
+
 def q_extract_fail_reasons(spark, sf_dir):
     """O31 failure attribution: parse_failure counts by (route, reason) —
     unsupported filters (LZW), truncated structure, unroutable bytes each
@@ -1702,6 +1724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
     "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
     "extract_pdf_matrix_roundtrip": q_extract_pdf_matrix_roundtrip,
+    "extract_pdf_links": q_extract_pdf_links,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
     "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
     "extract_fail_reasons": q_extract_fail_reasons,
@@ -1758,6 +1781,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_pdf_roundtrip": SQL_EXTRACT_PDF,
     "extract_pdf15_roundtrip": SQL_EXTRACT_PDF15,
     "extract_pdf_matrix_roundtrip": SQL_EXTRACT_PDF_MATRIX,
+    "extract_pdf_links": SQL_EXTRACT_PDF_LINKS,
     "extract_pdf_cmap_roundtrip": SQL_EXTRACT_PDF_CMAP,
     "extract_pdf_filters_roundtrip": SQL_EXTRACT_PDF_FILTERS,
     "extract_fail_reasons": SQL_FAIL_REASONS,
