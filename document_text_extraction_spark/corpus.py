@@ -42,7 +42,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 14
+CORPUS_VERSION = 15
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -509,6 +509,77 @@ def make_pdf_winansi(doc_id: int, text: str) -> bytes:
     if indirect_enc:
         objs.append(enc_dict)
 
+    return _assemble_pdf(objs)
+
+
+def make_pdf_type3(doc_id: int, text: str) -> bytes:
+    """A PDF-1.4 file whose text uses a /Subtype /Type3 user-defined
+    font (PDF 1.7 §9.6.5): glyphs are little content-stream procedures
+    in /CharProcs with a /FontMatrix, and the character mapping lives
+    ONLY in the font's /Encoding /Differences (Type3 has no base font
+    program). Seven frequent letters map to codes 1–7; extraction must
+    resolve them through the Differences+AGL path (bare names and
+    uniXXXX forms) while ignoring the glyph-drawing procedures
+    entirely. ``doc_id//160`` parity alternates stream compression and
+    an indirect /Encoding dict. Same layout/golden-text contract as
+    :func:`make_pdf`."""
+    import zlib
+    pages = _pdf_layout(doc_id, text)
+    variant = (doc_id // 160) % 2
+    compress = variant == 0
+    indirect_enc = variant == 1
+
+    def enc_line(ln: str) -> str:
+        return "".join(
+            chr(_WINANSI_SUBS[c]) if c in _WINANSI_SUBS else c
+            for c in ln)
+
+    streams = []
+    for placed in pages:
+        ops = [_show_op(li, x, y, enc_line(ln))
+               for li, (x, y, ln) in enumerate(placed)]
+        streams.append("\n".join(ops).encode("latin-1"))
+
+    glyph_names = ["e", "t", "a", "o", "uni0069", "n", "uni0073"]
+    npages = len(streams)
+    font_num = 3 + 2 * npages
+    charprocs_num = font_num + 1
+    glyph0 = charprocs_num + 1
+    enc_num = glyph0 + len(glyph_names)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    for i, content in enumerate(streams):
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode())
+        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
+                     if compress else (content, b""))
+        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                    % (len(enc), filt, enc))
+    enc_dict = (b"<< /Type /Encoding /Differences "
+                + _WINANSI_DIFFS + b" >>")
+    enc_entry = (b"%d 0 R" % enc_num) if indirect_enc else enc_dict
+    objs.append(
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 750 750] "
+        b"/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs %d 0 R "
+        b"/FirstChar 1 /LastChar 7 "
+        b"/Widths [600 600 600 600 600 600 600] "
+        b"/Encoding " % charprocs_num + enc_entry + b" >>")
+    objs.append(b"<< " + b" ".join(
+        b"/%s %d 0 R" % (g.encode(), glyph0 + i)
+        for i, g in enumerate(glyph_names)) + b" >>")
+    for i in range(len(glyph_names)):
+        proc = (b"600 0 0 0 700 700 d1\n50 50 m 650 650 l "
+                b"%d 350 l h f" % (100 + i * 50))
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(proc), proc))
+    if indirect_enc:
+        objs.append(enc_dict)
     return _assemble_pdf(objs)
 
 
@@ -1094,6 +1165,9 @@ def payload_for(doc_id: int, text: str) -> bytes:
         if doc_id % 80 == 17:
             # hyperlinks as /Annots Link annotations
             return make_pdf_annots(doc_id, text)
+        if doc_id % 160 == 14:
+            # Type3 user-defined font: CharProcs glyphs + /Differences
+            return make_pdf_type3(doc_id, text)
         if doc_id % 80 == 55:
             # word spacing encoded as TJ kerns, no space glyphs
             return make_pdf_tj_spacing(doc_id, text)

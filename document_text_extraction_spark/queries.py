@@ -277,6 +277,25 @@ SQL_EXTRACT_PDF_LINKS = (
 )
 
 
+def q_extract_pdf_type3_roundtrip(spark, sf_dir):
+    """O36 byte-identity on the Type3-font slot (doc_id%160==14):
+    user-defined fonts whose glyphs are /CharProcs content streams and
+    whose character mapping exists ONLY in /Encoding /Differences
+    (PDF 1.7 §9.6.5) — extraction resolves codes through the
+    Differences+AGL path and ignores the glyph procedures."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("doc_id") % 160 == 14)
+        .select("doc_id", "extracted_text")
+    )
+
+
+SQL_EXTRACT_PDF_TYPE3 = (
+    f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
+    "FROM documents WHERE doc_id % 160 = 14"
+)
+
+
 def q_extract_fail_reasons(spark, sf_dir):
     """O31 failure attribution: parse_failure counts by (route, reason) —
     unsupported filters (LZW), truncated structure, unroutable bytes each
@@ -1725,6 +1744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
     "extract_pdf_matrix_roundtrip": q_extract_pdf_matrix_roundtrip,
     "extract_pdf_links": q_extract_pdf_links,
+    "extract_pdf_type3_roundtrip": q_extract_pdf_type3_roundtrip,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
     "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
     "extract_fail_reasons": q_extract_fail_reasons,
@@ -1782,6 +1802,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_pdf15_roundtrip": SQL_EXTRACT_PDF15,
     "extract_pdf_matrix_roundtrip": SQL_EXTRACT_PDF_MATRIX,
     "extract_pdf_links": SQL_EXTRACT_PDF_LINKS,
+    "extract_pdf_type3_roundtrip": SQL_EXTRACT_PDF_TYPE3,
     "extract_pdf_cmap_roundtrip": SQL_EXTRACT_PDF_CMAP,
     "extract_pdf_filters_roundtrip": SQL_EXTRACT_PDF_FILTERS,
     "extract_fail_reasons": SQL_FAIL_REASONS,
