@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from . import pipeline
 from .functions import fields as ff
 from .functions import textstats as ts
-from .operators import contamination, dedup, regions, similarity
+from .operators import blocklist, contamination, dedup, regions, similarity
 from .operators.sections import sections_df
 from .operators.sessionize import mode_by, running_sum, user_session_counts
 from .sources import web_pages_from_documents
@@ -1665,6 +1665,33 @@ SQL_ANN_IVF = (
     "ORDER BY cos DESC, vec_id LIMIT 10"
 )
 
+def q_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist hygiene pass (C4/RefinedWeb-style): drop pages
+    whose host is on an exact blocklist (broadcast anti-join — includes
+    the Zipf-hot host) or matches a suffix rule (one JVM filter
+    expression), then count survivors per host. Applied before
+    extraction, so blocked pages never reach the Python map
+    (operators/blocklist.py)."""
+    pages = web_pages_from_documents(spark, sf_dir)
+    kept = blocklist.blocklist_filter(
+        pages,
+        blocked_hosts=["site00.example.org", "site03.example.org"],
+        blocked_suffixes=["7.example.org"],
+    )
+    return (
+        kept.groupBy(blocklist.host_of().alias("host"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+SQL_BLOCKLIST = (
+    f"SELECT {HOST_SQL} AS host, CAST(count(*) AS BIGINT) AS n_docs "
+    f"FROM documents WHERE {HOST_SQL} NOT IN "
+    "('site00.example.org', 'site03.example.org') "
+    f"AND NOT ({HOST_SQL} LIKE '%7.example.org') GROUP BY 1"
+)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination (n-gram collision): the evaluation set
     is synthesized deterministically as a 16-word slice (words 3..18) of
@@ -1773,6 +1800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
     "pack_sequences": q_pack_sequences,
+    "blocklist_filter": q_blocklist_filter,
     "contamination": q_contamination,
     "decontaminate_count": q_decontaminate_count,
     "train_val_split": q_train_val_split,
@@ -1831,6 +1859,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "curate_corpus": SQL_CURATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "blocklist_filter": SQL_BLOCKLIST,
     "contamination": SQL_CONTAMINATION,
     "decontaminate_count": SQL_DECONTAMINATE,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,

@@ -60,6 +60,41 @@ def test_curate_scrubs_real_pii(spark, tmp_path):
         assert _json.load(f)["docs_out"] == manifest["docs_out"]
 
 
+def test_blocklist_filter_planted(spark):
+    """Exact hosts drop via anti-join, suffix rules via the filter
+    expression; everything else survives untouched."""
+    from document_text_extraction_spark.operators import blocklist as bl
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://bad.example.org/a"),
+            (2, "https://good.example.org/b"),
+            (3, "https://x.ads.example.net/c"),
+            (4, "http://good.example.org/d"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = bl.blocklist_filter(
+        pages, blocked_hosts=["bad.example.org"],
+        blocked_suffixes=[".ads.example.net"])
+    assert {r.doc_id for r in kept.collect()} == {2, 4}
+    assert kept.columns == ["doc_id", "url"]
+    # empty blocklist = identity
+    assert bl.blocklist_filter(pages).count() == 4
+
+
+def test_blocklist_join_is_broadcast(spark):
+    """Scale shape: the host anti-join must broadcast the blocklist
+    (the corpus side never shuffles)."""
+    from document_text_extraction_spark.operators import blocklist as bl
+
+    pages = spark.createDataFrame(
+        [(1, "https://h.example/a")], "doc_id long, url string")
+    plan = (bl.blocklist_filter(pages, blocked_hosts=["h.example"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_contamination_planted(spark):
     """A doc containing a benchmark 8-gram is flagged; shifted/partial
     overlaps below 8 contiguous words are not; decontaminate drops
