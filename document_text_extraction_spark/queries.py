@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from . import pipeline
 from .functions import fields as ff
 from .functions import textstats as ts
-from .operators import blocklist, contamination, dedup, regions, similarity
+from .operators import (blocklist, components, contamination, dedup,
+                        regions, similarity)
 from .operators.sections import sections_df
 from .operators.sessionize import mode_by, running_sum, user_session_counts
 from .sources import web_pages_from_documents
@@ -1301,6 +1302,58 @@ SQL_NGRAM_JACCARD = (
 )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the exact near-dup pair graph:
+    (doc_id, cluster_id=min reachable id) for every doc in some pair —
+    the transitive-safe grouping production dedup keeps one rep per
+    (operators/components.py). Oracle: a DuckDB recursive CTE over the
+    same pair set."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _near_docs(spark, sf_dir), threshold=0.5
+    )
+    return components.connected_components(pairs)
+
+
+SQL_DUP_CLUSTERS = (
+    f"WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD}), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION ALL SELECT id_b, id_a FROM pairs), "
+    "reach(node, r) AS (SELECT src, src FROM edges "
+    "UNION SELECT e.src, reach.r FROM edges e "
+    "JOIN reach ON e.dst = reach.node) "
+    "SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id "
+    "FROM reach GROUP BY 1"
+)
+
+
+def q_cluster_dedup_count(spark, sf_dir):
+    """The cluster-dedup *transform* summarized: survivors after
+    keeping one representative per duplicate cluster (min id), plus
+    total surviving chars — the aggregate keeps the oracle row stable."""
+    docs = _near_docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    kept = components.keep_cluster_representative(docs, pairs)
+    return kept.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+SQL_CLUSTER_DEDUP = (
+    f"WITH RECURSIVE all_docs AS ({NEAR_DOCS_SQL}), "
+    f"pairs AS ({SQL_NGRAM_JACCARD}), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION ALL SELECT id_b, id_a FROM pairs), "
+    "reach(node, r) AS (SELECT src, src FROM edges "
+    "UNION SELECT e.src, reach.r FROM edges e "
+    "JOIN reach ON e.dst = reach.node), "
+    "comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(length(text)) AS BIGINT) AS total_chars FROM all_docs "
+    "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)"
+)
+
+
 def q_minhash_neardup(spark, sf_dir):
     """MinHash+LSH near-dup. Oracle: the exact n-gram Jaccard pair set
     at the same threshold — the LSH verification step computes exact
@@ -1808,6 +1861,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skills_match": q_skills_match,
     "topk_longest": q_topk_longest,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_clusters": q_dup_clusters,
+    "cluster_dedup_count": q_cluster_dedup_count,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "status_cube": q_status_cube,
@@ -1870,6 +1925,8 @@ ORACLE_SQL: dict[str, str] = {
     # minhash's LSH verification computes exact Jaccard on candidates →
     # equal to the exact pair set when band recall is 100% (holds here;
     # empirically verified at sf0.001/sf0.01, pytest recall guard)
+    "dup_clusters": SQL_DUP_CLUSTERS,
+    "cluster_dedup_count": SQL_CLUSTER_DEDUP,
     "minhash_neardup": SQL_NGRAM_JACCARD,
     "simhash_neardup": SQL_SIMHASH,
     "status_cube": SQL_STATUS_CUBE,
