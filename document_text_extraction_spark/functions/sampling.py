@@ -1,0 +1,55 @@
+"""Deterministic hash-based sampling — corpus mixture weighting.
+
+Training-data pipelines rarely keep the raw crawl mixture: sources and
+quality bands are re-weighted (keep 100% of one stratum, 20% of
+another) the DoReMi / RefinedWeb way. At 100 TB the sampler must be
+
+* **deterministic** — a re-run (or a resumed slice) keeps exactly the
+  same rows; no RNG state, no seed-per-partition drift;
+* **a pure projection/filter** — md5 of the key → bucket → compare
+  against the stratum's rate; no shuffle, pushes to the scan, and any
+  engine (DuckDB oracle included) reproduces it byte-for-byte;
+* **content- or id-keyed by choice** — keying on content keeps exact
+  duplicates together (the leakage-safe choice, same property as
+  ``q_train_val_split``); keying on id keeps near-dup variants
+  independent.
+
+Same md5-hex technique as the train/val/test split
+(``queries.q_train_val_split``); a different ``seed`` decorrelates the
+two decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1_000_000  # rate resolution: parts-per-million
+
+
+def hash_bucket_col(key: Column, seed: str = "") -> Column:
+    """Uniform bucket in [0, BUCKETS): first 8 md5 hex digits of
+    ``seed || key``, mod BUCKETS. Integer end to end — no float
+    comparison drift between engines."""
+    h = F.md5(F.encode(F.concat(F.lit(seed), key.cast("string")),
+                       "UTF-8"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(BUCKETS))
+
+
+def stratified_sample(df: DataFrame, rates_ppm: dict[str, int],
+                      stratum_col: str, key_col: str,
+                      seed: str = "") -> DataFrame:
+    """Keep each row iff its hash bucket < its stratum's rate (in
+    parts-per-million). Unlisted strata drop entirely. The rate map is
+    a literal ``create_map`` lookup — the whole operator is one JVM
+    filter expression."""
+    pairs: list[Column] = []
+    for k, v in sorted(rates_ppm.items()):
+        pairs.extend([F.lit(k), F.lit(int(v))])
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs),
+                     F.col(stratum_col).cast("string")),
+        F.lit(0),
+    )
+    return df.filter(hash_bucket_col(F.col(key_col), seed) < rate)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from . import pipeline
 from .functions import fields as ff
+from .functions import sampling
 from .functions import textstats as ts
 from .operators import (blocklist, components, contamination, dedup,
                         regions, similarity)
@@ -1215,6 +1216,30 @@ SQL_TRAIN_VAL_SPLIT = (
 )
 
 
+def q_corpus_mixture_sample(spark, sf_dir):
+    """Deterministic mixture re-weighting (DoReMi/RefinedWeb-style):
+    per-language keep rates (en 100%, es 40%, de 20%, zh 5%, si 0%)
+    applied as one md5-bucket filter expression — re-runs and resumed
+    slices keep exactly the same rows (functions/sampling.py)."""
+    d = _docs(spark, sf_dir)
+    kept = sampling.stratified_sample(
+        d,
+        rates_ppm={"en": 1_000_000, "es": 400_000, "de": 200_000,
+                   "zh": 50_000},
+        stratum_col="lang", key_col="doc_id", seed="mix1",
+    )
+    return kept.select("doc_id", "lang")
+
+
+SQL_MIXTURE_SAMPLE = (
+    "SELECT doc_id, lang FROM documents WHERE "
+    "CAST('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 1000000 < CASE lang WHEN 'en' THEN 1000000 "
+    "WHEN 'es' THEN 400000 WHEN 'de' THEN 200000 "
+    "WHEN 'zh' THEN 50000 ELSE 0 END"
+)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID heuristic."""
     d = _docs(spark, sf_dir)
@@ -1857,6 +1882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "decontaminate_count": q_decontaminate_count,
     "train_val_split": q_train_val_split,
+    "corpus_mixture_sample": q_corpus_mixture_sample,
     "lang_id": q_lang_id,
     "skills_match": q_skills_match,
     "topk_longest": q_topk_longest,
@@ -1918,6 +1944,7 @@ ORACLE_SQL: dict[str, str] = {
     "contamination": SQL_CONTAMINATION,
     "decontaminate_count": SQL_DECONTAMINATE,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "corpus_mixture_sample": SQL_MIXTURE_SAMPLE,
     "lang_id": SQL_LANG_ID,
     "skills_match": SQL_SKILLS,
     "topk_longest": SQL_TOPK_LONGEST,
