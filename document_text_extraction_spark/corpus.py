@@ -42,7 +42,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 15
+CORPUS_VERSION = 16
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -509,6 +509,58 @@ def make_pdf_winansi(doc_id: int, text: str) -> bytes:
     if indirect_enc:
         objs.append(enc_dict)
 
+    return _assemble_pdf(objs)
+
+
+def make_pdf_rotated_page(doc_id: int, text: str) -> bytes:
+    """A PDF-1.4 file whose pages carry a /Rotate display rotation
+    (PDF 1.7 §14.4) — the scanned-document shape: a portrait MediaBox
+    with sideways-authored text that reads correctly only after the
+    viewer (or extractor) composes the page rotation. Line coordinates
+    are the VIEWED layout grid inverse-mapped into user space, so an
+    extractor that ignores /Rotate sees scrambled reading order while a
+    composing one recovers the golden text. Rotation cycles 90/180/270
+    with ``doc_id//160``; compression alternates on the same index."""
+    import zlib
+    rot = (90, 180, 270)[(doc_id // 160) % 3]
+    if rot == 90:
+        def inv(vx, vy):
+            return (PAGE_W - vy, vx)
+    elif rot == 180:
+        def inv(vx, vy):
+            return (PAGE_W - vx, PAGE_H - vy)
+    else:
+        def inv(vx, vy):
+            return (vy, PAGE_H - vx)
+
+    pages = _pdf_layout(doc_id, text)
+    streams = []
+    for placed in pages:
+        ops = []
+        for li, (x, y, ln) in enumerate(placed):
+            ux, uy = inv(x, y)
+            ops.append(_show_op(li, ux, uy, ln))
+        streams.append("\n".join(ops).encode("latin-1"))
+
+    compress = (doc_id // 160) % 2 == 0
+    npages = len(streams)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    font_num = 3 + 2 * npages
+    for i, content in enumerate(streams):
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Rotate {rot} /Contents {4 + 2 * i} 0 R "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode())
+        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
+                     if compress else (content, b""))
+        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                    % (len(enc), filt, enc))
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     return _assemble_pdf(objs)
 
 
@@ -1159,6 +1211,9 @@ def payload_for(doc_id: int, text: str) -> bytes:
         if doc_id % 80 == 57:
             # text split across nested Form XObjects (Do operator)
             return make_pdf_form(doc_id, text)
+        if doc_id % 160 == 134:
+            # page-level /Rotate display rotation (scanned-doc shape)
+            return make_pdf_rotated_page(doc_id, text)
         if doc_id % 80 == 54:
             # rotated/scaled CTM + full Tm matrices + q/Q nesting
             return make_pdf_matrix(doc_id, text)

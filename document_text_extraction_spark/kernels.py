@@ -147,8 +147,11 @@ def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int, list[str]]:
         raise oracle.PdfParseError("no content streams", code="no_streams")
     shows: list[dict] = []
     links: list[str] = []
-    for page, (content, fonts, xobjects, uris) in enumerate(pages_fonts):
-        shows.extend(_interpret_page(content, page, fonts, xobjects))
+    for page, (content, fonts, xobjects, uris, geom) in enumerate(
+            pages_fonts):
+        page_shows = _interpret_page(content, page, fonts, xobjects)
+        oracle._apply_page_rotation(page_shows, *geom)
+        shows.extend(page_shows)
         links.extend(uris)
     return shows, len(pages_fonts), links
 

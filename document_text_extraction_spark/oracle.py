@@ -982,6 +982,45 @@ def _page_annot_uris(body: bytes, objs: dict[int, bytes]) -> list[str]:
     return uris
 
 
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)\b")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*" + rb"\s+".join([rb"([-\d.]+)"] * 4) + rb"\s*\]"
+)
+
+
+def _page_geometry(body: bytes) -> tuple[int, float, float]:
+    """(rotate, width, height) of a page dict. /Rotate is the display
+    rotation of scanned/landscape documents (PDF 1.7 §14.4, multiples
+    of 90, direct entry); /MediaBox defaults to US Letter."""
+    rm = _ROTATE_RE.search(body)
+    rotate = (int(rm.group(1)) % 360) if rm else 0
+    bm = _MEDIABOX_RE.search(body)
+    if bm:
+        try:
+            x0, y0, x1, y1 = (float(g) for g in bm.groups())
+            return rotate, x1 - x0, y1 - y0
+        except ValueError:
+            pass
+    return rotate, 612.0, 792.0
+
+
+def _apply_page_rotation(shows: list[dict], rotate: int,
+                         w: float, h: float) -> None:
+    """Map show coordinates from PDF user space into VIEWED space for a
+    /Rotate page (clockwise display rotation), in place — reading order
+    then sorts in the orientation a human (or MuPDF, which composes the
+    page rotation for the reference) actually reads."""
+    if rotate == 90:
+        for s in shows:
+            s["x"], s["y"] = s["y"], w - s["x"]
+    elif rotate == 180:
+        for s in shows:
+            s["x"], s["y"] = w - s["x"], h - s["y"]
+    elif rotate == 270:
+        for s in shows:
+            s["x"], s["y"] = h - s["y"], s["x"]
+
+
 def merge_link_uris(fields: dict, uris: list[str]) -> dict:
     """Fold annotation URIs into the regex-found ``fields['links']``
     (sorted distinct union) — shared by the oracle and the batch kernel
@@ -991,9 +1030,9 @@ def merge_link_uris(fields: dict, uris: list[str]) -> dict:
     return fields
 
 
-def page_contents(data: bytes) -> list[tuple[bytes, dict, dict, list]]:
+def page_contents(data: bytes) -> list[tuple]:
     """(content stream, font map, form-XObject map, link-annotation
-    URIs) per page, in PAGE order.
+    URIs, (rotate, width, height)) per page, in PAGE order.
 
     Strategy (lenient, deterministic):
     1. scan all ``N 0 obj … endobj`` objects;
@@ -1061,7 +1100,8 @@ def page_contents(data: bytes) -> list[tuple[bytes, dict, dict, list]]:
             out.append((b"\n".join(parts),
                         _page_fonts(body, objs, cmap_cache),
                         _page_xobjects(body, objs, cmap_cache),
-                        _page_annot_uris(body, objs)))
+                        _page_annot_uris(body, objs),
+                        _page_geometry(body)))
             return True
 
         if not walk(int(m.group(1))):
@@ -1080,16 +1120,17 @@ def page_contents(data: bytes) -> list[tuple[bytes, dict, dict, list]]:
                 continue
             s = _decode_object_stream(objs[num], objs, strict=False)
             if s is not None:
-                streams.append((s, {}, {}, []))
+                streams.append((s, {}, {}, [], (0, 612.0, 792.0)))
         if streams:
             return streams
-    return [(s, {}, {}, []) for s in _STREAM_RE.findall(data)]
+    return [(s, {}, {}, [], (0, 612.0, 792.0))
+            for s in _STREAM_RE.findall(data)]
 
 
 def page_streams(data: bytes) -> list[bytes]:
     """Content streams in PAGE order (font/xobject info dropped — see
     :func:`page_contents`)."""
-    return [c for c, _, _, _ in page_contents(data)]
+    return [c for c, *_ in page_contents(data)]
 
 # trailer-dict encryption marker ("/Encrypt N 0 R"); anchored to the
 # indirect-ref shape so content-stream text can't false-positive
@@ -1477,8 +1518,11 @@ def extract_pdf_full(data: bytes) -> tuple[str, list[dict], int, list[str]]:
         raise PdfParseError("no content streams", code="no_streams")
     shows: list[dict] = []
     links: list[str] = []
-    for page, (content, fonts, xobjects, uris) in enumerate(pages_fonts):
-        shows.extend(_interpret_page(content, page, fonts, xobjects))
+    for page, (content, fonts, xobjects, uris, geom) in enumerate(
+            pages_fonts):
+        page_shows = _interpret_page(content, page, fonts, xobjects)
+        _apply_page_rotation(page_shows, *geom)
+        shows.extend(page_shows)
         links.extend(uris)
     spans: list[dict] = []
     for page in sorted({s["page"] for s in shows}):

@@ -298,6 +298,25 @@ SQL_EXTRACT_PDF_TYPE3 = (
 )
 
 
+def q_extract_pdf_rotated_roundtrip(spark, sf_dir):
+    """O36 byte-identity on the /Rotate page slot (doc_id%160==134):
+    scanned-document display rotation (90/180/270) composed into the
+    reading-order coordinates — portrait MediaBox, sideways-authored
+    text, golden order recovered only by honoring /Rotate (the
+    reference gets this from MuPDF's page rotation handling)."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("doc_id") % 160 == 134)
+        .select("doc_id", "extracted_text")
+    )
+
+
+SQL_EXTRACT_PDF_ROTATED = (
+    f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
+    "FROM documents WHERE doc_id % 160 = 134"
+)
+
+
 def q_extract_fail_reasons(spark, sf_dir):
     """O31 failure attribution: parse_failure counts by (route, reason) —
     unsupported filters (LZW), truncated structure, unroutable bytes each
@@ -1850,6 +1869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_matrix_roundtrip": q_extract_pdf_matrix_roundtrip,
     "extract_pdf_links": q_extract_pdf_links,
     "extract_pdf_type3_roundtrip": q_extract_pdf_type3_roundtrip,
+    "extract_pdf_rotated_roundtrip": q_extract_pdf_rotated_roundtrip,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
     "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
     "extract_fail_reasons": q_extract_fail_reasons,
@@ -1912,6 +1932,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_pdf_matrix_roundtrip": SQL_EXTRACT_PDF_MATRIX,
     "extract_pdf_links": SQL_EXTRACT_PDF_LINKS,
     "extract_pdf_type3_roundtrip": SQL_EXTRACT_PDF_TYPE3,
+    "extract_pdf_rotated_roundtrip": SQL_EXTRACT_PDF_ROTATED,
     "extract_pdf_cmap_roundtrip": SQL_EXTRACT_PDF_CMAP,
     "extract_pdf_filters_roundtrip": SQL_EXTRACT_PDF_FILTERS,
     "extract_fail_reasons": SQL_FAIL_REASONS,

@@ -592,7 +592,7 @@ def test_form_xobject_text_roundtrip():
     # load-bearing check: raw (uncompressed) variant — page content
     # alone is missing the form-carried lines
     data = corpus.make_pdf_form(17, words)
-    page_only = [s for s, _, _, _ in oracle.page_contents(data)]
+    page_only = [s for s, *_ in oracle.page_contents(data)]
     inline_text = b"\n".join(page_only)
     # line li=1 (words fx5..fx9) lives in /Fx1, not the page stream
     assert b"fx5 marker fx6" not in inline_text
