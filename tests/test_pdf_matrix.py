@@ -115,12 +115,12 @@ def test_translation_only_would_scramble():
 
 
 def test_matrix_slot_in_corpus_route():
+    # 214 % 160 == 54 → matrix slot (134 belongs to the /Rotate slot)
+    doc_id = 214
     rec = oracle.extract_document(
-        corpus.payload_for(134, corpus.synth_text(134)))
+        corpus.payload_for(doc_id, corpus.synth_text(doc_id)))
     assert rec["status"] == "ok"
-    assert rec["extracted_text"] == _golden(corpus.synth_text(134))
-    # and the payload really is the matrix emitter (flate-dependent)
-    raw = corpus.payload_for(134, corpus.synth_text(134))
-    assert b" cm" in zlib.decompress(
-        oracle._STREAM_RE.findall(raw)[0]
-    ) if (134 // 80) % 2 == 0 else b" cm" in raw
+    assert rec["extracted_text"] == _golden(corpus.synth_text(doc_id))
+    # and the payload really is the matrix emitter ((214//80)%2==0 → flate)
+    raw = corpus.payload_for(doc_id, corpus.synth_text(doc_id))
+    assert b" cm" in zlib.decompress(oracle._STREAM_RE.findall(raw)[0])
