@@ -1762,6 +1762,37 @@ SQL_ANN_IVF = (
     "ORDER BY cos DESC, vec_id LIMIT 10"
 )
 
+def q_latest_capture(spark, sf_dir):
+    """Re-crawl snapshot compaction: a crawl table accumulates multiple
+    captures per url; keep the NEWEST (max warc_ts) row of each — one
+    row_number window over (url, ts desc), the upsert-on-read pattern an
+    Iceberg MERGE would subsume. Re-crawls planted for every 13th doc
+    (+1000 s). Output: (doc_id, ts_epoch of the kept capture)."""
+    from pyspark.sql import Window as W
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = web_pages_from_documents(spark, sf_dir).select("url", "warc_ts")
+    did = F.element_at(F.split("url", "/"), -1).cast("long")
+    recrawl = pages.filter(did % 13 == 0).select(
+        "url", (F.col("warc_ts")
+                + F.expr("INTERVAL 1000 SECONDS")).alias("warc_ts"))
+    caps = pages.unionAll(recrawl)
+    w = W.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    latest = (caps.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1))
+    return latest.select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+    )
+
+
+SQL_LATEST_CAPTURE = (
+    # EPOCH 2025-01-01 UTC = 1735689600; warc_ts = EPOCH + doc_id sec,
+    # the planted re-crawl adds 1000 s for every 13th doc
+    "SELECT doc_id, 1735689600 + doc_id + CASE WHEN doc_id % 13 = 0 "
+    "THEN 1000 ELSE 0 END AS ts_epoch FROM documents"
+)
+
+
 def q_blocklist_filter(spark, sf_dir):
     """Domain-blocklist hygiene pass (C4/RefinedWeb-style): drop pages
     whose host is on an exact blocklist (broadcast anti-join — includes
@@ -1898,6 +1929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
     "pack_sequences": q_pack_sequences,
+    "latest_capture": q_latest_capture,
     "blocklist_filter": q_blocklist_filter,
     "contamination": q_contamination,
     "decontaminate_count": q_decontaminate_count,
@@ -1961,6 +1993,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "curate_corpus": SQL_CURATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "latest_capture": SQL_LATEST_CAPTURE,
     "blocklist_filter": SQL_BLOCKLIST,
     "contamination": SQL_CONTAMINATION,
     "decontaminate_count": SQL_DECONTAMINATE,
