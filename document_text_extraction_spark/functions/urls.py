@@ -41,6 +41,39 @@ def canonical_url_col(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, path, query)
 
 
+def resolve_href_col(base: Column, href: Column) -> Column:
+    """Resolve an ``<a href>`` value against its page url — the
+    link-graph edge destination (RFC 3986 reference resolution, the
+    subset real crawl hrefs use):
+
+    * scheme-qualified (``https://…``, ``mailto:…``) → unchanged;
+    * protocol-relative ``//host/p`` → base scheme + href;
+    * root-relative ``/p`` → base origin + href;
+    * fragment-only ``#x`` → the base url itself;
+    * path-relative ``p`` → base origin + base directory + href
+      (no ``..`` normalization — crawl hrefs rarely need it, and the
+      canonicalizer is a separate pass).
+
+    Pure JVM expression: no UDF, usable under an exploded outlinks
+    column at full corpus width.
+    """
+    scheme = F.regexp_extract(base, _SCHEME_RE, 1)
+    host = F.regexp_extract(base, _HOSTPORT_RE, 1)
+    origin = F.concat(scheme, F.lit("://"), host)
+    base_path = F.regexp_extract(base, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    base_dir = F.when(
+        base_path.contains("/"),
+        F.regexp_replace(base_path, "/[^/]*$", "/"),
+    ).otherwise(F.lit("/"))
+    return (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.startswith("#"), base)
+        .otherwise(F.concat(origin, base_dir, href))
+    )
+
+
 # the DuckDB mirror of canonical_url_col, as a SQL expression over a
 # column named ``u`` (kept adjacent so the two cannot drift silently)
 CANONICAL_URL_SQL = (

@@ -55,13 +55,16 @@ _KIND_NAMES = np.array(["boilerplate", "main", "heading", "list_item"])
 # Per-document scanners (emit raw pieces; no classification here)
 # ---------------------------------------------------------------------------
 
-def _scan_html_doc(data: bytes) -> list[tuple[int, str, str]]:
-    """One regex pass over a document → raw blocks.
+def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
+                                         list[str]]:
+    """One regex pass over a document → raw blocks + outlink hrefs.
 
-    Returns ``[(base_kind_code, full_raw, link_raw)]`` per block with
-    entity-unescaped but *un-normalized* text; ``base_kind_code`` already
-    folds in the boilerplate-ancestor rule (cheap to track in the scan,
-    and it keeps the batch stage purely numeric).
+    Returns ``([(base_kind_code, full_raw, link_raw)], hrefs)`` per
+    block with entity-unescaped but *un-normalized* text;
+    ``base_kind_code`` already folds in the boilerplate-ancestor rule
+    (cheap to track in the scan, and it keeps the batch stage purely
+    numeric). ``hrefs`` are the ``<a href>`` values in document order
+    (raw, entity-unescaped — mirrors ``oracle.extract_html_full``).
     """
     raw = _COMMENT_RE.sub(b" ", data)
     raw = _DECL_RE.sub(b" ", raw)
@@ -70,6 +73,7 @@ def _scan_html_doc(data: bytes) -> list[tuple[int, str, str]]:
     doc = raw.decode("utf-8", errors="replace")
 
     blocks: list[tuple[int, str, str]] = []
+    hrefs: list[str] = []
     boiler_depth = 0
     link_depth = 0
     base_kind = _KIND_MAIN
@@ -125,11 +129,17 @@ def _scan_html_doc(data: bytes) -> list[tuple[int, str, str]]:
                     link_depth -= 1
             else:
                 link_depth += 1
+                hm = oracle._HREF_RE.search(parts[i + 3])
+                if hm is not None:
+                    href = unescape(
+                        hm.group(1) or hm.group(2) or hm.group(3) or "")
+                    if href:
+                        hrefs.append(href)
         i += 4
     if pieces:
         kind = _KIND_BOILER if any_boiler else base_kind
         blocks.append(("".join(pieces), "".join(link_pieces), kind))
-    return blocks
+    return blocks, hrefs
 
 
 def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int, list[str]]:
@@ -278,6 +288,7 @@ def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
                 "companies": [c for _, c in jb],
                 "skills": [w for w, f in zip(oracle.SKILLS_VOCAB, hits)
                            if f],
+                "outlinks": [],
             }
             for e, p, l, h, nm, ins, jb, hits in zip(
                 emails, phones, links, headings, names, institutions,
@@ -312,6 +323,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     html_blocks_kind: list[int] = []
     pdf_rows: list[tuple] = []  # (doc, page, x, y, seq, text)
     pdf_link_uris: dict[int, list[str]] = {}  # /Annots URIs per doc
+    html_outlinks: dict[int, list[str]] = {}  # <a href> values per doc
     docx_spans: dict[int, list[dict]] = {}
 
     payload_arr = payloads.to_numpy()
@@ -320,12 +332,15 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         t0 = time.perf_counter()
         try:
             if r == "html":
-                for full, link, kind in _scan_html_doc(
-                        oracle._decode_transfer(payload_arr[i])):
+                doc_blocks, doc_hrefs = _scan_html_doc(
+                    oracle._decode_transfer(payload_arr[i]))
+                for full, link, kind in doc_blocks:
                     html_blocks_doc.append(i)
                     html_blocks_full.append(full)
                     html_blocks_link.append(link)
                     html_blocks_kind.append(kind)
+                if doc_hrefs:
+                    html_outlinks[i] = doc_hrefs
                 n_pages[i] = 1
             elif r == "docx":
                 # shared per-doc XML parse (structure-bound like the PDF
@@ -428,6 +443,9 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     for i, uris in pdf_link_uris.items():
         if status[i] == "ok":
             oracle.merge_link_uris(fields.iloc[i], uris)
+    for i, hrefs in html_outlinks.items():
+        if status[i] == "ok":
+            fields.iloc[i]["outlinks"] = hrefs
     empty_fields = dict(oracle.EMPTY_FIELDS)
     fields = pd.Series(
         [f if status[i] == "ok" else dict(empty_fields)

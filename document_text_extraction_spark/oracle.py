@@ -127,12 +127,26 @@ def _norm_ws(s: str) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
+_HREF_RE = re.compile(
+    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.I)
+
+
 def extract_html(data: bytes) -> tuple[str, list[dict]]:
+    """Back-compat form of :func:`extract_html_full` without the
+    outlink hrefs."""
+    text, spans, _ = extract_html_full(data)
+    return text, spans
+
+
+def extract_html_full(data: bytes) -> tuple[str, list[dict], list[str]]:
     """Tokenize HTML, segment into blocks, classify each block.
 
-    Returns ``(extracted_text, spans)`` where extracted_text joins the
-    content-kind blocks with ``'\\n'`` in document order and spans carry
-    every non-empty block with its kind.
+    Returns ``(extracted_text, spans, outlinks)`` where extracted_text
+    joins the content-kind blocks with ``'\\n'`` in document order,
+    spans carry every non-empty block with its kind, and outlinks are
+    the entity-unescaped ``href`` values of ``<a>`` tags in document
+    order (raw as written — resolution against the page url is a
+    dataset-level JVM expression, ``functions.urls.resolve_href_col``).
     """
     raw = _COMMENT_RE.sub(b" ", data)
     raw = _DECL_RE.sub(b" ", raw)
@@ -141,6 +155,7 @@ def extract_html(data: bytes) -> tuple[str, list[dict]]:
     doc = raw.decode("utf-8", errors="replace")
 
     spans: list[dict] = []
+    outlinks: list[str] = []
     boiler_depth = 0
     link_depth = 0
     base_kind = "text"            # kind hint from the opening block tag
@@ -201,6 +216,12 @@ def extract_html(data: bytes) -> tuple[str, list[dict]]:
                 link_depth = max(0, link_depth - 1)
             else:
                 link_depth += 1
+                hm = _HREF_RE.search(m.group(3))
+                if hm is not None:
+                    href = _htmllib.unescape(
+                        hm.group(1) or hm.group(2) or hm.group(3) or "")
+                    if href:
+                        outlinks.append(href)
         pos = m.end()
     tail = doc[pos:]
     if tail:
@@ -210,7 +231,7 @@ def extract_html(data: bytes) -> tuple[str, list[dict]]:
     flush()
 
     text = "\n".join(s["text"] for s in spans if s["kind"] in CONTENT_KINDS)
-    return text, spans
+    return text, spans, outlinks
 
 
 # ---------------------------------------------------------------------------
@@ -1673,7 +1694,7 @@ def extract_fields(text: str, spans: list[dict]) -> dict:
 EMPTY_FIELDS = {
     "emails": [], "phones": [], "links": [], "headings": [],
     "name": "", "institutions": [], "positions": [], "companies": [],
-    "skills": [],
+    "skills": [], "outlinks": [],
 }
 
 # O48 keyword → canonical section name (shared with the dataset-level
@@ -1751,9 +1772,11 @@ def extract_document(data: bytes) -> dict:
     """
     route = sniff(data)
     link_uris: list[str] = []
+    outlinks: list[str] = []
     try:
         if route == "html":
-            text, spans = extract_html(_decode_transfer(data))
+            text, spans, outlinks = extract_html_full(
+                _decode_transfer(data))
             n_pages = 1
         elif route == "docx":
             # gzip-wrapped DOCX is routed by its decompressed head, so
@@ -1771,11 +1794,14 @@ def extract_document(data: bytes) -> dict:
                 "fields": dict(EMPTY_FIELDS), "sections": [],
                 "n_pages": 0, "n_blocks": 0,
             }
+        fields = merge_link_uris(extract_fields(text, spans), link_uris)
+        # raw hrefs in document order, duplicates kept — the link-graph
+        # input (resolution against the page url is a JVM expression)
+        fields["outlinks"] = outlinks
         return {
             "status": "ok", "route": route, "reason": None,
             "extracted_text": text, "spans": spans,
-            "fields": merge_link_uris(
-                extract_fields(text, spans), link_uris),
+            "fields": fields,
             "sections": sections_from_spans(spans),
             "n_pages": n_pages, "n_blocks": len(spans),
         }

@@ -66,6 +66,9 @@ FIELDS_TYPE = T.StructType([
     T.StructField("positions", T.ArrayType(T.StringType())),  # O52, paired
     T.StructField("companies", T.ArrayType(T.StringType())),  # with positions
     T.StructField("skills", T.ArrayType(T.StringType())),     # O49
+    # <a href> values in document order (raw; resolution is a JVM
+    # expression) — the link-graph input
+    T.StructField("outlinks", T.ArrayType(T.StringType())),
 ])
 
 SECTION_TYPE = T.StructType([

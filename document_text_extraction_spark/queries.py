@@ -1762,6 +1762,39 @@ SQL_ANN_IVF = (
     "ORDER BY cos DESC, vec_id LIMIT 10"
 )
 
+def q_link_graph(spark, sf_dir):
+    """Host-level link graph from the extraction output: explode
+    ``fields.outlinks`` (raw <a href> values collected in the single
+    extraction pass), resolve each against its page url with the JVM
+    expression ``urls.resolve_href_col``, aggregate edge counts by
+    (src_host, dst_host). Expected shape on the synthetic corpus: every
+    HTML page carries 23 relative links (nav/aside/footer → its own
+    host) and one absolute ad link (→ ads.example.com)."""
+    from .functions import urls as U
+    out = _extracted(spark, sf_dir)
+    links = out.filter(F.col("lineage.route") == "html").select(
+        "url", F.explode("fields.outlinks").alias("href"))
+    dst = U.resolve_href_col(F.col("url"), F.col("href"))
+    return (
+        links.groupBy(
+            F.regexp_extract("url", r"https://([^/]+)/", 1)
+            .alias("src_host"),
+            F.regexp_extract(dst, r"^[^:/?#]+://([^/?#]*)", 1)
+            .alias("dst_host"))
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+SQL_LINK_GRAPH = (
+    f"WITH h AS (SELECT {HOST_SQL} AS host, count(*) AS n "
+    "FROM documents WHERE doc_id % 20 < 14 AND doc_id % 20 <> 12 "
+    "GROUP BY 1) "
+    "SELECT host AS src_host, host AS dst_host, "
+    "CAST(23 * n AS BIGINT) AS n_links FROM h "
+    "UNION ALL SELECT host, 'ads.example.com', CAST(n AS BIGINT) FROM h"
+)
+
+
 def q_latest_capture(spark, sf_dir):
     """Re-crawl snapshot compaction: a crawl table accumulates multiple
     captures per url; keep the NEWEST (max warc_ts) row of each — one
@@ -1929,6 +1962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
     "pack_sequences": q_pack_sequences,
+    "link_graph": q_link_graph,
     "latest_capture": q_latest_capture,
     "blocklist_filter": q_blocklist_filter,
     "contamination": q_contamination,
@@ -1993,6 +2027,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "curate_corpus": SQL_CURATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "link_graph": SQL_LINK_GRAPH,
     "latest_capture": SQL_LATEST_CAPTURE,
     "blocklist_filter": SQL_BLOCKLIST,
     "contamination": SQL_CONTAMINATION,

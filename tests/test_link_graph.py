@@ -1,0 +1,59 @@
+"""Outlink collection (<a href> in the extraction pass) + JVM href
+resolution (functions/urls.resolve_href_col) + the link-graph query."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_text_extraction_spark import corpus, oracle
+from document_text_extraction_spark.functions import urls as U
+
+
+def test_outlinks_collected_in_document_order():
+    rec = oracle.extract_document(corpus.make_html(3, corpus.synth_text(3)))
+    ol = rec["fields"]["outlinks"]
+    assert ol[0] == "/home" and ol[-1] == "/privacy"
+    assert f"https://ads.example.com/click?id=3" in ol
+    assert len(ol) == 24
+
+
+def test_outlinks_quote_styles_and_entities():
+    html = (b"<html><body>"
+            b"<a href='/single'>s</a>"
+            b"<a href=bare>b</a>"
+            b'<a href="/q?a=1&amp;b=2">q</a>'
+            b"<a name=anchor>no href</a>"
+            b"<p>text</p></body></html>")
+    _, _, links = oracle.extract_html_full(html)
+    assert links == ["/single", "bare", "/q?a=1&b=2"]
+
+
+def test_non_html_routes_have_empty_outlinks():
+    rec = oracle.extract_document(
+        corpus.make_pdf(16, corpus.synth_text(16)))
+    assert rec["fields"]["outlinks"] == []
+
+
+def test_resolve_href_semantics(spark):
+    base = "https://site01.example.org/dir/page"
+    cases = [
+        ("https://other.example/x", "https://other.example/x"),
+        ("mailto:a@b.c", "mailto:a@b.c"),
+        ("//cdn.example/lib.js", "https://cdn.example/lib.js"),
+        ("/rooted", "https://site01.example.org/rooted"),
+        ("#frag", base),
+        ("sibling", "https://site01.example.org/dir/sibling"),
+    ]
+    df = spark.createDataFrame([(base, h) for h, _ in cases],
+                               "base string, href string")
+    got = [r.out for r in df.select(
+        U.resolve_href_col(F.col("base"), F.col("href")).alias("out")
+    ).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_resolve_href_base_without_path(spark):
+    df = spark.createDataFrame(
+        [("https://h.example", "rel")], "base string, href string")
+    got = df.select(U.resolve_href_col(
+        F.col("base"), F.col("href")).alias("o")).collect()[0].o
+    assert got == "https://h.example/rel"
