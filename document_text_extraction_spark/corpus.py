@@ -42,7 +42,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 16
+CORPUS_VERSION = 17
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -142,10 +142,16 @@ def make_html(doc_id: int, text: str) -> bytes:
         '<div class="ad"><a href="https://ads.example.com/click?id=%d">'
         "Buy now! Limited offer — click here</a></div>" % (doc_id,)
     )
+    # every 16th-mod-6 doc asks crawlers not to index it — the
+    # crawl-hygiene signal a pipeline must honor (robots meta tag)
+    robots_meta = (
+        '\n  <meta name="robots" content="noindex, nofollow">'
+        if doc_id % 16 == 6 else ""
+    )
     page = f"""<!DOCTYPE html>
 <html lang="en">
 <head>
-  <title>Document {doc_id}</title>
+  <title>Document {doc_id}</title>{robots_meta}
   <style>body {{ margin: 0; }} .ad {{ color: red; }}</style>
   <script>var docId = {doc_id}; // tracking stub
     function track() {{ return docId * 2; }}</script>

@@ -56,14 +56,16 @@ _KIND_NAMES = np.array(["boilerplate", "main", "heading", "list_item"])
 # ---------------------------------------------------------------------------
 
 def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
-                                         list[str]]:
-    """One regex pass over a document → raw blocks + outlink hrefs.
+                                         list[str], str]:
+    """One regex pass over a document → raw blocks + outlink hrefs +
+    robots directive.
 
-    Returns ``([(base_kind_code, full_raw, link_raw)], hrefs)`` per
-    block with entity-unescaped but *un-normalized* text;
-    ``base_kind_code`` already folds in the boilerplate-ancestor rule
-    (cheap to track in the scan, and it keeps the batch stage purely
-    numeric). ``hrefs`` are the ``<a href>`` values in document order
+    Returns ``([(base_kind_code, full_raw, link_raw)], hrefs,
+    meta_robots)`` per block with entity-unescaped but *un-normalized*
+    text; ``base_kind_code`` already folds in the boilerplate-ancestor
+    rule (cheap to track in the scan, and it keeps the batch stage
+    purely numeric). ``hrefs`` are the ``<a href>`` values in document
+    order and ``meta_robots`` the first ``<meta name=robots>`` content
     (raw, entity-unescaped — mirrors ``oracle.extract_html_full``).
     """
     raw = _COMMENT_RE.sub(b" ", data)
@@ -74,6 +76,7 @@ def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
 
     blocks: list[tuple[int, str, str]] = []
     hrefs: list[str] = []
+    meta_robots = ""
     boiler_depth = 0
     link_depth = 0
     base_kind = _KIND_MAIN
@@ -135,11 +138,18 @@ def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
                         hm.group(1) or hm.group(2) or hm.group(3) or "")
                     if href:
                         hrefs.append(href)
+        elif (name == "meta" and not closing and not meta_robots
+                and oracle._META_NAME_ROBOTS_RE.search(parts[i + 3])):
+            cm = oracle._META_CONTENT_RE.search(parts[i + 3])
+            if cm is not None:
+                meta_robots = unescape(
+                    cm.group(1) or cm.group(2) or cm.group(3) or ""
+                ).lower()
         i += 4
     if pieces:
         kind = _KIND_BOILER if any_boiler else base_kind
         blocks.append(("".join(pieces), "".join(link_pieces), kind))
-    return blocks, hrefs
+    return blocks, hrefs, meta_robots
 
 
 def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int, list[str]]:
@@ -289,6 +299,7 @@ def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
                 "skills": [w for w, f in zip(oracle.SKILLS_VOCAB, hits)
                            if f],
                 "outlinks": [],
+                "meta_robots": "",
             }
             for e, p, l, h, nm, ins, jb, hits in zip(
                 emails, phones, links, headings, names, institutions,
@@ -324,6 +335,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     pdf_rows: list[tuple] = []  # (doc, page, x, y, seq, text)
     pdf_link_uris: dict[int, list[str]] = {}  # /Annots URIs per doc
     html_outlinks: dict[int, list[str]] = {}  # <a href> values per doc
+    html_robots: dict[int, str] = {}          # <meta name=robots> content
     docx_spans: dict[int, list[dict]] = {}
 
     payload_arr = payloads.to_numpy()
@@ -332,7 +344,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         t0 = time.perf_counter()
         try:
             if r == "html":
-                doc_blocks, doc_hrefs = _scan_html_doc(
+                doc_blocks, doc_hrefs, doc_robots = _scan_html_doc(
                     oracle._decode_transfer(payload_arr[i]))
                 for full, link, kind in doc_blocks:
                     html_blocks_doc.append(i)
@@ -341,6 +353,8 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
                     html_blocks_kind.append(kind)
                 if doc_hrefs:
                     html_outlinks[i] = doc_hrefs
+                if doc_robots:
+                    html_robots[i] = doc_robots
                 n_pages[i] = 1
             elif r == "docx":
                 # shared per-doc XML parse (structure-bound like the PDF
@@ -446,6 +460,9 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     for i, hrefs in html_outlinks.items():
         if status[i] == "ok":
             fields.iloc[i]["outlinks"] = hrefs
+    for i, robots in html_robots.items():
+        if status[i] == "ok":
+            fields.iloc[i]["meta_robots"] = robots
     empty_fields = dict(oracle.EMPTY_FIELDS)
     fields = pd.Series(
         [f if status[i] == "ok" else dict(empty_fields)

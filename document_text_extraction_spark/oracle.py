@@ -129,24 +129,33 @@ def _norm_ws(s: str) -> str:
 
 _HREF_RE = re.compile(
     r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.I)
+_META_NAME_ROBOTS_RE = re.compile(
+    r"""name\s*=\s*["']?robots["']?""", re.I)
+_META_CONTENT_RE = re.compile(
+    r"""content\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.I)
 
 
 def extract_html(data: bytes) -> tuple[str, list[dict]]:
     """Back-compat form of :func:`extract_html_full` without the
-    outlink hrefs."""
-    text, spans, _ = extract_html_full(data)
+    outlink hrefs / robots directive."""
+    text, spans, _, _ = extract_html_full(data)
     return text, spans
 
 
-def extract_html_full(data: bytes) -> tuple[str, list[dict], list[str]]:
+def extract_html_full(data: bytes) -> tuple[str, list[dict],
+                                            list[str], str]:
     """Tokenize HTML, segment into blocks, classify each block.
 
-    Returns ``(extracted_text, spans, outlinks)`` where extracted_text
-    joins the content-kind blocks with ``'\\n'`` in document order,
-    spans carry every non-empty block with its kind, and outlinks are
-    the entity-unescaped ``href`` values of ``<a>`` tags in document
-    order (raw as written — resolution against the page url is a
-    dataset-level JVM expression, ``functions.urls.resolve_href_col``).
+    Returns ``(extracted_text, spans, outlinks, meta_robots)`` where
+    extracted_text joins the content-kind blocks with ``'\\n'`` in
+    document order, spans carry every non-empty block with its kind,
+    outlinks are the entity-unescaped ``href`` values of ``<a>`` tags
+    in document order (raw as written — resolution against the page
+    url is a dataset-level JVM expression,
+    ``functions.urls.resolve_href_col``), and meta_robots is the
+    lowercased content of the first ``<meta name=robots>`` tag ('' if
+    absent) — the crawl-hygiene directive (noindex/nofollow) a
+    pipeline must honor.
     """
     raw = _COMMENT_RE.sub(b" ", data)
     raw = _DECL_RE.sub(b" ", raw)
@@ -156,6 +165,7 @@ def extract_html_full(data: bytes) -> tuple[str, list[dict], list[str]]:
 
     spans: list[dict] = []
     outlinks: list[str] = []
+    meta_robots = ""
     boiler_depth = 0
     link_depth = 0
     base_kind = "text"            # kind hint from the opening block tag
@@ -222,6 +232,13 @@ def extract_html_full(data: bytes) -> tuple[str, list[dict], list[str]]:
                         hm.group(1) or hm.group(2) or hm.group(3) or "")
                     if href:
                         outlinks.append(href)
+        elif (name == "meta" and not closing and not meta_robots
+                and _META_NAME_ROBOTS_RE.search(m.group(3))):
+            cm = _META_CONTENT_RE.search(m.group(3))
+            if cm is not None:
+                meta_robots = _htmllib.unescape(
+                    cm.group(1) or cm.group(2) or cm.group(3) or ""
+                ).lower()
         pos = m.end()
     tail = doc[pos:]
     if tail:
@@ -231,7 +248,7 @@ def extract_html_full(data: bytes) -> tuple[str, list[dict], list[str]]:
     flush()
 
     text = "\n".join(s["text"] for s in spans if s["kind"] in CONTENT_KINDS)
-    return text, spans, outlinks
+    return text, spans, outlinks, meta_robots
 
 
 # ---------------------------------------------------------------------------
@@ -1694,7 +1711,7 @@ def extract_fields(text: str, spans: list[dict]) -> dict:
 EMPTY_FIELDS = {
     "emails": [], "phones": [], "links": [], "headings": [],
     "name": "", "institutions": [], "positions": [], "companies": [],
-    "skills": [], "outlinks": [],
+    "skills": [], "outlinks": [], "meta_robots": "",
 }
 
 # O48 keyword → canonical section name (shared with the dataset-level
@@ -1773,9 +1790,10 @@ def extract_document(data: bytes) -> dict:
     route = sniff(data)
     link_uris: list[str] = []
     outlinks: list[str] = []
+    meta_robots = ""
     try:
         if route == "html":
-            text, spans, outlinks = extract_html_full(
+            text, spans, outlinks, meta_robots = extract_html_full(
                 _decode_transfer(data))
             n_pages = 1
         elif route == "docx":
@@ -1798,6 +1816,7 @@ def extract_document(data: bytes) -> dict:
         # raw hrefs in document order, duplicates kept — the link-graph
         # input (resolution against the page url is a JVM expression)
         fields["outlinks"] = outlinks
+        fields["meta_robots"] = meta_robots
         return {
             "status": "ok", "route": route, "reason": None,
             "extracted_text": text, "spans": spans,

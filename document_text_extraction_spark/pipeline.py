@@ -69,6 +69,9 @@ FIELDS_TYPE = T.StructType([
     # <a href> values in document order (raw; resolution is a JVM
     # expression) — the link-graph input
     T.StructField("outlinks", T.ArrayType(T.StringType())),
+    # <meta name=robots> content, lowercased ('' if absent) — the
+    # noindex/nofollow crawl directive
+    T.StructField("meta_robots", T.StringType()),
 ])
 
 SECTION_TYPE = T.StructType([

@@ -1762,6 +1762,37 @@ SQL_ANN_IVF = (
     "ORDER BY cos DESC, vec_id LIMIT 10"
 )
 
+def q_robots_noindex(spark, sf_dir):
+    """Crawl-directive hygiene: documents whose <meta name=robots>
+    carries noindex must be excluded from the training corpus. The
+    directive is collected in the single extraction pass
+    (fields.meta_robots); the filter is one pushed-down expression.
+    Output: per-host counts of indexable vs noindex pages."""
+    out = _extracted(spark, sf_dir)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        out.filter(F.col("lineage.route") == "html")
+        .groupBy(host.alias("host"))
+        .agg(
+            F.sum((~F.col("fields.meta_robots").contains("noindex"))
+                  .cast("long")).alias("n_indexable"),
+            F.sum(F.col("fields.meta_robots").contains("noindex")
+                  .cast("long")).alias("n_noindex"),
+        )
+    )
+
+
+SQL_ROBOTS_NOINDEX = (
+    f"SELECT {HOST_SQL} AS host, "
+    "CAST(sum(CASE WHEN doc_id % 16 = 6 THEN 0 ELSE 1 END) AS BIGINT) "
+    "AS n_indexable, "
+    "CAST(sum(CASE WHEN doc_id % 16 = 6 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_noindex "
+    "FROM documents WHERE doc_id % 20 < 14 AND doc_id % 20 <> 12 "
+    "GROUP BY 1"
+)
+
+
 def q_link_graph(spark, sf_dir):
     """Host-level link graph from the extraction output: explode
     ``fields.outlinks`` (raw <a href> values collected in the single
@@ -1962,6 +1993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
     "pack_sequences": q_pack_sequences,
+    "robots_noindex": q_robots_noindex,
     "link_graph": q_link_graph,
     "latest_capture": q_latest_capture,
     "blocklist_filter": q_blocklist_filter,
@@ -2027,6 +2059,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "curate_corpus": SQL_CURATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "robots_noindex": SQL_ROBOTS_NOINDEX,
     "link_graph": SQL_LINK_GRAPH,
     "latest_capture": SQL_LATEST_CAPTURE,
     "blocklist_filter": SQL_BLOCKLIST,
