@@ -1762,6 +1762,95 @@ SQL_ANN_IVF = (
     "ORDER BY cos DESC, vec_id LIMIT 10"
 )
 
+def _host_col_of(expr) -> F.Column:
+    """Spark mirror of ``corpus.host_for`` over an arbitrary numeric
+    column (cubic inverse-CDF over 50 hosts). Boundary-safe across
+    engines: 50*(k/1000)^3 is never closer than 5e-8 to a non-zero
+    integer, so libm ULP differences cannot flip the floor."""
+    idx = F.least(
+        F.lit(49),
+        F.floor(F.lit(50) * F.pow((expr % 1000) / F.lit(1000.0),
+                                  F.lit(3.0)))).cast("int")
+    return F.concat(F.lit("site"), F.lpad(idx.cast("string"), 2, "0"),
+                    F.lit(".example.org"))
+
+
+def _host_sql_of(expr: str) -> str:
+    """DuckDB mirror of :func:`_host_col_of` (HOST_SQL generalized)."""
+    return (
+        "'site' || lpad(CAST(least(49, CAST(floor(50 * pow(((" + expr
+        + ") % 1000) / 1000.0, 3)) AS INT)) AS VARCHAR), 2, '0') "
+        "|| '.example.org'"
+    )
+
+
+_PR_ITERS = 10
+_PR_DAMPING = 0.85
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Damped PageRank over a deterministic host graph (src = the doc's
+    host, dst = host of ``doc_id*31+7``), 10 iterations — the
+    link-centrality quality prior (Common-Crawl-style host ranking)
+    computed with the iterative-join pattern of operators/graphrank.py.
+    Ranks round to 6 decimals so cross-engine float-sum order cannot
+    flip the comparison."""
+    from .operators.graphrank import pagerank
+    d = _docs(spark, sf_dir)
+    edges = (
+        d.select(
+            _host_col_of(F.col("doc_id")).alias("src"),
+            _host_col_of(F.col("doc_id") * 31 + 7).alias("dst"))
+        .groupBy("src", "dst").agg(F.count("*").alias("w"))
+    )
+    pr = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING,
+                  weight="w")
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql() -> str:
+    hs_src = _host_sql_of("doc_id")
+    hs_dst = _host_sql_of("doc_id * 31 + 7")
+    d = _PR_DAMPING
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and r{k} is referenced twice by round k+1 — inlining
+    # would re-evaluate the whole chain 2^k times
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT {hs_src} AS src, "
+        f"{hs_dst} AS dst, "
+        "CAST(count(*) AS DOUBLE) AS w FROM documents GROUP BY 1, 2), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)), "
+        "nn AS MATERIALIZED "
+        "(SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "outw AS MATERIALIZED "
+        "(SELECT src, sum(w) AS ow FROM e0 GROUP BY 1), "
+        "trans AS MATERIALIZED (SELECT e0.src, e0.dst, "
+        "e0.w / outw.ow AS p FROM e0 JOIN outw USING (src)), "
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) "
+        "AS rank FROM nodes)"
+    ]
+    for k in range(_PR_ITERS):
+        parts.append(
+            f", d{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) "
+            f"AS dm FROM r{k} "
+            "WHERE node NOT IN (SELECT src FROM trans))"
+            f", r{k + 1} AS MATERIALIZED (SELECT nodes.node, "
+            f"({1.0 - d} / (SELECT n FROM nn)) + {d} * "
+            "(coalesce(c.inflow, 0) + "
+            f"(SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank "
+            "FROM nodes LEFT JOIN (SELECT t.dst AS node, "
+            f"sum(r.rank * t.p) AS inflow FROM trans t JOIN r{k} r "
+            "ON t.src = r.node GROUP BY 1) c ON nodes.node = c.node)"
+        )
+    parts.append(
+        f" SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}")
+    return "".join(parts)
+
+
+SQL_HOST_PAGERANK = _pagerank_sql()
+
+
 def q_robots_noindex(spark, sf_dir):
     """Crawl-directive hygiene: documents whose <meta name=robots>
     carries noindex must be excluded from the training corpus. The
@@ -1993,6 +2082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
     "pack_sequences": q_pack_sequences,
+    "host_pagerank": q_host_pagerank,
     "robots_noindex": q_robots_noindex,
     "link_graph": q_link_graph,
     "latest_capture": q_latest_capture,
@@ -2059,6 +2149,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "curate_corpus": SQL_CURATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "host_pagerank": SQL_HOST_PAGERANK,
     "robots_noindex": SQL_ROBOTS_NOINDEX,
     "link_graph": SQL_LINK_GRAPH,
     "latest_capture": SQL_LATEST_CAPTURE,
