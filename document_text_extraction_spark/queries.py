@@ -1235,6 +1235,52 @@ SQL_TRAIN_VAL_SPLIT = (
 )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 distinctive terms per doc (tf desc, df asc, term asc —
+    integer ranking keys so cross-engine ln() rounding cannot reorder);
+    smoothed TF-IDF score emitted rounded (operators/terms.py)."""
+    from .operators.terms import tfidf_top_terms
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+SQL_TFIDF = (
+    "WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM tf GROUP BY 1, 2), "
+    "dfc AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+    "FROM tfc GROUP BY 1), "
+    "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+    "r AS (SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df, "
+    "row_number() OVER (PARTITION BY tfc.doc_id ORDER BY tfc.tf DESC, "
+    "dfc.df ASC, tfc.term ASC) AS rank "
+    "FROM tfc JOIN dfc USING (term)) "
+    "SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tf, df, "
+    "round(tf * (ln(((SELECT n FROM n) + 1) / (df + 1)) + 1), 6) "
+    "AS score FROM r WHERE rank <= 3"
+)
+
+
+def q_chunk_windows(spark, sf_dir):
+    """Overlapping context-window chunking (window 32, stride 24):
+    long documents split into LM-training windows, map-only array
+    expressions (functions/chunking.py)."""
+    from .functions.chunking import chunk_windows
+    return chunk_windows(_docs(spark, sf_dir), window=32, stride=24)
+
+
+SQL_CHUNK_WINDOWS = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st "
+    "FROM w) "
+    "SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id, "
+    "array_to_string(toks[st + 1 : least(st + 32, len(toks))], ' ') "
+    "AS text, "
+    "CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens FROM s"
+)
+
+
 def q_corpus_mixture_sample(spark, sf_dir):
     """Deterministic mixture re-weighting (DoReMi/RefinedWeb-style):
     per-language keep rates (en 100%, es 40%, de 20%, zh 5%, si 0%)
@@ -2091,6 +2137,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_count": q_decontaminate_count,
     "train_val_split": q_train_val_split,
     "corpus_mixture_sample": q_corpus_mixture_sample,
+    "chunk_windows": q_chunk_windows,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "lang_id": q_lang_id,
     "skills_match": q_skills_match,
     "topk_longest": q_topk_longest,
@@ -2158,6 +2206,8 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminate_count": SQL_DECONTAMINATE,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "corpus_mixture_sample": SQL_MIXTURE_SAMPLE,
+    "chunk_windows": SQL_CHUNK_WINDOWS,
+    "tfidf_top_terms": SQL_TFIDF,
     "lang_id": SQL_LANG_ID,
     "skills_match": SQL_SKILLS,
     "topk_longest": SQL_TOPK_LONGEST,
