@@ -25,8 +25,10 @@ def _probe(payload: bytes) -> None:
 
 def test_mutated_corpus_payloads_never_crash():
     rnd = random.Random(42)
+    # 0..320 covers BOTH variants of every %160 slot (type3 14/174,
+    # rotate 134/294) plus the matrix/annots/noindex slots
     base = [corpus.payload_for(i, corpus.synth_text(i))
-            for i in range(0, 160)]
+            for i in range(0, 320)]
     for _ in range(1500):
         b = bytearray(rnd.choice(base))
         op = rnd.randint(0, 3)
