@@ -42,7 +42,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 17
+CORPUS_VERSION = 18
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -1101,29 +1101,64 @@ def _xml_escape(s: str) -> str:
             .replace(">", "&gt;"))
 
 
+def docx_link_uris_for(doc_id: int) -> list[str]:
+    """Deterministic DOCX hyperlink targets for the ``%40==12`` slot:
+    1 + (doc_id//40)%2 links (SQL-expressible oracle ground truth)."""
+    return [f"https://docs.example.net/{doc_id}/{k}"
+            for k in range(1 + (doc_id // 40) % 2)]
+
+
 def make_docx(doc_id: int, text: str) -> bytes:
     """Minimal .docx: a zip with word/document.xml, one <w:p> per
     10-word line (reference analogue: python-docx paragraph read,
     ``/root/reference/approach4_v1.py:33-42``). Fixed zip timestamps
-    keep the bytes a pure function of (doc_id, text)."""
+    keep the bytes a pure function of (doc_id, text).
+
+    The ``doc_id%40==12`` slot wraps its first paragraphs' runs in
+    ``<w:hyperlink r:id>`` elements resolved through an external-mode
+    ``word/_rels/document.xml.rels`` part — where real .docx hyperlinks
+    live; golden text is unchanged (the runs keep their text)."""
     import io
     import zipfile
-    paras = "".join(
-        f"<w:p><w:r><w:t>{_xml_escape(p)}</w:t></w:r></w:p>"
-        for p in chunk_text(text)
-    )
+    uris = docx_link_uris_for(doc_id) if doc_id % 40 == 12 else []
+
+    def para(idx: int, p: str) -> str:
+        run = f"<w:r><w:t>{_xml_escape(p)}</w:t></w:r>"
+        if idx < len(uris):
+            return (f'<w:p><w:hyperlink r:id="rId{idx + 1}">{run}'
+                    "</w:hyperlink></w:p>")
+        return f"<w:p>{run}</w:p>"
+
+    paras = "".join(para(i, p) for i, p in enumerate(chunk_text(text)))
     document = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<w:document xmlns:w="http://schemas.openxmlformats.org/'
-        'wordprocessingml/2006/main"><w:body>'
+        'wordprocessingml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/'
+        '2006/relationships"><w:body>'
         f"{paras}</w:body></w:document>"
     ).encode("utf-8")
+    members = [
+        ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
+        ("word/document.xml", document),
+    ]
+    if uris:
+        rels = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            + "".join(
+                f'<Relationship Id="rId{k + 1}" Type="http://schemas.'
+                "openxmlformats.org/officeDocument/2006/relationships/"
+                f'hyperlink" Target="{_xml_escape(u)}" '
+                'TargetMode="External"/>'
+                for k, u in enumerate(uris))
+            + "</Relationships>"
+        ).encode("utf-8")
+        members.append(("word/_rels/document.xml.rels", rels))
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
-        for name, payload in (
-            ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
-            ("word/document.xml", document),
-        ):
+        for name, payload in members:
             zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
             z.writestr(zi, payload)
     return buf.getvalue()

@@ -333,7 +333,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     html_blocks_link: list[str] = []
     html_blocks_kind: list[int] = []
     pdf_rows: list[tuple] = []  # (doc, page, x, y, seq, text)
-    pdf_link_uris: dict[int, list[str]] = {}  # /Annots URIs per doc
+    pdf_link_uris: dict[int, list[str]] = {}  # /Annots + docx rel URIs
     html_outlinks: dict[int, list[str]] = {}  # <a href> values per doc
     html_robots: dict[int, str] = {}          # <meta name=robots> content
     docx_spans: dict[int, list[dict]] = {}
@@ -358,11 +358,13 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
                 n_pages[i] = 1
             elif r == "docx":
                 # shared per-doc XML parse (structure-bound like the PDF
-                # page walk; sharing oracle.extract_docx prevents drift);
-                # gzip transfer layer decoded like the html/pdf routes
-                _dx_text, dx_spans = oracle.extract_docx(
+                # page walk; sharing oracle.extract_docx_full prevents
+                # drift); gzip transfer layer decoded like html/pdf
+                _dx_text, dx_spans, dx_links = oracle.extract_docx_full(
                     oracle._decode_transfer(payload_arr[i]))
                 docx_spans[i] = dx_spans
+                if dx_links:
+                    pdf_link_uris[i] = dx_links
                 n_pages[i] = 1
             elif r == "pdf":
                 shows, np_pages, uris = _scan_pdf_doc(

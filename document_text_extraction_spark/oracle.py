@@ -1593,20 +1593,47 @@ def extract_pdf_full(data: bytes) -> tuple[str, list[dict], int, list[str]]:
 
 _WP_RE = re.compile(r"<w:p[ >].*?</w:p>|<w:p/>", re.S)
 _WT_RE = re.compile(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.S)
+_WHYPER_RE = re.compile(r'<w:hyperlink\s[^>]*r:id="([^"]+)"')
+_REL_RE = re.compile(
+    r'<Relationship\s[^>]*Id="([^"]+)"[^>]*Target="([^"]+)"[^>]*/?>')
+_REL_EXTERNAL_RE = re.compile(r'TargetMode="External"')
 
 
 def extract_docx(data: bytes) -> tuple[str, list[dict]]:
+    """Back-compat form of :func:`extract_docx_full` without the
+    hyperlink targets."""
+    text, spans, _ = extract_docx_full(data)
+    return text, spans
+
+
+def extract_docx_full(data: bytes) -> tuple[str, list[dict], list[str]]:
     """Paragraph text from word/document.xml, one block per <w:p>
-    (reference: python-docx paragraphs, ``approach4_v1.py:33-42``)."""
+    (reference: python-docx paragraphs, ``approach4_v1.py:33-42``),
+    plus hyperlink targets: ``<w:hyperlink r:id>`` references resolved
+    through the external-mode relationships in
+    ``word/_rels/document.xml.rels`` — where .docx hyperlinks actually
+    live (python-docx exposes the same via part.rels)."""
     import io
     import zipfile
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as z:
             xml = z.read("word/document.xml").decode("utf-8",
                                                      errors="replace")
+            try:
+                rels_xml = z.read("word/_rels/document.xml.rels").decode(
+                    "utf-8", errors="replace")
+            except KeyError:
+                rels_xml = ""
     except (zipfile.BadZipFile, KeyError) as e:
         raise PdfParseError(f"bad docx container: {e}",
                             code="bad_container") from e
+    rels: dict[str, str] = {}
+    for m in _REL_RE.finditer(rels_xml):
+        frag = m.group(0)
+        if _REL_EXTERNAL_RE.search(frag):
+            rels[m.group(1)] = _htmllib.unescape(m.group(2))
+    links = [rels[rid] for rid in _WHYPER_RE.findall(xml)
+             if rid in rels]
     spans: list[dict] = []
     for pm in _WP_RE.finditer(xml):
         runs = _WT_RE.findall(pm.group(0))
@@ -1618,7 +1645,7 @@ def extract_docx(data: bytes) -> tuple[str, list[dict]]:
             "x0": 0.0, "y0": 0.0, "x1": 0.0, "y1": 0.0,
             "kind": "main", "text": full,
         })
-    return "\n".join(s["text"] for s in spans), spans
+    return "\n".join(s["text"] for s in spans), spans, links
 
 
 # ---------------------------------------------------------------------------
@@ -1799,7 +1826,8 @@ def extract_document(data: bytes) -> dict:
         elif route == "docx":
             # gzip-wrapped DOCX is routed by its decompressed head, so
             # the extractor must decode the transfer layer too
-            text, spans = extract_docx(_decode_transfer(data))
+            text, spans, link_uris = extract_docx_full(
+                _decode_transfer(data))
             n_pages = 1
         elif route == "pdf":
             text, spans, n_pages, link_uris = extract_pdf_full(

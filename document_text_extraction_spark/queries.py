@@ -279,6 +279,27 @@ SQL_EXTRACT_PDF_LINKS = (
 )
 
 
+def q_extract_docx_links(spark, sf_dir):
+    """DOCX hyperlink extraction (doc_id%40==12): <w:hyperlink r:id>
+    references resolved through external-mode relationships in
+    word/_rels/document.xml.rels — where real .docx links live
+    (python-docx part.rels). Text roundtrip for the slot stays covered
+    by extract_docx_roundtrip."""
+    out = _extracted(spark, sf_dir)
+    return (
+        out.filter(F.col("doc_id") % 40 == 12)
+        .select("doc_id", F.col("fields.links").alias("links"))
+    )
+
+
+SQL_EXTRACT_DOCX_LINKS = (
+    "SELECT doc_id, ['https://docs.example.net/' || CAST(doc_id AS "
+    "VARCHAR) || '/' || CAST(k AS VARCHAR) for k in "
+    "range(0, 1 + (doc_id // 40) % 2)] AS links "
+    "FROM documents WHERE doc_id % 40 = 12"
+)
+
+
 def q_extract_pdf_type3_roundtrip(spark, sf_dir):
     """O36 byte-identity on the Type3-font slot (doc_id%160==14):
     user-defined fonts whose glyphs are /CharProcs content streams and
@@ -2098,6 +2119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
     "extract_pdf_matrix_roundtrip": q_extract_pdf_matrix_roundtrip,
     "extract_pdf_links": q_extract_pdf_links,
+    "extract_docx_links": q_extract_docx_links,
     "extract_pdf_type3_roundtrip": q_extract_pdf_type3_roundtrip,
     "extract_pdf_rotated_roundtrip": q_extract_pdf_rotated_roundtrip,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
@@ -2167,6 +2189,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_pdf15_roundtrip": SQL_EXTRACT_PDF15,
     "extract_pdf_matrix_roundtrip": SQL_EXTRACT_PDF_MATRIX,
     "extract_pdf_links": SQL_EXTRACT_PDF_LINKS,
+    "extract_docx_links": SQL_EXTRACT_DOCX_LINKS,
     "extract_pdf_type3_roundtrip": SQL_EXTRACT_PDF_TYPE3,
     "extract_pdf_rotated_roundtrip": SQL_EXTRACT_PDF_ROTATED,
     "extract_pdf_cmap_roundtrip": SQL_EXTRACT_PDF_CMAP,

@@ -50,6 +50,40 @@ def test_non_html_routes_have_empty_outlinks():
     assert rec["fields"]["outlinks"] == []
 
 
+def test_docx_hyperlinks_resolved_through_rels():
+    doc_id = 52  # %40==12, (52//40)%2==1 -> two links
+    text = corpus.synth_text(doc_id)
+    rec = oracle.extract_document(corpus.make_docx(doc_id, text))
+    assert rec["status"] == "ok"
+    assert rec["extracted_text"] == "\n".join(corpus.chunk_text(text))
+    assert rec["fields"]["links"] == sorted(
+        corpus.docx_link_uris_for(doc_id))
+
+
+def test_docx_internal_rels_ignored():
+    """Only TargetMode=External relationships become links; a missing
+    rels part yields no links (plain make_docx slot)."""
+    doc_id = 32  # docx without hyperlinks
+    rec = oracle.extract_document(
+        corpus.make_docx(doc_id, corpus.synth_text(doc_id)))
+    assert rec["fields"]["links"] == []
+    # internal (no TargetMode) rel must not leak
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    doc = (b'<?xml version="1.0"?><w:document xmlns:w="x" xmlns:r="y">'
+           b'<w:body><w:p><w:hyperlink r:id="rId1"><w:r><w:t>t</w:t>'
+           b"</w:r></w:hyperlink></w:p></w:body></w:document>")
+    rels = (b'<?xml version="1.0"?><Relationships>'
+            b'<Relationship Id="rId1" Type="z" Target="internal.xml"/>'
+            b"</Relationships>")
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc)
+        z.writestr("word/_rels/document.xml.rels", rels)
+    _, _, links = oracle.extract_docx_full(buf.getvalue())
+    assert links == []
+
+
 def test_resolve_href_semantics(spark):
     base = "https://site01.example.org/dir/page"
     cases = [
