@@ -50,6 +50,31 @@ def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def incremental_dedup(new_docs: DataFrame, existing: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Dedup a NEW crawl increment against the already-ingested corpus:
+    drop any new document whose content fingerprint already exists,
+    then keep one copy per fingerprint within the increment itself
+    (lowest id). The per-crawl production pattern — the existing corpus
+    is never rescanned beyond its fingerprint column (at scale that
+    column lives pre-computed in the table; here it is derived, and
+    Catalyst prunes the scan to exactly ``text``).
+
+    Shuffle profile: one equi-join on the md5 fingerprint (increment ×
+    fingerprint set, hash-partitioned) + the increment-local window —
+    both keyed on the fingerprint, so AQE can reuse one exchange."""
+    fp_new = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    seen = existing.select(
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__fp"))
+    fresh = (new_docs.withColumn("__fp", fp_new)
+             .join(seen.dropDuplicates(["__fp"]), "__fp", "left_anti"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("__fp").orderBy(F.col(id_col))
+    return (fresh.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__fp", "__rn"))
+
+
 def deduplicate_keep_first(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
     """The dedup *transform* (not the report): keep exactly one row per

@@ -1413,6 +1413,43 @@ SQL_NGRAM_JACCARD = (
 )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Per-crawl incremental dedup: a planted NEW increment carries
+    (a) re-captures of every 9th existing doc (must drop — fingerprint
+    already ingested), (b) genuinely new content (kept), and (c) an
+    exact duplicate of each new text under a higher id (dropped by the
+    increment-local keep-first window). The existing corpus contributes
+    only its fingerprint column (operators/dedup.incremental_dedup)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recap = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text")
+    fresh_txt = F.concat(F.col("text"), F.lit(" fresh"))
+    newer = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        fresh_txt.alias("text"))
+    inner_dup = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        fresh_txt.alias("text"))
+    increment = recap.unionAll(newer).unionAll(inner_dup)
+    return dedup.incremental_dedup(increment, docs)
+
+
+SQL_INCREMENTAL_DEDUP = (
+    "WITH newdocs AS ("
+    "SELECT doc_id + 200000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 9 = 0 "
+    "UNION ALL SELECT doc_id + 300000, text || ' fresh' FROM documents "
+    "WHERE doc_id % 9 = 1 "
+    "UNION ALL SELECT doc_id + 400000, text || ' fresh' FROM documents "
+    "WHERE doc_id % 9 = 1), "
+    "fresh AS (SELECT * FROM newdocs WHERE md5(text) NOT IN "
+    "(SELECT md5(text) FROM documents)), "
+    "r AS (SELECT doc_id, text, row_number() OVER "
+    "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM fresh) "
+    "SELECT doc_id, text FROM r WHERE rn = 1"
+)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Connected components over the exact near-dup pair graph:
     (doc_id, cluster_id=min reachable id) for every doc in some pair —
@@ -2165,6 +2202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skills_match": q_skills_match,
     "topk_longest": q_topk_longest,
     "ngram_jaccard": q_ngram_jaccard,
+    "incremental_dedup": q_incremental_dedup,
     "dup_clusters": q_dup_clusters,
     "cluster_dedup_count": q_cluster_dedup_count,
     "minhash_neardup": q_minhash_neardup,
@@ -2238,6 +2276,7 @@ ORACLE_SQL: dict[str, str] = {
     # minhash's LSH verification computes exact Jaccard on candidates →
     # equal to the exact pair set when band recall is 100% (holds here;
     # empirically verified at sf0.001/sf0.01, pytest recall guard)
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "cluster_dedup_count": SQL_CLUSTER_DEDUP,
     "minhash_neardup": SQL_NGRAM_JACCARD,

@@ -198,3 +198,24 @@ def test_ivf_recall_vs_brute(spark):
     recall = len(set(brute) & set(approx)) / 10
     assert approx[0] == 0
     assert recall >= 0.6, f"IVF recall {recall}"
+
+
+def test_incremental_dedup_planted(spark):
+    """Re-captures of existing content drop; new content keeps exactly
+    one copy per fingerprint (lowest id)."""
+    from document_text_extraction_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    existing = spark.createDataFrame(
+        [(1, "old one"), (2, "old two")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (10, "old one"),      # re-capture -> drop
+            (11, "brand new"),    # keep
+            (12, "brand new"),    # in-increment dup -> drop
+            (13, "also new"),     # keep
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in incremental_dedup(new, existing).collect()}
+    assert kept == {11, 13}
