@@ -338,6 +338,37 @@ SQL_EXTRACT_PDF_ROTATED = (
 )
 
 
+def q_streaming_extract_roundtrip(spark, sf_dir):
+    """Batch/streaming parity, oracle-checked on real streaming
+    machinery: materialize the pages table, run the availableNow
+    Structured-Streaming pipeline (readStream → extract_df →
+    foreachBatch idempotent batch_id=N sink, streaming checkpoint),
+    read the sink back — extracted text must equal the same golden
+    chunking the batch roundtrips use (streaming/stream.py)."""
+    import tempfile
+    from .streaming.stream import run_stream_available_now
+    base = tempfile.mkdtemp(prefix="dte_q_stream_")
+    pages = web_pages_from_documents(spark, sf_dir)
+    pages.write.mode("overwrite").parquet(f"{base}/in")
+    run_stream_available_now(spark, f"{base}/in", f"{base}/out",
+                             f"{base}/ck", n_buckets=_N_BUCKETS)
+    out = spark.read.parquet(f"{base}/out")
+    return (
+        out.filter(F.col("lineage.status") == "ok")
+        .select(
+            F.element_at(F.split("url", "/"), -1).cast("long")
+            .alias("doc_id"),
+            "extracted_text",
+        )
+    )
+
+
+SQL_STREAMING_EXTRACT = (
+    f"SELECT doc_id, {CHUNK_SQL} AS extracted_text "
+    "FROM documents WHERE doc_id % 20 <> 19"
+)
+
+
 def q_extract_fail_reasons(spark, sf_dir):
     """O31 failure attribution: parse_failure counts by (route, reason) —
     unsupported filters (LZW), truncated structure, unroutable bytes each
@@ -2157,6 +2188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_matrix_roundtrip": q_extract_pdf_matrix_roundtrip,
     "extract_pdf_links": q_extract_pdf_links,
     "extract_docx_links": q_extract_docx_links,
+    "streaming_extract_roundtrip": q_streaming_extract_roundtrip,
     "extract_pdf_type3_roundtrip": q_extract_pdf_type3_roundtrip,
     "extract_pdf_rotated_roundtrip": q_extract_pdf_rotated_roundtrip,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
@@ -2228,6 +2260,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_pdf_matrix_roundtrip": SQL_EXTRACT_PDF_MATRIX,
     "extract_pdf_links": SQL_EXTRACT_PDF_LINKS,
     "extract_docx_links": SQL_EXTRACT_DOCX_LINKS,
+    "streaming_extract_roundtrip": SQL_STREAMING_EXTRACT,
     "extract_pdf_type3_roundtrip": SQL_EXTRACT_PDF_TYPE3,
     "extract_pdf_rotated_roundtrip": SQL_EXTRACT_PDF_ROTATED,
     "extract_pdf_cmap_roundtrip": SQL_EXTRACT_PDF_CMAP,

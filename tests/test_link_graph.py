@@ -91,7 +91,7 @@ def test_resolve_href_semantics(spark):
         ("mailto:a@b.c", "mailto:a@b.c"),
         ("//cdn.example/lib.js", "https://cdn.example/lib.js"),
         ("/rooted", "https://site01.example.org/rooted"),
-        ("#frag", base),
+        ("#frag", base + "#frag"),
         ("sibling", "https://site01.example.org/dir/sibling"),
     ]
     df = spark.createDataFrame([(base, h) for h, _ in cases],
@@ -100,6 +100,29 @@ def test_resolve_href_semantics(spark):
         U.resolve_href_col(F.col("base"), F.col("href")).alias("out")
     ).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_resolve_href_matches_stdlib_urljoin(spark):
+    """Cross-validation against urllib.parse.urljoin for the supported
+    href shapes (no dot-segments): the JVM expression must agree with
+    the stdlib's RFC 3986 resolution."""
+    from urllib.parse import urljoin
+    bases = [
+        "https://h.example/a/b/c",
+        "http://h.example:8080/x",
+        "https://h.example/",
+    ]
+    hrefs = [
+        "https://o.example/p", "//cdn.example/q", "/root/p", "p",
+        "p/q?x=1", "#f", "mailto:a@b.c",
+    ]
+    cases = [(b, h) for b in bases for h in hrefs]
+    df = spark.createDataFrame(cases, "base string, href string")
+    got = [r.out for r in df.select(
+        U.resolve_href_col(F.col("base"), F.col("href")).alias("out")
+    ).collect()]
+    want = [urljoin(b, h) for b, h in cases]
+    assert got == want
 
 
 def test_resolve_href_base_without_path(spark):
