@@ -42,7 +42,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 18
+CORPUS_VERSION = 19
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -408,6 +408,41 @@ def _assemble_pdf(objs: list) -> bytes:
     return bytes(out)
 
 
+def _assemble_text_pdf(streams: list, compress: bool,
+                       page_extra=None, tail_objs=None,
+                       font_obj: bytes | None = None) -> bytes:
+    """Single-font paged assembly shared by the feature emitters:
+    catalog(1), pages(2), per-page dict 3+2i / stream 4+2i, font at
+    3+2n, then ``tail_objs`` in order (numbered font+1, font+2, …).
+    ``page_extra(i)`` returns a fragment appended inside page i's dict;
+    ``font_obj`` overrides the default Helvetica Type1 body. Emitters
+    that compute object references must use this numbering."""
+    import zlib
+    npages = len(streams)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
+    font_num = 3 + 2 * npages
+    for i, content in enumerate(streams):
+        extra = page_extra(i) if page_extra else ""
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << /F1 {font_num} 0 R >> >>{extra} >>"
+        ).encode())
+        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
+                     if compress else (content, b""))
+        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                    % (len(enc), filt, enc))
+    objs.append(font_obj
+                or b"<< /Type /Font /Subtype /Type1 /BaseFont "
+                   b"/Helvetica >>")
+    objs.extend(tail_objs or [])
+    return _assemble_pdf(objs)
+
+
 def make_pdf(doc_id: int, text: str,
              filter_mode: str | None = "auto") -> bytes:
     """A PDF-1.4 file whose text layer carries the 10-word lines.
@@ -527,7 +562,6 @@ def make_pdf_rotated_page(doc_id: int, text: str) -> bytes:
     extractor that ignores /Rotate sees scrambled reading order while a
     composing one recovers the golden text. Rotation cycles 90/180/270
     with ``doc_id//160``; compression alternates on the same index."""
-    import zlib
     rot = (90, 180, 270)[(doc_id // 160) % 3]
     if rot == 90:
         def inv(vx, vy):
@@ -548,26 +582,9 @@ def make_pdf_rotated_page(doc_id: int, text: str) -> bytes:
             ops.append(_show_op(li, ux, uy, ln))
         streams.append("\n".join(ops).encode("latin-1"))
 
-    compress = (doc_id // 160) % 2 == 0
-    npages = len(streams)
-    objs: list[bytes] = []
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
-    font_num = 3 + 2 * npages
-    for i, content in enumerate(streams):
-        objs.append((
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
-            f"{PAGE_H:.0f}] /Rotate {rot} /Contents {4 + 2 * i} 0 R "
-            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
-        ).encode())
-        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
-                     if compress else (content, b""))
-        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
-                    % (len(enc), filt, enc))
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    return _assemble_pdf(objs)
+    return _assemble_text_pdf(
+        streams, compress=(doc_id // 160) % 2 == 0,
+        page_extra=lambda i: f" /Rotate {rot}")
 
 
 def make_pdf_type3(doc_id: int, text: str) -> bytes:
@@ -581,10 +598,8 @@ def make_pdf_type3(doc_id: int, text: str) -> bytes:
     entirely. ``doc_id//160`` parity alternates stream compression and
     an indirect /Encoding dict. Same layout/golden-text contract as
     :func:`make_pdf`."""
-    import zlib
     pages = _pdf_layout(doc_id, text)
     variant = (doc_id // 160) % 2
-    compress = variant == 0
     indirect_enc = variant == 1
 
     def enc_line(ln: str) -> str:
@@ -599,46 +614,31 @@ def make_pdf_type3(doc_id: int, text: str) -> bytes:
         streams.append("\n".join(ops).encode("latin-1"))
 
     glyph_names = ["e", "t", "a", "o", "uni0069", "n", "uni0073"]
-    npages = len(streams)
-    font_num = 3 + 2 * npages
+    font_num = 3 + 2 * len(streams)
     charprocs_num = font_num + 1
     glyph0 = charprocs_num + 1
     enc_num = glyph0 + len(glyph_names)
-    objs: list[bytes] = []
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
-    for i, content in enumerate(streams):
-        objs.append((
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
-            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
-            f"<< /Font << /F1 {font_num} 0 R >> >> >>"
-        ).encode())
-        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
-                     if compress else (content, b""))
-        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
-                    % (len(enc), filt, enc))
     enc_dict = (b"<< /Type /Encoding /Differences "
                 + _WINANSI_DIFFS + b" >>")
     enc_entry = (b"%d 0 R" % enc_num) if indirect_enc else enc_dict
-    objs.append(
+    font_obj = (
         b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 750 750] "
         b"/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs %d 0 R "
         b"/FirstChar 1 /LastChar 7 "
         b"/Widths [600 600 600 600 600 600 600] "
         b"/Encoding " % charprocs_num + enc_entry + b" >>")
-    objs.append(b"<< " + b" ".join(
+    tail: list[bytes] = [b"<< " + b" ".join(
         b"/%s %d 0 R" % (g.encode(), glyph0 + i)
-        for i, g in enumerate(glyph_names)) + b" >>")
+        for i, g in enumerate(glyph_names)) + b" >>"]
     for i in range(len(glyph_names)):
         proc = (b"600 0 0 0 700 700 d1\n50 50 m 650 650 l "
                 b"%d 350 l h f" % (100 + i * 50))
-        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+        tail.append(b"<< /Length %d >>\nstream\n%s\nendstream"
                     % (len(proc), proc))
     if indirect_enc:
-        objs.append(enc_dict)
-    return _assemble_pdf(objs)
+        tail.append(enc_dict)
+    return _assemble_text_pdf(streams, compress=variant == 0,
+                              font_obj=font_obj, tail_objs=tail)
 
 
 def _show_op(li: int, x: float, y: float, ln: str) -> str:
@@ -710,15 +710,11 @@ def make_pdf_annots(doc_id: int, text: str) -> bytes:
     the /Annots array itself is indirect on alternating ``doc_id//80``
     parity. Text layer and golden text are the plain ``make_pdf``
     layout; streams Flate-compress on the same parity."""
-    import zlib
     uris = annot_uris_for(doc_id)
     variant = (doc_id // 80) % 2
     streams = _pdf_content_streams(doc_id, text)
-    npages = len(streams)
-    objs: list[bytes] = []
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
-    font_num = 3 + 2 * npages
-    # object layout after the font: [annots-array (variant 1 only)],
+    font_num = 3 + 2 * len(streams)
+    # tail layout after the font: [annots-array (variant 1 only)],
     # text-note annot, link annots, indirect action for link 0
     arr_num = font_num + 1
     note_num = arr_num + (1 if variant == 1 else 0)
@@ -728,39 +724,27 @@ def make_pdf_annots(doc_id: int, text: str) -> bytes:
         f"{n} 0 R" for n in [note_num, *range(link0, link0 + len(uris))])
     annots_entry = (f"/Annots {arr_num} 0 R" if variant == 1
                     else f"/Annots [{annot_refs}]")
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
-    for i, content in enumerate(streams):
-        extra = f" {annots_entry}" if i == 0 else ""
-        objs.append((
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
-            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
-            f"<< /Font << /F1 {font_num} 0 R >> >>{extra} >>"
-        ).encode())
-        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
-                     if variant == 0 else (content, b""))
-        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
-                    % (len(enc), filt, enc))
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    tail: list[bytes] = []
     if variant == 1:
-        objs.append(b"[" + annot_refs.encode() + b"]")
-    objs.append(b"<< /Type /Annot /Subtype /Text /Rect [0 0 10 10] "
+        tail.append(b"[" + annot_refs.encode() + b"]")
+    tail.append(b"<< /Type /Annot /Subtype /Text /Rect [0 0 10 10] "
                 b"/Contents (reviewer note) >>")
     for k, uri in enumerate(uris):
         rect = f"[72 {40 + 14 * k} 172 {52 + 14 * k}]"
         esc = uri.replace("(", r"\(").replace(")", r"\)")
         if k == 0:
-            objs.append((f"<< /Type /Annot /Subtype /Link /Rect {rect} "
+            tail.append((f"<< /Type /Annot /Subtype /Link /Rect {rect} "
                          f"/A {action0} 0 R >>").encode())
         else:
-            objs.append((f"<< /Type /Annot /Subtype /Link /Rect {rect} "
+            tail.append((f"<< /Type /Annot /Subtype /Link /Rect {rect} "
                          f"/A << /Type /Action /S /URI /URI ({esc}) >> "
                          f">>").encode())
     esc0 = uris[0].replace("(", r"\(").replace(")", r"\)")
-    objs.append(
-        f"<< /Type /Action /S /URI /URI ({esc0}) >>".encode())
-    return _assemble_pdf(objs)
+    tail.append(f"<< /Type /Action /S /URI /URI ({esc0}) >>".encode())
+    return _assemble_text_pdf(
+        streams, compress=variant == 0,
+        page_extra=lambda i: f" {annots_entry}" if i == 0 else "",
+        tail_objs=tail)
 
 
 _MATRIX_VARIANTS = [(90, 1.0), (180, 2.0), (270, 0.5), (30, 1.0), (60, 2.0)]
@@ -778,7 +762,8 @@ def make_pdf_matrix(doc_id: int, text: str) -> bytes:
     ``make_pdf``'s layout, so a full-matrix interpreter recovers the
     golden reading order while a translation-only reader sees scrambled
     coordinates. Rotation angle / scale cycle with ``doc_id//80``;
-    streams Flate-compress on alternating parity of the same index."""
+    streams Flate-compress on alternating ``doc_id//160`` parity (the
+    corpus slot is %160==54, so a //80 parity would never alternate)."""
     import math
     import zlib
     theta_deg, s = _MATRIX_VARIANTS[(doc_id // 80) % len(_MATRIX_VARIANTS)]
@@ -814,27 +799,7 @@ def make_pdf_matrix(doc_id: int, text: str) -> bytes:
         ops.append("Q")
         streams.append("\n".join(ops).encode("latin-1"))
 
-    compress = (doc_id // 80) % 2 == 0
-    npages = len(streams)
-    objs: list[bytes] = []
-    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>".encode())
-    font_num = 3 + 2 * npages
-    for i, content in enumerate(streams):
-        objs.append((
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
-            f"{PAGE_H:.0f}] /Contents {4 + 2 * i} 0 R /Resources "
-            f"<< /Font << /F1 {font_num} 0 R >> >> >>"
-        ).encode())
-        enc, filt = ((zlib.compress(content, 6), b" /Filter /FlateDecode")
-                     if compress else (content, b""))
-        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
-                    % (len(enc), filt, enc))
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-
-    return _assemble_pdf(objs)
+    return _assemble_text_pdf(streams, compress=(doc_id // 160) % 2 == 0)
 
 
 def make_pdf_form(doc_id: int, text: str) -> bytes:

@@ -97,7 +97,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # labels only ever decrease, so an unchanged sum == fixpoint —
         # one footer-level aggregate, no join-based change detection
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if prev_sum is not None and cur_sum == prev_sum:
+        # None == None after round 0 means an empty graph — converged
+        if r > 0 and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     sym.unpersist()

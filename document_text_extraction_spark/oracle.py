@@ -960,7 +960,10 @@ _LIT_ESC = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
 
 def _unescape_pdf_literal(raw: bytes) -> str:
     """Backslash escapes + octal codes of a literal string
-    (PDF 1.7 §7.3.4.2), latin-1 byte semantics."""
+    (PDF 1.7 §7.3.4.2), latin-1 byte semantics. Octal runs are 1–3
+    digits from [0-7] only (``\\779`` is ``\\77`` + '9'; ``\\8`` is an
+    unknown escape whose backslash drops); backslash-newline is a line
+    continuation contributing nothing."""
     out: list[str] = []
     i, n = 0, len(raw)
     while i < n:
@@ -970,12 +973,18 @@ def _unescape_pdf_literal(raw: bytes) -> str:
             i += 1
             continue
         nxt = raw[i + 1 : i + 2]
-        if nxt.isdigit():
+        if nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
             j = i + 1
-            while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+            # j < n guaranteed by the loop bound, so the slice is
+            # non-empty (an empty slice would be `in` any bytes)
+            while j < min(i + 4, n) and raw[j : j + 1] in b"01234567":
                 j += 1
             out.append(chr(int(raw[i + 1 : j], 8) & 0xFF))
             i = j
+        elif nxt in (b"\n", b"\r"):
+            i += 2
+            if nxt == b"\r" and raw[i : i + 1] == b"\n":
+                i += 1  # \<CR><LF> is one continuation
         elif nxt in _LIT_ESC:
             out.append(_LIT_ESC[nxt])
             i += 2

@@ -54,10 +54,17 @@ REASON_SQL = (
 STATUS_SQL = (
     "CASE WHEN doc_id % 20 < 19 THEN 'ok' ELSE 'parse_failure' END"
 )
-HOST_SQL = (
-    "'site' || lpad(CAST(least(49, CAST(floor(50 * pow((doc_id % 1000) "
-    "/ 1000.0, 3)) AS INT)) AS VARCHAR), 2, '0') || '.example.org'"
-)
+def _host_sql_of(expr: str) -> str:
+    """DuckDB mirror of ``corpus.host_for`` over an arbitrary numeric
+    expression (cubic inverse-CDF over 50 hosts)."""
+    return (
+        "'site' || lpad(CAST(least(49, CAST(floor(50 * pow(((" + expr
+        + ") % 1000) / 1000.0, 3)) AS INT)) AS VARCHAR), 2, '0') "
+        "|| '.example.org'"
+    )
+
+
+HOST_SQL = _host_sql_of("doc_id")
 
 _N_BUCKETS = 16
 
@@ -293,9 +300,12 @@ def q_extract_docx_links(spark, sf_dir):
 
 
 SQL_EXTRACT_DOCX_LINKS = (
+    # one hyperlink per paragraph at most: a short doc (< 2 paragraphs)
+    # on the 2-link slot carries only the first link
     "SELECT doc_id, ['https://docs.example.net/' || CAST(doc_id AS "
     "VARCHAR) || '/' || CAST(k AS VARCHAR) for k in "
-    "range(0, 1 + (doc_id // 40) % 2)] AS links "
+    "range(0, least(1 + (doc_id // 40) % 2, "
+    "(len(string_split(text, ' ')) + 9) // 10))] AS links "
     "FROM documents WHERE doc_id % 40 = 12"
 )
 
@@ -345,6 +355,7 @@ def q_streaming_extract_roundtrip(spark, sf_dir):
     foreachBatch idempotent batch_id=N sink, streaming checkpoint),
     read the sink back — extracted text must equal the same golden
     chunking the batch roundtrips use (streaming/stream.py)."""
+    import shutil
     import tempfile
     from .streaming.stream import run_stream_available_now
     base = tempfile.mkdtemp(prefix="dte_q_stream_")
@@ -352,6 +363,10 @@ def q_streaming_extract_roundtrip(spark, sf_dir):
     pages.write.mode("overwrite").parquet(f"{base}/in")
     run_stream_available_now(spark, f"{base}/in", f"{base}/out",
                              f"{base}/ck", n_buckets=_N_BUCKETS)
+    # the stream is finished: the input copy and checkpoint are dead
+    # weight; only {base}/out backs the returned DataFrame
+    shutil.rmtree(f"{base}/in", ignore_errors=True)
+    shutil.rmtree(f"{base}/ck", ignore_errors=True)
     out = spark.read.parquet(f"{base}/out")
     return (
         out.filter(F.col("lineage.status") == "ok")
@@ -1908,15 +1923,6 @@ def _host_col_of(expr) -> F.Column:
                                   F.lit(3.0)))).cast("int")
     return F.concat(F.lit("site"), F.lpad(idx.cast("string"), 2, "0"),
                     F.lit(".example.org"))
-
-
-def _host_sql_of(expr: str) -> str:
-    """DuckDB mirror of :func:`_host_col_of` (HOST_SQL generalized)."""
-    return (
-        "'site' || lpad(CAST(least(49, CAST(floor(50 * pow(((" + expr
-        + ") % 1000) / 1000.0, 3)) AS INT)) AS VARCHAR), 2, '0') "
-        "|| '.example.org'"
-    )
 
 
 _PR_ITERS = 10

@@ -60,6 +60,16 @@ def test_docx_hyperlinks_resolved_through_rels():
         corpus.docx_link_uris_for(doc_id))
 
 
+def test_docx_short_doc_caps_links_at_paragraph_count():
+    """A 2-link-slot doc with a single paragraph can only carry one
+    hyperlink (one per paragraph) — the oracle SQL applies the same
+    cap."""
+    doc_id = 52  # 2 declared URIs
+    rec = oracle.extract_document(
+        corpus.make_docx(doc_id, "just nine words of text in one short line"))
+    assert rec["fields"]["links"] == [corpus.docx_link_uris_for(doc_id)[0]]
+
+
 def test_docx_internal_rels_ignored():
     """Only TargetMode=External relationships become links; a missing
     rels part yields no links (plain make_docx slot)."""

@@ -34,6 +34,31 @@ def test_literal_string_unescape():
     assert oracle._unescape_pdf_literal(rb"a\(b\)c\\d") == "a(b)c\\d"
     assert oracle._unescape_pdf_literal(rb"\101\12z") == "A\nz"
     assert oracle._unescape_pdf_literal(rb"plain") == "plain"
+    # octal digits are [0-7] only: \8 and \9 are unknown escapes whose
+    # backslash drops (PDF 1.7 §7.3.4.2) — must never raise
+    assert oracle._unescape_pdf_literal(rb"a\80") == "a80"
+    assert oracle._unescape_pdf_literal(rb"\779") == "?9"
+    # backslash-newline is a line continuation contributing nothing
+    assert oracle._unescape_pdf_literal(b"a\\\nb") == "ab"
+    assert oracle._unescape_pdf_literal(b"a\\\r\nb") == "ab"
+
+
+def test_bad_escape_in_uri_does_not_kill_document():
+    """A URI with a non-octal escape must not turn the whole document
+    into a parse_failure."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Annots [5 0 R] >>",
+        b"<< /Length 26 >>\nstream\nBT 10 10 Td (x) Tj ET\nendstream",
+        b"<< /Type /Annot /Subtype /Link /Rect [0 0 9 9] "
+        b"/A << /S /URI /URI (https://x.example/a\\80) >> >>",
+    ]
+    text, _, _, links = oracle.extract_pdf_full(
+        corpus._assemble_pdf(objs))
+    assert text == "x"
+    assert links == ["https://x.example/a80"]
 
 
 def test_non_link_and_non_uri_annots_ignored():

@@ -115,12 +115,16 @@ def test_translation_only_would_scramble():
 
 
 def test_matrix_slot_in_corpus_route():
-    # 214 % 160 == 54 → matrix slot (134 belongs to the /Rotate slot)
-    doc_id = 214
-    rec = oracle.extract_document(
-        corpus.payload_for(doc_id, corpus.synth_text(doc_id)))
-    assert rec["status"] == "ok"
-    assert rec["extracted_text"] == _golden(corpus.synth_text(doc_id))
-    # and the payload really is the matrix emitter ((214//80)%2==0 → flate)
-    raw = corpus.payload_for(doc_id, corpus.synth_text(doc_id))
-    assert b" cm" in zlib.decompress(oracle._STREAM_RE.findall(raw)[0])
+    # 54/214 % 160 == 54 → matrix slot (134 belongs to the /Rotate
+    # slot); compression alternates on doc_id//160 so BOTH stream
+    # encodings occur in-corpus
+    for doc_id, compressed in ((54, True), (214, False)):
+        text = corpus.synth_text(doc_id)
+        raw = corpus.payload_for(doc_id, text)
+        rec = oracle.extract_document(raw)
+        assert rec["status"] == "ok"
+        assert rec["extracted_text"] == _golden(text)
+        stream = oracle._STREAM_RE.findall(raw)[0]
+        body = zlib.decompress(stream) if compressed else stream
+        assert b" cm" in body
+        assert (b"/FlateDecode" in raw) == compressed
