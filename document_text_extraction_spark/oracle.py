@@ -1035,20 +1035,40 @@ _MEDIABOX_RE = re.compile(
 )
 
 
-def _page_geometry(body: bytes) -> tuple[int, float, float]:
-    """(rotate, width, height) of a page dict. /Rotate is the display
-    rotation of scanned/landscape documents (PDF 1.7 §14.4, multiples
-    of 90, direct entry); /MediaBox defaults to US Letter."""
+def _node_geometry(body: bytes) -> tuple:
+    """(rotate|None, (w,h)|None) declared DIRECTLY on a page-tree node.
+    /Rotate and /MediaBox are inheritable attributes (PDF 1.7 Table
+    30): scanners commonly set /Rotate once on the /Pages node."""
     rm = _ROTATE_RE.search(body)
-    rotate = (int(rm.group(1)) % 360) if rm else 0
+    rotate = (int(rm.group(1)) % 360) if rm else None
+    box = None
     bm = _MEDIABOX_RE.search(body)
     if bm:
         try:
             x0, y0, x1, y1 = (float(g) for g in bm.groups())
-            return rotate, x1 - x0, y1 - y0
+            box = (x1 - x0, y1 - y0)
         except ValueError:
             pass
-    return rotate, 612.0, 792.0
+    return rotate, box
+
+
+def _merge_geometry(body: bytes, inherited: tuple) -> tuple:
+    """Child-ward merge: a node's direct /Rotate//MediaBox override the
+    inherited values."""
+    rotate, box = _node_geometry(body)
+    inh_rot, inh_box = inherited
+    return (rotate if rotate is not None else inh_rot,
+            box if box is not None else inh_box)
+
+
+def _page_geometry(body: bytes,
+                   inherited: tuple = (None, None)
+                   ) -> tuple[int, float, float]:
+    """(rotate, width, height) of a page, resolving direct entries over
+    inherited ones; /MediaBox defaults to US Letter, /Rotate to 0."""
+    rotate, box = _merge_geometry(body, inherited)
+    w, h = box if box else (612.0, 792.0)
+    return (rotate or 0), w, h
 
 
 def _apply_page_rotation(shows: list[dict], rotate: int,
@@ -1121,7 +1141,8 @@ def page_contents(data: bytes) -> list[tuple]:
             return None
         out: list[tuple[bytes, dict]] = []
 
-        def walk(num: int, depth: int = 0) -> bool:
+        def walk(num: int, depth: int = 0,
+                 inherited: tuple = (None, None)) -> bool:
             if depth > 64 or num not in objs:
                 return False
             body = objs[num]
@@ -1129,8 +1150,10 @@ def page_contents(data: bytes) -> list[tuple]:
                 km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
                 if km is None:
                     return False
+                # /Rotate and /MediaBox inherit down the page tree
+                child_inh = _merge_geometry(body, inherited)
                 for r in _REF_RE.finditer(km.group(1)):
-                    if not walk(int(r.group(1)), depth + 1):
+                    if not walk(int(r.group(1)), depth + 1, child_inh):
                         return False
                 return True
             cm = re.search(rb"/Contents\s+(\[[^\]]*\]|\d+\s+0\s+R)", body)
@@ -1148,7 +1171,7 @@ def page_contents(data: bytes) -> list[tuple]:
                         _page_fonts(body, objs, cmap_cache),
                         _page_xobjects(body, objs, cmap_cache),
                         _page_annot_uris(body, objs),
-                        _page_geometry(body)))
+                        _page_geometry(body, inherited)))
             return True
 
         if not walk(int(m.group(1))):

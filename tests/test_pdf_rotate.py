@@ -48,6 +48,26 @@ def test_rotate_zero_and_absent_are_noops():
     ) == (0, 100.0, 200.0)
 
 
+def test_rotate_inherited_from_pages_node():
+    """/Rotate on the /Pages node applies to kid pages that declare
+    none; a kid's direct /Rotate overrides (PDF 1.7 Table 30)."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 /Rotate 90 "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",  # inherits 90
+        b"<< /Length 28 >>\nstream\nBT 700 -50 Td (in) Tj ET\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /Rotate 0 /Contents 6 0 R >>",
+        b"<< /Length 29 >>\nstream\nBT 30 700 Td (ovr) Tj ET\nendstream",
+    ]
+    _, spans, _, _ = oracle.extract_pdf_full(corpus._assemble_pdf(objs))
+    by = {s["text"]: (s["x0"], s["y0"]) for s in spans}
+    # page 0 inherits /Rotate 90: viewed = (y, W - x) = (-50, -88)
+    assert by["in"] == (-50.0, -88.0)
+    # page 1 overrides to 0: coordinates unchanged
+    assert by["ovr"] == (30.0, 700.0)
+
+
 def test_rotate_slot_in_corpus_route():
     doc_id = 294
     text = corpus.synth_text(doc_id)
