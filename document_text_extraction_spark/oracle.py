@@ -1142,7 +1142,9 @@ def page_contents(data: bytes) -> list[tuple]:
         out: list[tuple[bytes, dict]] = []
 
         def walk(num: int, depth: int = 0,
-                 inherited: tuple = (None, None)) -> bool:
+                 inherited: tuple = (None, None),
+                 inh_fonts: dict | None = None,
+                 inh_xobjs: dict | None = None) -> bool:
             if depth > 64 or num not in objs:
                 return False
             body = objs[num]
@@ -1150,10 +1152,17 @@ def page_contents(data: bytes) -> list[tuple]:
                 km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
                 if km is None:
                     return False
-                # /Rotate and /MediaBox inherit down the page tree
+                # /Rotate, /MediaBox and /Resources all inherit down
+                # the page tree (PDF 1.7 Table 30) — real generators
+                # put the shared font dict on the /Pages node
                 child_inh = _merge_geometry(body, inherited)
+                node_fonts = _page_fonts(body, objs, cmap_cache)
+                node_xobjs = _page_xobjects(body, objs, cmap_cache)
+                child_fonts = {**(inh_fonts or {}), **node_fonts}
+                child_xobjs = {**(inh_xobjs or {}), **node_xobjs}
                 for r in _REF_RE.finditer(km.group(1)):
-                    if not walk(int(r.group(1)), depth + 1, child_inh):
+                    if not walk(int(r.group(1)), depth + 1, child_inh,
+                                child_fonts or None, child_xobjs or None):
                         return False
                 return True
             cm = re.search(rb"/Contents\s+(\[[^\]]*\]|\d+\s+0\s+R)", body)
@@ -1168,8 +1177,10 @@ def page_contents(data: bytes) -> list[tuple]:
                 if s is not None:
                     parts.append(s)
             out.append((b"\n".join(parts),
-                        _page_fonts(body, objs, cmap_cache),
-                        _page_xobjects(body, objs, cmap_cache),
+                        {**(inh_fonts or {}),
+                         **_page_fonts(body, objs, cmap_cache)},
+                        {**(inh_xobjs or {}),
+                         **_page_xobjects(body, objs, cmap_cache)},
                         _page_annot_uris(body, objs),
                         _page_geometry(body, inherited)))
             return True

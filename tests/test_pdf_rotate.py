@@ -68,6 +68,26 @@ def test_rotate_inherited_from_pages_node():
     assert by["ovr"] == (30.0, 700.0)
 
 
+def test_resources_inherited_from_pages_node():
+    """Fonts declared in the /Pages node's /Resources apply to kid
+    pages without their own (PDF 1.7 Table 30) — including /Encoding
+    interpretation."""
+    enc_font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding << /Differences [1 /e /t] >> >>")
+    content = b"BT /F1 11 Tf 50 700 Td (g\x01\x02) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 "
+        b"792] /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content),
+                                                      content),
+        enc_font,
+    ]
+    text, _, _, _ = oracle.extract_pdf_full(corpus._assemble_pdf(objs))
+    assert text == "get"
+
+
 def test_rotate_slot_in_corpus_route():
     doc_id = 294
     text = corpus.synth_text(doc_id)
