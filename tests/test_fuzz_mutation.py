@@ -60,3 +60,18 @@ def test_adversarial_feature_fragments_never_crash():
             rnd.choice(frags + base[:5])[:80]
             for _ in range(rnd.randint(1, 12))]
         _probe(b" ".join(parts))
+
+
+def test_literal_unescape_total_on_arbitrary_bytes():
+    """_unescape_pdf_literal is total: any byte sequence (however
+    malformed its escapes) produces a string, never an exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def check(raw):
+        out = oracle._unescape_pdf_literal(raw)
+        assert isinstance(out, str)
+
+    check()
