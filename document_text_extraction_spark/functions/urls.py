@@ -49,8 +49,8 @@ def resolve_href_col(base: Column, href: Column) -> Column:
     * scheme-qualified (``https://…``, ``mailto:…``) → unchanged;
     * protocol-relative ``//host/p`` → base scheme + href;
     * root-relative ``/p`` → base origin + href;
-    * fragment-only ``#x`` → the base url + fragment (RFC 3986 §4.4,
-      matching ``urllib.parse.urljoin``);
+    * fragment-only ``#x`` → the base url (its own fragment stripped)
+      + fragment (RFC 3986 §4.4, matching ``urllib.parse.urljoin``);
     * path-relative ``p`` → base origin + base directory + href
       (no ``..`` normalization — crawl hrefs rarely need it, and the
       canonicalizer is a separate pass).
@@ -70,7 +70,8 @@ def resolve_href_col(base: Column, href: Column) -> Column:
         F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(origin, href))
-        .when(href.startswith("#"), F.concat(base, href))
+        .when(href.startswith("#"),
+              F.concat(F.regexp_replace(base, "#.*$", ""), href))
         .otherwise(F.concat(origin, base_dir, href))
     )
 

@@ -68,6 +68,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = sym.select("node").distinct().withColumn("label",
                                                       F.col("node"))
     prev_sum = None
+    converged = False
     for r in range(max_rounds):
         nbr_min = (
             sym.join(labels.select(F.col("node").alias("nbr"),
@@ -99,9 +100,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         # None == None after round 0 means an empty graph — converged
         if r > 0 and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     sym.unpersist()
+    if not converged and max_rounds > 1:
+        # exhausting max_rounds without reaching the sum fixpoint would
+        # hand the caller silently-wrong cluster ids — fail loudly; with
+        # pointer jumping 25 rounds cover components of diameter ~2^25
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds; raise max_rounds (labels were still decreasing)"
+        )
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

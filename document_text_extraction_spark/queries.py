@@ -272,16 +272,18 @@ def q_extract_pdf_links(spark, sf_dir):
     /Subtype /Text note annot must contribute nothing. Text roundtrip
     for the same slot stays covered by extract_pdf_roundtrip."""
     out = _extracted(spark, sf_dir)
+    # serialized with a '|' delimiter: the correctness driver's pandas
+    # canonicalizer can't sort bare array columns (unhashable list)
     return (
         out.filter(F.col("doc_id") % 80 == 17)
-        .select("doc_id", F.col("fields.links").alias("links"))
+        .select("doc_id", F.array_join(F.col("fields.links"), "|").alias("links"))
     )
 
 
 SQL_EXTRACT_PDF_LINKS = (
-    "SELECT doc_id, ['https://links.example.net/' || CAST(doc_id AS "
-    "VARCHAR) || '/' || CAST(k AS VARCHAR) for k in "
-    "range(0, doc_id % 3 + 1)] AS links "
+    "SELECT doc_id, array_to_string(['https://links.example.net/' || "
+    "CAST(doc_id AS VARCHAR) || '/' || CAST(k AS VARCHAR) for k in "
+    "range(0, doc_id % 3 + 1)], '|') AS links "
     "FROM documents WHERE doc_id % 80 = 17"
 )
 
@@ -293,19 +295,20 @@ def q_extract_docx_links(spark, sf_dir):
     (python-docx part.rels). Text roundtrip for the slot stays covered
     by extract_docx_roundtrip."""
     out = _extracted(spark, sf_dir)
+    # serialized with '|' for the driver's scalar-only canonicalizer
     return (
         out.filter(F.col("doc_id") % 40 == 12)
-        .select("doc_id", F.col("fields.links").alias("links"))
+        .select("doc_id", F.array_join(F.col("fields.links"), "|").alias("links"))
     )
 
 
 SQL_EXTRACT_DOCX_LINKS = (
     # one hyperlink per paragraph at most: a short doc (< 2 paragraphs)
     # on the 2-link slot carries only the first link
-    "SELECT doc_id, ['https://docs.example.net/' || CAST(doc_id AS "
-    "VARCHAR) || '/' || CAST(k AS VARCHAR) for k in "
+    "SELECT doc_id, array_to_string(['https://docs.example.net/' || "
+    "CAST(doc_id AS VARCHAR) || '/' || CAST(k AS VARCHAR) for k in "
     "range(0, least(1 + (doc_id // 40) % 2, "
-    "(len(string_split(text, ' ')) + 9) // 10))] AS links "
+    "(len(string_split(text, ' ')) + 9) // 10))], '|') AS links "
     "FROM documents WHERE doc_id % 40 = 12"
 )
 
@@ -1436,10 +1439,22 @@ SQL_TOPK_LONGEST = (
 )
 
 
+NGRAM_JACCARD_CAP = 6  # hot-shingle doc-frequency cap (candidate gen only)
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs over planted near-dups."""
+    """Exact n-gram Jaccard near-dup pairs over planted near-dups, with
+    hot-shingle-capped candidate generation (the scale-safe default: a
+    shingle in F docs contributes F² join rows, so candidate generation
+    skips shingles in > NGRAM_JACCARD_CAP docs; the reported jaccard on
+    surviving candidates stays exact). Pairs whose ENTIRE overlap is hot
+    shingles — i.e. members of >cap-sized exact-duplicate/boilerplate
+    clusters — are intentionally out of this report's semantics (they
+    belong to dedup_exact / minhash); the DuckDB oracle mirrors the cap,
+    so the contract is well-defined, not best-effort."""
     return dedup.ngram_jaccard_pairs(
-        _near_docs(spark, sf_dir), threshold=0.5
+        _near_docs(spark, sf_dir), threshold=0.5,
+        max_shingle_doc_freq=NGRAM_JACCARD_CAP,
     )
 
 
@@ -1451,6 +1466,36 @@ SQL_NGRAM_JACCARD = (
     "pair_inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
     "  count(*) AS inter FROM sh a JOIN sh b ON a.shingle = b.shingle "
     "  AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, floor(inter / (na.n_sh + nb.n_sh - inter) * 1e6) "
+    "/ 1e6 AS jaccard "
+    "FROM pair_inter JOIN sizes na ON na.doc_id = id_a "
+    "JOIN sizes nb ON nb.doc_id = id_b "
+    "WHERE inter / (na.n_sh + nb.n_sh - inter) >= 0.5"
+)
+
+
+# capped-candidate-generation mirror of ngram_jaccard_pairs(
+# max_shingle_doc_freq=NGRAM_JACCARD_CAP): candidates come only from
+# cold shingles; jaccard on candidates is exact over the FULL shingle
+# sets. The uncapped SQL_NGRAM_JACCARD above stays the oracle for
+# minhash_neardup / dup_clusters (which approximate/consume the full
+# pair set).
+SQL_NGRAM_JACCARD_CAPPED = (
+    f"WITH all_docs AS ({NEAR_DOCS_SQL}), "
+    "w AS (SELECT doc_id, string_split(text, ' ') AS words FROM all_docs), "
+    f"sh AS (SELECT doc_id, unnest({SHINGLE_SQL}) AS shingle FROM w), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+    "hot AS (SELECT shingle FROM sh GROUP BY 1 "
+    f"HAVING count(*) > {NGRAM_JACCARD_CAP}), "
+    "cold AS (SELECT * FROM sh WHERE shingle NOT IN "
+    "(SELECT shingle FROM hot)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM cold a JOIN cold b ON a.shingle = b.shingle "
+    "AND a.doc_id < b.doc_id), "
+    "pair_inter AS (SELECT id_a, id_b, count(*) AS inter FROM cand "
+    "JOIN sh sa ON sa.doc_id = id_a "
+    "JOIN sh sb ON sb.doc_id = id_b AND sa.shingle = sb.shingle "
+    "GROUP BY 1, 2) "
     "SELECT id_a, id_b, floor(inter / (na.n_sh + nb.n_sh - inter) * 1e6) "
     "/ 1e6 AS jaccard "
     "FROM pair_inter JOIN sizes na ON na.doc_id = id_a "
@@ -2001,7 +2046,8 @@ def q_robots_noindex(spark, sf_dir):
     out = _extracted(spark, sf_dir)
     host = F.regexp_extract("url", r"https://([^/]+)/", 1)
     return (
-        out.filter(F.col("lineage.route") == "html")
+        out.filter((F.col("lineage.route") == "html")
+                   & (F.col("lineage.status") == "ok"))
         .groupBy(host.alias("host"))
         .agg(
             F.sum((~F.col("fields.meta_robots").contains("noindex"))
@@ -2033,7 +2079,8 @@ def q_link_graph(spark, sf_dir):
     host) and one absolute ad link (→ ads.example.com)."""
     from .functions import urls as U
     out = _extracted(spark, sf_dir)
-    links = out.filter(F.col("lineage.route") == "html").select(
+    links = out.filter((F.col("lineage.route") == "html")
+                       & (F.col("lineage.status") == "ok")).select(
         "url", F.explode("fields.outlinks").alias("href"))
     dst = U.resolve_href_col(F.col("url"), F.col("href"))
     return (
@@ -2127,7 +2174,16 @@ def q_contamination(spark, sf_dir):
         F.col("doc_id").alias("bench_id"),
         F.array_join(F.slice(toks, 3, 16), " ").alias("text"),
     )
-    return contamination.contamination_report(docs, bench, k=8)
+    rep = contamination.contamination_report(docs, bench, k=8)
+    # bench_ids serialized to a ','-joined string: the driver's pandas
+    # canonicalizer can't hash/sort bare array columns
+    return rep.select(
+        "doc_id",
+        "n_hit_ngrams",
+        F.array_join(
+            F.transform(F.col("bench_ids"), lambda x: x.cast("string")), ","
+        ).alias("bench_ids"),
+    )
 
 
 def _k8_shingles_sql() -> str:
@@ -2152,7 +2208,8 @@ SQL_CONTAMINATION = (
     "JOIN bsh USING (shingle)) "
     "SELECT doc_id, CAST(count(DISTINCT shingle) AS BIGINT) "
     "AS n_hit_ngrams, "
-    "list_sort(list_distinct(list(bench_id))) AS bench_ids "
+    "array_to_string(list_sort(list_distinct(list(bench_id))), ',') "
+    "AS bench_ids "
     "FROM hits GROUP BY doc_id"
 )
 
@@ -2311,7 +2368,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "skills_match": SQL_SKILLS,
     "topk_longest": SQL_TOPK_LONGEST,
-    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ngram_jaccard": SQL_NGRAM_JACCARD_CAPPED,
     # minhash's LSH verification computes exact Jaccard on candidates →
     # equal to the exact pair set when band recall is 100% (holds here;
     # empirically verified at sf0.001/sf0.01, pytest recall guard)
