@@ -42,7 +42,7 @@ import hashlib
 WORDS_PER_LINE = 10
 
 # bump when generated payload bytes change (bench corpora cache on it)
-CORPUS_VERSION = 19
+CORPUS_VERSION = 20
 
 # ~50 hostnames with a cubic (Zipf-like) concentration: host 0 receives
 # ~27% of documents, host 1 ~7%, ... — exercises the skew/salting path.
@@ -1133,34 +1133,69 @@ def make_docx(doc_id: int, text: str) -> bytes:
 # Malformed payloads
 # --------------------------------------------------------------------------
 
+def _make_raster_pdf(doc_id: int, filter_name: bytes,
+                     seed: bytes) -> bytes:
+    """Structurally-valid single-page PDF whose content stream declares
+    a raster-image codec filter we intentionally do not implement —
+    extraction must yield reason=unsupported_filter, never a crash or
+    silent garbage (LIMITS.md §1)."""
+    payload = hashlib.md5(seed + b":%d" % doc_id).digest() * 4
+    return (
+        b"%%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+        b"endobj\n"
+        b"4 0 obj\n<< /Length %d /Filter /%s >>\nstream\n%s\n"
+        b"endstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%%%EOF\n"
+        % (len(payload), filter_name, payload)
+    )
+
+
 def make_junk(doc_id: int) -> bytes:
     """Malformed/unsupported payloads: must yield
     ``status='parse_failure'`` rows with a stable ``lineage.reason``,
     never job failures (reference error-row protocol,
     ``/root/reference/batch_multi_column.py:573-592``).
 
-    Variants by doc_id % 3: 0 → structurally-valid PDF whose content
-    stream declares /JBIG2Decode (a raster-image codec we intentionally
-    do not implement → reason=unsupported_filter); 1 → PDF magic
-    truncated mid-structure (reason=no_streams); 2 → binary noise
-    (reason=unknown_route)."""
-    v = doc_id % 3
+    Variants by (doc_id // 20) % 6 model a real crawl's PDF failure
+    budget (the junk slot is 5% of documents → ~0.83% per class):
+    0 → /JBIG2Decode, 3 → /DCTDecode (scanned JPEG page),
+    4 → /CCITTFaxDecode (fax scan) — raster codecs the text-layer
+    parser refuses (reason=unsupported_filter; the reference's S3/S4
+    paths rasterize+OCR these, out of scope by the byte-identity rule);
+    1 → PDF magic truncated mid-structure (reason=no_streams);
+    5 → /Encrypt in the trailer (reason=encrypted);
+    2 → binary noise (reason=unknown_route)."""
+    v = (doc_id // 20) % 6
     if v == 0:
-        payload = hashlib.md5(b"jbig2:%d" % doc_id).digest() * 4
+        return _make_raster_pdf(doc_id, b"JBIG2Decode", b"jbig2")
+    if v == 3:
+        return _make_raster_pdf(doc_id, b"DCTDecode", b"dct")
+    if v == 4:
+        return _make_raster_pdf(doc_id, b"CCITTFaxDecode", b"ccitt")
+    if v == 1:
+        # PDF magic but truncated mid-structure
+        return b"%PDF-1.4\n1 0 obj\n<< /Type /Cat"
+    if v == 5:
+        # standard-security-handler encrypted document: the parser
+        # refuses up front (decryption out of scope) with a counted
+        # reason instead of tokenizing ciphertext into garbage
+        payload = hashlib.md5(b"enc:%d" % doc_id).digest() * 4
         return (
             b"%%PDF-1.4\n"
             b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
             b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
             b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
             b"endobj\n"
-            b"4 0 obj\n<< /Length %d /Filter /JBIG2Decode >>\nstream\n%s\n"
+            b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n%s\n"
             b"endstream\nendobj\n"
-            b"trailer\n<< /Root 1 0 R >>\n%%%%EOF\n"
+            b"5 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 >>\n"
+            b"endobj\n"
+            b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R >>\n%%%%EOF\n"
             % (len(payload), payload)
         )
-    if v == 1:
-        # PDF magic but truncated mid-structure
-        return b"%PDF-1.4\n1 0 obj\n<< /Type /Cat"
     # \x00\xff prefix guarantees the sniffer routes this 'unknown'
     return b"\x00\xff" + hashlib.md5(str(doc_id).encode()).digest() * 8
 

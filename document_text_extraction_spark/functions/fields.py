@@ -150,6 +150,28 @@ def name_col(text: Column) -> Column:
     return F.coalesce(F.get(ok, 0), F.lit(""))
 
 
+def address_col(text: Column) -> Column:
+    """O55 address heuristic (``approach4_v2.py:70-85``): first
+    keyword line ('contact details:'/'address:') among the first 10
+    lines, comma-split, email/phone/keyword parts dropped, rejoined.
+    Pure array expressions — no UDF, same rule as
+    ``oracle.extract_address``."""
+    lines = F.slice(F.split(text, "\n"), 1, 10)
+    hits = F.filter(
+        lines,
+        lambda ln: F.lower(ln).contains("contact details:")
+        | F.lower(ln).contains("address:"),
+    )
+    first = F.get(hits, 0)
+    parts = F.transform(F.split(first, ","), lambda p: F.trim(p))
+    kept = F.filter(
+        parts,
+        lambda p: ~p.contains("@") & ~p.contains("+")
+        & ~F.lower(p).contains("contact") & (F.length(p) > 3),
+    )
+    return F.coalesce(F.array_join(kept, ", "), F.lit(""))
+
+
 def institutions_col(text: Column) -> Column:
     """O51 institution phrases (``final.py:290-299``), sorted distinct."""
     return F.array_sort(F.array_distinct(

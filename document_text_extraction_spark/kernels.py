@@ -279,6 +279,7 @@ def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
         link_lists = found if link_lists is None else link_lists + found
     links = link_lists.map(lambda v: sorted(set(v)))
     names = texts.map(oracle.extract_name)  # bounded: first 5 lines only
+    addresses = texts.map(oracle.extract_address)  # first 10 lines only
     institutions = texts.str.findall(oracle.INSTITUTION_RE).map(
         lambda v: sorted(set(v)))
     jobs = texts.str.findall(oracle.JOB_TITLE_RE)
@@ -293,6 +294,7 @@ def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
             {
                 "emails": e, "phones": p, "links": l, "headings": h,
                 "name": nm,
+                "address": addr,
                 "institutions": ins,
                 "positions": [t for t, _ in jb],
                 "companies": [c for _, c in jb],
@@ -301,9 +303,9 @@ def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
                 "outlinks": [],
                 "meta_robots": "",
             }
-            for e, p, l, h, nm, ins, jb, hits in zip(
-                emails, phones, links, headings, names, institutions,
-                jobs, vocab_hits,
+            for e, p, l, h, nm, addr, ins, jb, hits in zip(
+                emails, phones, links, headings, names, addresses,
+                institutions, jobs, vocab_hits,
             )
         ],
         index=texts.index,

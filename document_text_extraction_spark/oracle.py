@@ -1741,6 +1741,30 @@ def extract_name(text: str) -> str:
     return ""
 
 
+ADDRESS_KEYWORDS = ("contact details:", "address:")
+
+
+def extract_address(text: str) -> str:
+    """O55 address heuristic (``approach4_v2.py:70-85``): scan the
+    first 10 lines for a contact-details/address keyword line,
+    comma-split that line, drop email/phone/keyword parts (contains
+    '@'/'+'/'contact' or len<=3), rejoin with ', '. The FIRST keyword
+    line wins even if all its parts are dropped (reference returns
+    from inside the loop)."""
+    for line in text.split("\n")[:10]:
+        low = line.lower()
+        if any(kw in low for kw in ADDRESS_KEYWORDS):
+            kept = []
+            for part in line.split(","):
+                part = part.strip()
+                if ("@" not in part and "+" not in part
+                        and "contact" not in part.lower()
+                        and len(part) > 3):
+                    kept.append(part)
+            return ", ".join(kept)
+    return ""
+
+
 def extract_fields(text: str, spans: list[dict]) -> dict:
     """Typed field families from extracted text (reference regexes:
     emails ``final.py:199-200``, phones ``final.py:202-212`` with
@@ -1767,6 +1791,7 @@ def extract_fields(text: str, spans: list[dict]) -> dict:
         "links": sorted(links),
         "headings": headings,
         "name": extract_name(text),
+        "address": extract_address(text),
         "institutions": sorted(set(INSTITUTION_RE.findall(text))),
         "positions": [p for p, _ in jobs],
         "companies": [c for _, c in jobs],
@@ -1780,8 +1805,8 @@ def extract_fields(text: str, spans: list[dict]) -> dict:
 
 EMPTY_FIELDS = {
     "emails": [], "phones": [], "links": [], "headings": [],
-    "name": "", "institutions": [], "positions": [], "companies": [],
-    "skills": [], "outlinks": [], "meta_robots": "",
+    "name": "", "address": "", "institutions": [], "positions": [],
+    "companies": [], "skills": [], "outlinks": [], "meta_robots": "",
 }
 
 # O48 keyword → canonical section name (shared with the dataset-level

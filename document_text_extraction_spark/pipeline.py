@@ -62,6 +62,7 @@ FIELDS_TYPE = T.StructType([
     T.StructField("links", T.ArrayType(T.StringType())),
     T.StructField("headings", T.ArrayType(T.StringType())),
     T.StructField("name", T.StringType()),                    # O53
+    T.StructField("address", T.StringType()),                 # O55
     T.StructField("institutions", T.ArrayType(T.StringType())),  # O51
     T.StructField("positions", T.ArrayType(T.StringType())),  # O52, paired
     T.StructField("companies", T.ArrayType(T.StringType())),  # with positions

@@ -44,12 +44,16 @@ ROUTE_SQL = (
     "CASE WHEN doc_id % 20 = 12 THEN 'docx' "
     "WHEN doc_id % 20 < 14 THEN 'html' "
     "WHEN doc_id % 20 < 19 THEN 'pdf' "
-    "WHEN doc_id % 3 IN (0, 1) THEN 'pdf' ELSE 'unknown' END"
+    "WHEN (doc_id // 20) % 6 <> 2 THEN 'pdf' ELSE 'unknown' END"
 )
-# junk slot failure classes (corpus.make_junk variants by doc_id % 3)
+# junk slot failure classes (corpus.make_junk variants by
+# (doc_id // 20) % 6: jbig2/dct/ccitt → unsupported_filter,
+# truncated → no_streams, /Encrypt → encrypted, noise → unknown_route)
 REASON_SQL = (
-    "CASE WHEN doc_id % 3 = 0 THEN 'unsupported_filter' "
-    "WHEN doc_id % 3 = 1 THEN 'no_streams' ELSE 'unknown_route' END"
+    "CASE WHEN (doc_id // 20) % 6 IN (0, 3, 4) THEN 'unsupported_filter' "
+    "WHEN (doc_id // 20) % 6 = 1 THEN 'no_streams' "
+    "WHEN (doc_id // 20) % 6 = 5 THEN 'encrypted' "
+    "ELSE 'unknown_route' END"
 )
 STATUS_SQL = (
     "CASE WHEN doc_id % 20 < 19 THEN 'ok' ELSE 'parse_failure' END"
@@ -407,6 +411,43 @@ SQL_FAIL_REASONS = (
 )
 
 
+def q_pdf_failure_budget(spark, sf_dir):
+    """Real-crawl failure-budget accounting over the pdf route: the
+    corpus plants raster-only (JBIG2/DCT/CCITT) and encrypted PDFs at
+    ~0.83% each (corpus.make_junk) — the classes a text-layer parser
+    cannot extract (the reference's S3/S4 OCR paths could; out of scope
+    by the byte-identity rule, LIMITS.md §1). One row per outcome class
+    with its share of all pdf-routed documents, so the unsupported-PDF
+    impact is a measured number, not a footnote."""
+    from pyspark.sql import Window as W
+    out = _extracted(spark, sf_dir)
+    pdfs = out.filter(F.col("lineage.route") == "pdf")
+    counts = pdfs.groupBy(
+        F.coalesce(F.col("lineage.reason"), F.lit("ok")).alias("reason")
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy())
+    return counts.select(
+        "reason", "n_docs",
+        (F.floor(F.col("n_docs") * 1e4 / total) / 100.0).alias("pct"),
+    )
+
+
+SQL_PDF_FAILURE_BUDGET = (
+    "WITH pdfs AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 20 < 19 THEN 'ok' "
+    "WHEN (doc_id // 20) % 6 IN (0, 3, 4) THEN 'unsupported_filter' "
+    "WHEN (doc_id // 20) % 6 = 1 THEN 'no_streams' "
+    "ELSE 'encrypted' END AS reason FROM documents "
+    "WHERE (doc_id % 20 >= 14 AND doc_id % 20 < 19) "
+    "OR (doc_id % 20 = 19 AND (doc_id // 20) % 6 <> 2)), "
+    "c AS (SELECT reason, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM pdfs GROUP BY 1) "
+    "SELECT reason, n_docs, "
+    "floor(n_docs * 1e4 / (SELECT sum(n_docs) FROM c)) / 100.0 AS pct "
+    "FROM c"
+)
+
+
 def q_extract_route_counts(spark, sf_dir):
     """O31: routing rollup by sniffed content type."""
     out = _extracted(spark, sf_dir)
@@ -592,6 +633,41 @@ SQL_CV_NAME = (
     "x -> len(x) > 5 AND len(x) < 50 AND NOT contains(x, '@') "
     "AND NOT contains(x, '+') AND regexp_full_match(x, '[A-Za-z ]+')"
     ")[1], '') AS name FROM p"
+)
+
+
+def q_cv_address_planted(spark, sf_dir):
+    """O55 address heuristic on planted contact lines: every 3rd doc
+    gets a 'Contact details:' first line whose email/phone parts must
+    be dropped and whose street/city parts must survive; other docs
+    keep raw text (word-soup without the keyword → ''). The oracle
+    replicates the RULE, not the plant, so accidental keyword hits in
+    the base text agree too."""
+    d = _docs(spark, sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("Contact details: user@example.com, +1 555 123 4567, "),
+            (F.col("doc_id") % 90 + 1).cast("string"),
+            F.lit(" Oak Street, Springfield\n"), F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id", ff.address_col(planted).alias("address"))
+
+
+SQL_CV_ADDRESS = (
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+    "'Contact details: user@example.com, +1 555 123 4567, ' || "
+    "CAST(doc_id % 90 + 1 AS VARCHAR) || ' Oak Street, Springfield' || "
+    "chr(10) || text ELSE text END AS t FROM documents) "
+    "SELECT doc_id, coalesce(list_aggregate(list_filter(list_transform("
+    "string_split(list_filter(string_split(t, chr(10))[1:10], "
+    "x -> contains(lower(x), 'contact details:') OR "
+    "contains(lower(x), 'address:'))[1], ','), p -> trim(p)), "
+    "p -> NOT contains(p, '@') AND NOT contains(p, '+') AND "
+    "NOT contains(lower(p), 'contact') AND len(p) > 3), "
+    "'string_agg', ', '), '') AS address FROM p"
 )
 
 
@@ -1525,6 +1601,47 @@ def q_incremental_dedup(spark, sf_dir):
     return dedup.incremental_dedup(increment, docs)
 
 
+def q_streaming_incremental_dedup(spark, sf_dir):
+    """Streaming form of incremental dedup, oracle-checked on real
+    Structured-Streaming machinery: seed the fingerprint store from the
+    existing corpus, then deliver the SAME planted increment as
+    q_incremental_dedup in two real arrivals — (1) re-captures + fresh
+    docs, (2) exact copies of the fresh content under higher ids. Run 2
+    resumes the streaming checkpoint and must drop arrival 2 entirely
+    via the fingerprint STORE (cross-batch state), not the intra-batch
+    window. Final output == the batch operator == SQL_INCREMENTAL_DEDUP.
+    """
+    import shutil
+    import tempfile
+    from .streaming.stream import (
+        run_incremental_dedup_stream,
+        seed_fingerprint_store,
+    )
+    base = tempfile.mkdtemp(prefix="dte_q_sdedup_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seed_fingerprint_store(docs, f"{base}/fps")
+    fresh_txt = F.concat(F.col("text"), F.lit(" fresh"))
+    recap = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text")
+    newer = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        fresh_txt.alias("text"))
+    inner_dup = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        fresh_txt.alias("text"))
+    recap.unionAll(newer).write.mode("overwrite").parquet(f"{base}/in")
+    run_incremental_dedup_stream(
+        spark, f"{base}/in", f"{base}/fps", f"{base}/out", f"{base}/ck")
+    inner_dup.write.mode("append").parquet(f"{base}/in")
+    run_incremental_dedup_stream(
+        spark, f"{base}/in", f"{base}/fps", f"{base}/out", f"{base}/ck")
+    # stream finished: input/checkpoint are dead weight; {base}/out and
+    # {base}/fps back nothing the result needs after the read below
+    shutil.rmtree(f"{base}/in", ignore_errors=True)
+    shutil.rmtree(f"{base}/ck", ignore_errors=True)
+    return spark.read.parquet(f"{base}/out").select("doc_id", "text")
+
+
 SQL_INCREMENTAL_DEDUP = (
     "WITH newdocs AS ("
     "SELECT doc_id + 200000 AS doc_id, text FROM documents "
@@ -2243,24 +2360,70 @@ SQL_DECONTAMINATE = (
 # registry
 # ---------------------------------------------------------------------------
 
+# Ordered RISK-FIRST: the correctness driver checks the first 50
+# entries, so queries that are new, changed this round, or lacked a
+# green driver row last round come first; long-stable green queries
+# (extraction roundtrips were green r1+r2, the planted/window family
+# green r1 and/or r2 + pytest) fill the tail. Append new queries to the
+# FRONT group, not mid-dict.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "extract_html_roundtrip": q_extract_html_roundtrip,
-    "extract_docx_roundtrip": q_extract_docx_roundtrip,
-    "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
-    "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
-    "extract_pdf_matrix_roundtrip": q_extract_pdf_matrix_roundtrip,
+    # -- round-1 failures whose fixes were never driver-verified -------
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup": q_embedding_neardup,
+    # -- round-2 driver ERRORs (array-column canonicalization) ---------
     "extract_pdf_links": q_extract_pdf_links,
     "extract_docx_links": q_extract_docx_links,
+    "contamination": q_contamination,
+    # -- new or changed this round -------------------------------------
+    "ngram_jaccard": q_ngram_jaccard,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "cv_address_planted": q_cv_address_planted,
+    "pdf_failure_budget": q_pdf_failure_budget,
+    "extract_fail_reasons": q_extract_fail_reasons,
+    "robots_noindex": q_robots_noindex,
+    "link_graph": q_link_graph,
+    # -- unchecked in round 2 (pushed past the 50-query window) --------
+    "incremental_dedup": q_incremental_dedup,
+    "dup_clusters": q_dup_clusters,
+    "cluster_dedup_count": q_cluster_dedup_count,
+    "skills_match": q_skills_match,
+    "topk_longest": q_topk_longest,
+    "status_cube": q_status_cube,
+    "first_event_per_day": q_first_event_per_day,
+    "sessions_per_user": q_sessions_per_user,
+    "running_value": q_running_value,
+    "moving_avg": q_moving_avg,
+    "user_event_types": q_user_event_types,
+    "event_mode": q_event_mode,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    # -- flagship extraction family (green r2; re-verified each round) -
     "streaming_extract_roundtrip": q_streaming_extract_roundtrip,
+    "extract_html_roundtrip": q_extract_html_roundtrip,
+    "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
+    "extract_docx_roundtrip": q_extract_docx_roundtrip,
+    "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
+    "extract_pdf_matrix_roundtrip": q_extract_pdf_matrix_roundtrip,
     "extract_pdf_type3_roundtrip": q_extract_pdf_type3_roundtrip,
     "extract_pdf_rotated_roundtrip": q_extract_pdf_rotated_roundtrip,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
     "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
-    "extract_fail_reasons": q_extract_fail_reasons,
     "extract_route_counts": q_extract_route_counts,
     "extract_status_counts": q_extract_status_counts,
     "extract_volume_by_route": q_extract_volume_by_route,
     "extract_pdf_block_counts": q_extract_pdf_block_counts,
+    # -- core curation/dedup (green r2) --------------------------------
+    "dedup_exact": q_dedup_exact,
+    "dedup_keep_first": q_dedup_keep_first,
+    "curate_corpus": q_curate_corpus,
+    "pii_scrub": q_pii_scrub,
+    "line_dedup": q_line_dedup,
+    "quality_scores": q_quality_scores,
+    "gopher_quality": q_gopher_quality,
+    "pack_sequences": q_pack_sequences,
+    # ---- position 51+: long-stable greens (r2 rows + pytest) ---------
     "host_topk": q_host_topk,
     "host_volume": q_host_volume,
     "emails_planted": q_emails_planted,
@@ -2270,49 +2433,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "positions_zip": q_positions_zip,
     "sections_planted": q_sections_planted,
     "span_merge_planted": q_span_merge_planted,
-    "dedup_exact": q_dedup_exact,
-    "dedup_keep_first": q_dedup_keep_first,
     "canonical_text": q_canonical_text,
     "url_canonical": q_url_canonical,
     "token_stats": q_token_stats,
-    "quality_scores": q_quality_scores,
-    "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
-    "line_dedup": q_line_dedup,
-    "pii_scrub": q_pii_scrub,
-    "curate_corpus": q_curate_corpus,
-    "pack_sequences": q_pack_sequences,
-    "host_pagerank": q_host_pagerank,
-    "robots_noindex": q_robots_noindex,
-    "link_graph": q_link_graph,
     "latest_capture": q_latest_capture,
     "blocklist_filter": q_blocklist_filter,
-    "contamination": q_contamination,
     "decontaminate_count": q_decontaminate_count,
     "train_val_split": q_train_val_split,
     "corpus_mixture_sample": q_corpus_mixture_sample,
     "chunk_windows": q_chunk_windows,
     "tfidf_top_terms": q_tfidf_top_terms,
     "lang_id": q_lang_id,
-    "skills_match": q_skills_match,
-    "topk_longest": q_topk_longest,
-    "ngram_jaccard": q_ngram_jaccard,
-    "incremental_dedup": q_incremental_dedup,
-    "dup_clusters": q_dup_clusters,
-    "cluster_dedup_count": q_cluster_dedup_count,
-    "minhash_neardup": q_minhash_neardup,
-    "simhash_neardup": q_simhash_neardup,
-    "status_cube": q_status_cube,
-    "first_event_per_day": q_first_event_per_day,
-    "sessions_per_user": q_sessions_per_user,
-    "running_value": q_running_value,
-    "moving_avg": q_moving_avg,
-    "user_event_types": q_user_event_types,
-    "event_mode": q_event_mode,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embedding_neardup": q_embedding_neardup,
+    "host_pagerank": q_host_pagerank,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2329,6 +2462,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_pdf_cmap_roundtrip": SQL_EXTRACT_PDF_CMAP,
     "extract_pdf_filters_roundtrip": SQL_EXTRACT_PDF_FILTERS,
     "extract_fail_reasons": SQL_FAIL_REASONS,
+    "pdf_failure_budget": SQL_PDF_FAILURE_BUDGET,
     "extract_route_counts": SQL_ROUTE_COUNTS,
     "extract_status_counts": SQL_STATUS_COUNTS,
     "extract_volume_by_route": SQL_VOLUME_BY_ROUTE,
@@ -2338,6 +2472,7 @@ ORACLE_SQL: dict[str, str] = {
     "emails_planted": SQL_EMAILS,
     "cv_fields_planted": SQL_CV_FIELDS,
     "cv_name_planted": SQL_CV_NAME,
+    "cv_address_planted": SQL_CV_ADDRESS,
     "cv_entities_planted": SQL_CV_ENTITIES,
     "positions_zip": SQL_POSITIONS_ZIP,
     "sections_planted": SQL_SECTIONS_PLANTED,
@@ -2373,6 +2508,7 @@ ORACLE_SQL: dict[str, str] = {
     # equal to the exact pair set when band recall is 100% (holds here;
     # empirically verified at sf0.001/sf0.01, pytest recall guard)
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "streaming_incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "cluster_dedup_count": SQL_CLUSTER_DEDUP,
     "minhash_neardup": SQL_NGRAM_JACCARD,

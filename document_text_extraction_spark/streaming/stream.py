@@ -61,3 +61,81 @@ def run_stream_available_now(spark: SparkSession, input_path: str,
     )
     q.awaitTermination()
     return q
+
+
+def seed_fingerprint_store(docs: DataFrame, fp_store: str,
+                           text_col: str = "text") -> None:
+    """Initialize the streaming dedup's fingerprint store from the
+    already-ingested corpus (partition ``batch_id=-1``; micro-batches
+    add their own ``batch_id=N`` partitions). At scale this store is
+    the corpus's pre-computed fingerprint column — tiny next to the
+    corpus (32 hex chars per document)."""
+    from pyspark.sql import functions as F
+    (docs.select(F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__fp"))
+     .dropDuplicates(["__fp"])
+     .write.mode("overwrite").parquet(os.path.join(fp_store,
+                                                   "batch_id=-1")))
+
+
+def run_incremental_dedup_stream(spark: SparkSession, input_path: str,
+                                 fp_store: str, output_path: str,
+                                 checkpoint_path: str,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text"):
+    """Streaming form of ``operators.dedup.incremental_dedup``: each
+    micro-batch of the crawl increment is anti-joined against the
+    fingerprint store (ingested corpus + every EARLIER micro-batch),
+    keep-first-per-fingerprint within the batch, survivors written to
+    ``batch_id=N``, and the survivors' fingerprints appended to the
+    store as the batch's own partition.
+
+    Effectively-once under foreachBatch's at-least-once replay: both
+    the output and the fingerprint partition are keyed by batch_id and
+    OVERWRITTEN, and the anti-join excludes the current batch's own
+    fingerprint partition — so a replayed batch recomputes the same
+    survivors instead of anti-joining against itself (which would
+    silently emit zero rows).
+
+    Scale shape: one hash equi-join per micro-batch between the batch
+    and the store, shuffled on the fingerprint — the store side is the
+    corpus's fingerprint column, never its text. First-arrival wins
+    across micro-batches (streaming semantics); within a batch the
+    lowest id wins (deterministic, matching the batch operator).
+
+    The store must be seeded first (:func:`seed_fingerprint_store`).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(input_path).schema
+    inc = (spark.readStream.schema(schema).format("parquet")
+           .load(input_path))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        fp = F.md5(F.encode(F.col(text_col), "UTF-8"))
+        seen = (
+            sess.read.parquet(fp_store)
+            .filter(F.col("batch_id") != batch_id)
+            .select("__fp").dropDuplicates(["__fp"])
+        )
+        fresh = (batch_df.withColumn("__fp", fp)
+                 .join(seen, "__fp", "left_anti"))
+        w = W.partitionBy("__fp").orderBy(F.col(id_col))
+        kept = (fresh.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+        # survivors first, then their fingerprints: a crash between the
+        # two writes replays the batch, which overwrites both
+        (kept.drop("__fp").write.mode("overwrite")
+         .parquet(os.path.join(output_path, f"batch_id={batch_id}")))
+        (kept.select("__fp").write.mode("overwrite")
+         .parquet(os.path.join(fp_store, f"batch_id={batch_id}")))
+
+    q = (
+        inc.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -45,6 +45,32 @@ def test_field_expressions(spark):
     assert set(r["skills"]) >= {"spark", "sql"}
 
 
+def test_address_heuristic(spark):
+    """O55: keyword line wins, email/phone/keyword parts dropped, first
+    keyword line wins even when empty, no keyword → '' — and the JVM
+    expression agrees with the pure-Python oracle on every case."""
+    from document_text_extraction_spark.functions.fields import address_col
+    from document_text_extraction_spark.oracle import extract_address
+    cases = [
+        "Jo Doe\nContact details: a@b.co, +1 555 123, 12 Oak St, Springfield",
+        "Address: 99 River Rd, Hilltown\nbody text",
+        "Contact details: a@b.co, +1 555\nAddress: 5 Elm Ave, Dover",
+        "no keyword anywhere\njust text",
+        "line\n" * 10 + "Address: 1 Late St",  # keyword beyond line 10
+        "ADDRESS: 7 Shout Ln, Yelltown",       # case-insensitive
+    ]
+    # note: the reference drops only 'contact'-keyword parts, so an
+    # 'Address:' prefix stays glued to its street part — replicated
+    # faithfully (approach4_v2.py:77-84)
+    expected = ["12 Oak St, Springfield", "Address: 99 River Rd, Hilltown",
+                "", "", "", "ADDRESS: 7 Shout Ln, Yelltown"]
+    assert [extract_address(t) for t in cases] == expected
+    df = spark.createDataFrame([(t,) for t in cases], ["text"])
+    got = [r["a"] for r in
+           df.select(address_col(F.col("text")).alias("a")).collect()]
+    assert got == expected
+
+
 def test_skill_tokens_and_datelike(spark):
     df = spark.createDataFrame(
         [("python, apache spark | k8s; a", "born 1990 in May",)],

@@ -48,7 +48,7 @@ def test_batch_all_junk():
     assert (out["status"] == "parse_failure").all()
     assert (out["extracted_text"] == "").all()
     assert set(out["reason"]) == {
-        "unsupported_filter", "no_streams", "unknown_route"}
+        "unsupported_filter", "no_streams", "unknown_route", "encrypted"}
 
 
 def test_batch_order_independence():

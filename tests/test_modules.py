@@ -65,6 +65,49 @@ def test_streaming_sink_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == before == 100
 
 
+def test_incremental_dedup_stream_state_and_restart(spark, tmp_path):
+    """Streaming incremental dedup: the fingerprint store carries state
+    across separate availableNow runs (cross-batch drops), and a
+    reprocess from a FRESH checkpoint over already-populated stores
+    converges to the same output (the replay-safety of excluding the
+    current batch's own fingerprint partition from the anti-join)."""
+    from document_text_extraction_spark.streaming.stream import (
+        run_incremental_dedup_stream,
+        seed_fingerprint_store,
+    )
+    fps, in_d, out = (str(tmp_path / d) for d in ("fps", "in", "out"))
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], ["doc_id", "text"])
+    seed_fingerprint_store(docs, fps)
+    # arrival 1: a re-capture (drop via seed), fresh content (keep
+    # lowest id of the in-batch pair)
+    spark.createDataFrame(
+        [(10, "aa bb"), (11, "ee ff"), (12, "ee ff")],
+        ["doc_id", "text"]).write.parquet(in_d)
+    run_incremental_dedup_stream(spark, in_d, fps, out,
+                                 str(tmp_path / "ck"))
+
+    def got():
+        return sorted((r["doc_id"], r["text"]) for r in
+                      spark.read.parquet(out)
+                      .select("doc_id", "text").collect())
+
+    assert got() == [(11, "ee ff")]
+    # arrival 2: a copy of arrival-1 content (must drop via the STORE,
+    # not the window) + genuinely new content
+    spark.createDataFrame(
+        [(20, "ee ff"), (21, "gg hh")],
+        ["doc_id", "text"]).write.mode("append").parquet(in_d)
+    run_incremental_dedup_stream(spark, in_d, fps, out,
+                                 str(tmp_path / "ck"))
+    assert got() == [(11, "ee ff"), (21, "gg hh")]
+    # fresh checkpoint over the same input and populated stores: every
+    # batch is "replayed" — output must converge, not drain to empty
+    run_incremental_dedup_stream(spark, in_d, fps, out,
+                                 str(tmp_path / "ck2"))
+    assert got() == [(11, "ee ff"), (21, "gg hh")]
+
+
 def test_streaming_stateful_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionization: in-stream gap splits AND
     event-time timeouts both emit sessions that match the batch

@@ -332,11 +332,13 @@ def test_unsupported_filter_is_counted_failure():
 
 
 def test_junk_reason_classes():
-    want = {0: "unsupported_filter", 1: "no_streams", 2: "unknown_route"}
-    for did in range(19, 219, 20):
+    want = {0: "unsupported_filter", 1: "no_streams", 2: "unknown_route",
+            3: "unsupported_filter", 4: "unsupported_filter",
+            5: "encrypted"}
+    for did in range(19, 419, 20):
         rec = oracle.extract_document(corpus.make_junk(did))
         assert rec["status"] == "parse_failure"
-        assert rec["reason"] == want[did % 3], did
+        assert rec["reason"] == want[(did // 20) % 6], did
 
 
 @pytest.mark.parametrize("doc_id", [34, 74, 114])
