@@ -21,6 +21,7 @@ time; this module is their Arrow-batch re-expression.
 from __future__ import annotations
 
 import html as _htmllib
+import re
 import time
 
 import numpy as np
@@ -200,10 +201,18 @@ def _classify_html_blocks(
     expressions over the all-blocks arrays (the batch analogue of
     ``oracle.extract_html``'s per-block logic).
     """
-    full_n = fulls.str.replace(_WS_PAT, " ", regex=True).str.strip()
-    link_n = links.str.replace(_WS_PAT, " ", regex=True).str.strip()
-    full_len = full_n.str.len().to_numpy()
-    link_len = link_n.str.len().to_numpy()
+    # ' '.join(s.split()) ≡ re.sub(r'\s+', ' ', s).strip(): CPython's
+    # sre \s and str.isspace() share the same Unicode whitespace table,
+    # and the C-level split/join is ~3.5x faster than the per-element
+    # regex sub pandas .str.replace runs (measured on this corpus;
+    # equivalence guarded by the oracle-parity property tests)
+    full_n = np.array(
+        [" ".join(s.split()) for s in fulls.to_numpy()], dtype=object)
+    full_len = np.array([len(s) for s in full_n], dtype=np.int64)
+    # only the normalized LENGTH of the link text feeds density
+    link_len = np.array(
+        [len(" ".join(s.split())) for s in links.to_numpy()],
+        dtype=np.int64)
     nonempty = full_len > 0
     density = np.where(full_len > 0, link_len / np.maximum(full_len, 1), 0.0)
     kind = np.where(
@@ -213,7 +222,7 @@ def _classify_html_blocks(
     )
     out = pd.DataFrame({
         "doc": doc_idx[nonempty],
-        "text": full_n.to_numpy()[nonempty],
+        "text": full_n[nonempty],
         "kind": _KIND_NAMES[kind[nonempty]],
     })
     return out
@@ -259,36 +268,71 @@ def _order_pdf_shows(shows_df: pd.DataFrame) -> pd.DataFrame:
     return df.iloc[final]
 
 
+# cheap one-scan triggers: a field family's (expensive, alternation-
+# heavy) findall only runs on documents whose text can possibly match —
+# on real webtext most documents lack '@'/digits/institution words, so
+# the masked form skips most of the per-family regex cost while being
+# observationally identical (a doc without the trigger has no matches)
+_DIGIT_SEARCH_RE = re.compile(r"\d")
+_LINK_TRIGGER_RE = re.compile(r"linkedin\.com|github\.com|https?://")
+_INST_TRIGGER_RE = re.compile(r"niversity|ollege")
+_JOB_TRIGGER_RE = re.compile(
+    r"Engineer|Developer|Manager|Analyst|Consultant|Intern")
+
+
 def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
-    """Batch regex field extraction over the extracted-text Series
-    (pandas .str.findall = one compiled-regex C pass per family)."""
-    emails = texts.str.findall(EMAIL_RE).map(lambda v: sorted(set(v)))
-    phone_lists = None
-    for rx in PHONE_RES:
-        found = texts.str.findall(rx)
-        phone_lists = found if phone_lists is None else phone_lists + found
-    phones = phone_lists.map(
-        lambda ms: sorted({
-            c for c in (_PHONE_CLEAN_RE.sub("", m) for m in ms)
-            if len(c) >= 10
-        })
-    )
-    link_lists = None
-    for rx in LINK_RES:
-        found = texts.str.findall(rx)
-        link_lists = found if link_lists is None else link_lists + found
-    links = link_lists.map(lambda v: sorted(set(v)))
-    names = texts.map(oracle.extract_name)  # bounded: first 5 lines only
-    addresses = texts.map(oracle.extract_address)  # first 10 lines only
-    institutions = texts.str.findall(oracle.INSTITUTION_RE).map(
-        lambda v: sorted(set(v)))
-    jobs = texts.str.findall(oracle.JOB_TITLE_RE)
-    # skills: one C-level contains pass per vocab word over the batch
-    low = texts.str.lower()
-    vocab_hits = np.column_stack([
-        low.str.contains(w, regex=False).to_numpy()
-        for w in oracle.SKILLS_VOCAB
-    ]) if len(texts) else np.zeros((0, len(oracle.SKILLS_VOCAB)), bool)
+    """Batch regex field extraction over the extracted-text Series:
+    one cheap trigger scan per family, then the family's compiled
+    findall only over triggered documents."""
+    arr = texts.to_numpy()
+    n = len(arr)
+    email_find = EMAIL_RE.findall
+    digit_search = _DIGIT_SEARCH_RE.search
+    emails = [
+        sorted(set(email_find(s))) if "@" in s else [] for s in arr
+    ]
+
+    def doc_phones(s: str) -> list[str]:
+        found = set()
+        for rx in PHONE_RES:
+            for m in rx.findall(s):
+                c = _PHONE_CLEAN_RE.sub("", m)
+                if len(c) >= 10:
+                    found.add(c)
+        return sorted(found)
+
+    phones = [
+        doc_phones(s) if digit_search(s) is not None else [] for s in arr
+    ]
+
+    def doc_links(s: str) -> list[str]:
+        found = set()
+        for rx in LINK_RES:
+            found.update(rx.findall(s))
+        return sorted(found)
+
+    link_trigger = _LINK_TRIGGER_RE.search
+    links = [
+        doc_links(s) if link_trigger(s) is not None else [] for s in arr
+    ]
+    names = [oracle.extract_name(s) for s in arr]  # first 5 lines only
+    addresses = [oracle.extract_address(s) for s in arr]  # first 10 lines
+    inst_trigger = _INST_TRIGGER_RE.search
+    inst_find = oracle.INSTITUTION_RE.findall
+    institutions = [
+        sorted(set(inst_find(s))) if inst_trigger(s) is not None else []
+        for s in arr
+    ]
+    job_trigger = _JOB_TRIGGER_RE.search
+    job_find = oracle.JOB_TITLE_RE.findall
+    jobs = [
+        job_find(s) if job_trigger(s) is not None else [] for s in arr
+    ]
+    # skills: C substring search per vocab word on the lowered text
+    vocab = oracle.SKILLS_VOCAB
+    skills = [
+        [w for w in vocab if w in s] for s in (t.lower() for t in arr)
+    ]
     return pd.Series(
         [
             {
@@ -298,14 +342,13 @@ def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
                 "institutions": ins,
                 "positions": [t for t, _ in jb],
                 "companies": [c for _, c in jb],
-                "skills": [w for w, f in zip(oracle.SKILLS_VOCAB, hits)
-                           if f],
+                "skills": sk,
                 "outlinks": [],
                 "meta_robots": "",
             }
-            for e, p, l, h, nm, addr, ins, jb, hits in zip(
+            for e, p, l, h, nm, addr, ins, jb, sk in zip(
                 emails, phones, links, headings, names, addresses,
-                institutions, jobs, vocab_hits,
+                institutions, jobs, skills,
             )
         ],
         index=texts.index,

@@ -1733,7 +1733,8 @@ SKILLS_VOCAB = [
 
 def extract_name(text: str) -> str:
     """First plausible name line among the first 5 lines (O53)."""
-    for line in text.split("\n")[:5]:
+    # bounded split: maxsplit keeps this O(head), not O(document)
+    for line in text.split("\n", 5)[:5]:
         line = line.strip()
         if (5 < len(line) < 50 and "@" not in line and "+" not in line
                 and NAME_LINE_RE.match(line)):
@@ -1751,7 +1752,7 @@ def extract_address(text: str) -> str:
     '@'/'+'/'contact' or len<=3), rejoin with ', '. The FIRST keyword
     line wins even if all its parts are dropped (reference returns
     from inside the loop)."""
-    for line in text.split("\n")[:10]:
+    for line in text.split("\n", 10)[:10]:
         low = line.lower()
         if any(kw in low for kw in ADDRESS_KEYWORDS):
             kept = []
