@@ -289,7 +289,12 @@ def prepare_bucketed_input(pages: DataFrame, path: str,
     be stored with an Iceberg ``bucket(N, url_host)`` partition spec —
     this helper emulates that layout with hive-style parquet partitions.
     """
+    # repartition ON the partition column first: otherwise every writer
+    # task fans out into every bucket directory (tasks × buckets tiny
+    # files — measured 9x slower slice reads at sf0.1); clustered, each
+    # bucket is one file and a slice scan opens exactly its own files
     (pages.withColumn("part_bucket", bucket_col(n_buckets))
+     .repartition(F.col("part_bucket"))
      .write.mode("overwrite").partitionBy("part_bucket").parquet(path))
     return path
 
