@@ -91,6 +91,36 @@ def test_run_extraction_resume_identical(spark, pages, tmp_path):
     assert len(a) == N_DOCS  # no duplicates, no losses
 
 
+def test_run_extraction_bucketed_input_resume_identical(spark, pages,
+                                                        tmp_path):
+    """The partition-pruned path end to end: run_extraction over a
+    prepare_bucketed_input table — killed after 2 slices and resumed —
+    must equal run_extraction over the flat table, row for row."""
+    bucketed = pipeline.prepare_bucketed_input(
+        pages, str(tmp_path / "bucketed"), n_buckets=8)
+    bpages = spark.read.parquet(bucketed)
+    flat_dir = str(tmp_path / "flat_out")
+    bkt_dir = str(tmp_path / "bkt_out")
+    pipeline.run_extraction(spark, pages, flat_dir, n_buckets=8,
+                            slice_buckets=2, salt=False)
+    ma = pipeline.run_extraction(spark, bpages, bkt_dir, n_buckets=8,
+                                 slice_buckets=2, salt=False,
+                                 max_slices=2)
+    assert sum(s.get("committed", False)
+               for s in ma["slices"].values()) == 2
+    mb = pipeline.run_extraction(spark, bpages, bkt_dir, n_buckets=8,
+                                 slice_buckets=2, salt=False)
+    assert all(s["committed"] for s in mb["slices"].values())
+    a = (spark.read.parquet(flat_dir + "/data")
+         .select("url", "extracted_text", "part_bucket")
+         .toPandas().sort_values("url").reset_index(drop=True))
+    b = (spark.read.parquet(bkt_dir + "/data")
+         .select("url", "extracted_text", "part_bucket")
+         .toPandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(b) == N_DOCS
+
+
 def test_metrics_reconcile(spark, pages, tmp_path):
     out_dir = str(tmp_path / "m")
     pipeline.run_extraction(spark, pages, out_dir, n_buckets=8,
