@@ -308,6 +308,99 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def char_kgram_hashes_col(text: Column, k: int = 8,
+                          token_hash=None) -> Column:
+    """Hashes of every character k-gram of ``text`` (position order).
+
+    The rolling-hash family: classic winnowing rolls a Karp-Rabin hash
+    across the document one character at a time; here every k-gram is
+    hashed independently by a JVM hash over a substring — same k-gram →
+    same hash stream, identical selection semantics, and the whole
+    column stays inside codegen (a literal rolling update would force
+    a per-row UDF). Short documents (< k chars) contribute their single
+    truncated gram."""
+    if token_hash is None:
+        def token_hash(t):
+            return F.xxhash64(t)
+    n = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: token_hash(F.substring(text, i, k)))
+
+
+def winnow_fingerprints_df(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           w: int = 4, token_hash=None) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every char k-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum,
+    dedup. Guarantees any shared substring of length >= k + w - 1
+    yields a shared fingerprint, at ~2/(w+1) sampling density —
+    the overlap/containment detector that set-resemblance MinHash
+    does not give you (a 5% verbatim inclusion barely moves Jaccard
+    but shares its fingerprints). Returns ``(id, fps: array<long>)``,
+    sorted distinct; map-only at any scale (two narrow projections,
+    no shuffle).
+
+    Deliberately a DataFrame transform, not a single Column: the
+    gram-hash array must be materialized as a column ATTRIBUTE before
+    the window-min pass — nesting it as a subexpression inside the
+    per-window lambda makes Spark re-evaluate the entire hash array
+    for every window (O(grams²) hashing; measured 50× slower at
+    sf0.001)."""
+    hs = char_kgram_hashes_col(F.col(text_col), k, token_hash)
+    step1 = df.select(F.col(id_col), hs.alias("__hs"))
+    n_h = F.size(F.col("__hs"))
+    starts = F.sequence(F.lit(1), F.greatest(n_h - (w - 1), F.lit(1)))
+    mins = F.transform(
+        starts, lambda i: F.array_min(F.slice(F.col("__hs"), i, w)))
+    return step1.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(mins)).alias("fps"),
+    )
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 8, w: int = 4,
+                         min_shared: int = 2,
+                         max_fp_doc_freq: int | None = None,
+                         token_hash=None) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — partial-overlap / containment candidates (quote farms, mirrored
+    boilerplate, spliced documents).
+
+    Shuffle shape mirrors the capped n-gram join: explode fingerprints,
+    optional hot-fingerprint cap via one frequency window (a
+    fingerprint in F docs contributes F² pair rows), equi-self-join,
+    pair count. Returns (id_a, id_b, shared_fps)."""
+    fpd = winnow_fingerprints_df(df, id_col, text_col, k, w, token_hash)
+    # explode_outer, NOT explode: for a plain explode Spark's
+    # InferFiltersFromGenerate synthesizes a `size(fps) > 0` predicate
+    # and pushes it below the projections — inlining the entire winnow
+    # expression tree (gram hashes re-derived inside the window-min
+    # lambda) into one per-row Filter: the O(grams²) hazard again,
+    # measured 60× slower at sf0.001. The outer form infers nothing;
+    # the null rows of fingerprint-less documents are dropped by a
+    # cheap attribute filter that cannot be pushed past the Generate.
+    fps = (fpd.select(F.col(id_col),
+                      F.explode_outer("fps").alias("fp"))
+           .filter(F.col("fp").isNotNull()))
+    if max_fp_doc_freq is not None:
+        from pyspark.sql import Window as W
+        freq = F.count("*").over(W.partitionBy("fp"))
+        fps = (fps.withColumn("df", freq)
+               .filter(F.col("df") <= max_fp_doc_freq)
+               .select(id_col, "fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 SIMHASH_BITS = 60  # multiple of the band count; < 63 keeps longs positive
 
 

@@ -1580,6 +1580,88 @@ SQL_NGRAM_JACCARD_CAPPED = (
 )
 
 
+_WINNOW_HASH_SQL = (
+    "CAST('0x' || substr(md5(substr({src}, i, 8)), 1, 15) AS BIGINT)"
+)
+
+
+def _winnow_sql(docs_cte: str) -> str:
+    """DuckDB replica of winnow_fingerprints_col(k=8, w=4, md5 hash)
+    over a CTE named docs(doc_id, text)."""
+    gram = _WINNOW_HASH_SQL.format(src="text")
+    return (
+        f"g AS (SELECT doc_id, [{gram} "
+        "for i in range(1, greatest(len(text) - 7, 1) + 1)] AS hs "
+        f"FROM {docs_cte}), "
+        "m AS (SELECT doc_id, list_sort(list_distinct("
+        "[list_min(hs[i:i+3]) for i in "
+        "range(1, greatest(len(hs) - 3, 1) + 1)])) AS fps FROM g)"
+    )
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing, MOSS scheme):
+    char-8-gram hashes → min of each 4-hash window → sorted distinct
+    set. Every 5th document, full fingerprint set serialized — the
+    oracle recomputes the identical selection in DuckDB via the
+    cross-engine md5-60bit gram hash (production default: xxhash64)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    fpd = dedup.winnow_fingerprints_df(
+        d, token_hash=dedup.md5_token_hash)
+    return fpd.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.array_join(
+            F.transform(F.col("fps"), lambda x: x.cast("string")), ","
+        ).alias("fps"),
+    )
+
+
+SQL_WINNOW_FPS = (
+    "WITH docs AS (SELECT doc_id, text FROM documents "
+    "WHERE doc_id % 5 = 0), "
+    + _winnow_sql("docs") +
+    " SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, "
+    "array_to_string(fps, ',') AS fps FROM m"
+)
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Partial-overlap detection by shared winnowing fingerprints: a
+    400-char verbatim slice of every 17th document is spliced into
+    fresh surrounding text — set-resemblance (Jaccard/MinHash) barely
+    moves, but winnowing guarantees shared fingerprints for any common
+    run >= k+w-1 chars. Hot fingerprints capped like hot shingles
+    (frequency window); the cap is mirrored in the oracle."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    spliced = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("spliced intro "),
+                 F.substring(F.col("text"), 50, 400),
+                 F.lit(" spliced outro")).alias("text"),
+    )
+    wd = d.unionAll(spliced)
+    return dedup.winnow_overlap_pairs(
+        wd, min_shared=2, max_fp_doc_freq=6,
+        token_hash=dedup.md5_token_hash)
+
+
+SQL_WINNOW_OVERLAP = (
+    "WITH docs AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 500000, "
+    "'spliced intro ' || substr(text, 50, 400) || ' spliced outro' "
+    "FROM documents WHERE doc_id % 17 = 0), "
+    + _winnow_sql("docs") +
+    ", f AS (SELECT doc_id, unnest(fps) AS fp FROM m), "
+    "cold AS (SELECT * FROM f WHERE fp NOT IN "
+    "(SELECT fp FROM f GROUP BY 1 HAVING count(*) > 6)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(count(*) AS BIGINT) AS shared_fps "
+    "FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2 HAVING count(*) >= 2"
+)
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Per-crawl incremental dedup: a planted NEW increment carries
     (a) re-captures of every 9th existing doc (must drop — fingerprint
@@ -2378,6 +2460,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     # -- new or changed this round -------------------------------------
     "ngram_jaccard": q_ngram_jaccard,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "cv_address_planted": q_cv_address_planted,
     "pdf_failure_budget": q_pdf_failure_budget,
@@ -2504,6 +2588,8 @@ ORACLE_SQL: dict[str, str] = {
     "skills_match": SQL_SKILLS,
     "topk_longest": SQL_TOPK_LONGEST,
     "ngram_jaccard": SQL_NGRAM_JACCARD_CAPPED,
+    "winnow_fingerprints": SQL_WINNOW_FPS,
+    "winnow_overlap": SQL_WINNOW_OVERLAP,
     # minhash's LSH verification computes exact Jaccard on candidates →
     # equal to the exact pair set when band recall is 100% (holds here;
     # empirically verified at sf0.001/sf0.01, pytest recall guard)

@@ -219,3 +219,47 @@ def test_incremental_dedup_planted(spark):
     )
     kept = {r.doc_id for r in incremental_dedup(new, existing).collect()}
     assert kept == {11, 13}
+
+
+def test_winnow_guarantee_and_containment(spark):
+    """Winnowing's core guarantee: any shared substring of length >=
+    k + w - 1 yields >= 1 shared fingerprint — and containment (a
+    verbatim slice inside fresh text) is detected even though Jaccard
+    resemblance is tiny."""
+    from document_text_extraction_spark.operators.dedup import (
+        winnow_fingerprints_df,
+        winnow_overlap_pairs,
+    )
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "band plays on and the crowd cheers loudly tonight")
+    spliced = "UNRELATED HEAD xx " + base[10:70] + " yy UNRELATED TAIL"
+    other = "completely different content with no overlap at all here"
+    df = spark.createDataFrame(
+        [(1, base), (2, spliced), (3, other)], ["doc_id", "text"])
+    fps = {r["doc_id"]: set(r["fps"]) for r in
+           winnow_fingerprints_df(df).collect()}
+    assert fps[1] & fps[2], "60-char shared run must share fingerprints"
+    assert not (fps[1] & fps[3])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             winnow_overlap_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_winnow_plan_has_no_inlined_filter(spark):
+    """Regression guard for the InferFiltersFromGenerate trap: a plain
+    explode over the fingerprint array makes Spark synthesize a
+    size(fps)>0 filter whose pushed-down form inlines the whole winnow
+    expression (gram hashes re-derived per window — O(grams²), measured
+    60x at sf0.001). The plan must carry no Filter containing the
+    winnow internals."""
+    from document_text_extraction_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+    from document_text_extraction_spark.plans import plan_report
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "qrstuvwxyz012345")],
+        ["doc_id", "text"])
+    plan = plan_report(winnow_overlap_pairs(df))["plan"]
+    for line in plan.splitlines():
+        if line.strip().startswith("Condition"):
+            assert "array_min" not in line, line
