@@ -146,15 +146,19 @@ def run_onepass_sink_bench(spark, path: str, n_buckets: int = 256) -> dict:
     from document_text_extraction_spark import pipeline
     pages = spark.read.parquet(path)
     d = tempfile.mkdtemp(prefix="dte_bench_onepass_")
-    t0 = time.perf_counter()
-    salt_plan = pipeline.plan_salting(pages, n_buckets)
-    out = pipeline.extract_df(pages, n_buckets=n_buckets,
-                              salt_plan=salt_plan)
-    (out.write.mode("overwrite").partitionBy("part_bucket")
-     .parquet(os.path.join(d, "data")))
-    dt = time.perf_counter() - t0
+    runs = int(os.environ.get("SPARK_GRAFT_SINK_RUNS", "2"))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        salt_plan = pipeline.plan_salting(pages, n_buckets)
+        out = pipeline.extract_df(pages, n_buckets=n_buckets,
+                                  salt_plan=salt_plan)
+        (out.write.mode("overwrite").partitionBy("part_bucket")
+         .parquet(os.path.join(d, "data")))
+        times.append(time.perf_counter() - t0)
     shutil.rmtree(d, ignore_errors=True)
-    return {"seconds": dt}
+    return {"seconds": min(times),
+            "all_runs_sec": [round(t, 2) for t in times]}
 
 
 def run_resumable_bench(spark, path: str, n_buckets: int = 256,
@@ -183,18 +187,22 @@ def run_resumable_bench(spark, path: str, n_buckets: int = 256,
         pipeline.prepare_bucketed_input(
             spark.read.parquet(path), bucketed, n_buckets=n_buckets)
         prep_s = time.perf_counter() - t0
-    out_dir = tempfile.mkdtemp(prefix="dte_bench_resumable_")
     pages = spark.read.parquet(bucketed)
-    t0 = time.perf_counter()
-    manifest = pipeline.run_extraction(
-        spark, pages, out_dir, n_buckets=n_buckets,
-        slice_buckets=slice_buckets)
-    dt = time.perf_counter() - t0
-    docs = sum(s["docs"] for s in manifest["slices"].values())
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return {"seconds": dt, "docs": docs,
+    runs = int(os.environ.get("SPARK_GRAFT_SINK_RUNS", "2"))
+    times = []
+    for _ in range(runs):
+        out_dir = tempfile.mkdtemp(prefix="dte_bench_resumable_")
+        t0 = time.perf_counter()
+        manifest = pipeline.run_extraction(
+            spark, pages, out_dir, n_buckets=n_buckets,
+            slice_buckets=slice_buckets)
+        times.append(time.perf_counter() - t0)
+        docs = sum(s["docs"] for s in manifest["slices"].values())
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return {"seconds": min(times), "docs": docs,
             "n_slices": len(manifest["slices"]),
-            "input_prep_seconds": round(prep_s, 3)}
+            "input_prep_seconds": round(prep_s, 3),
+            "all_runs_sec": [round(t, 2) for t in times]}
 
 
 def main() -> None:
