@@ -285,7 +285,6 @@ def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
     one cheap trigger scan per family, then the family's compiled
     findall only over triggered documents."""
     arr = texts.to_numpy()
-    n = len(arr)
     email_find = EMAIL_RE.findall
     digit_search = _DIGIT_SEARCH_RE.search
     emails = [

@@ -36,12 +36,22 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
 
 
+def content_fingerprint_col(text: Column) -> Column:
+    """THE content fingerprint of this engine (md5 over UTF-8 bytes).
+
+    Single definition shared by exact dedup, keep-first, incremental
+    dedup and the STREAMING fingerprint store — the store must stay
+    bit-compatible with the batch operators, so any change to the
+    fingerprint (e.g. canonicalization) must happen here, once."""
+    return F.md5(F.encode(text, "UTF-8"))
+
+
 def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
     """Exact dedup by md5 fingerprint → groups with >1 member."""
     return (
         df.select(F.col(id_col),
-                  F.md5(F.encode(F.col(text_col), "UTF-8"))
+                  content_fingerprint_col(F.col(text_col))
                   .alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"),
@@ -64,9 +74,9 @@ def incremental_dedup(new_docs: DataFrame, existing: DataFrame,
     Shuffle profile: one equi-join on the md5 fingerprint (increment ×
     fingerprint set, hash-partitioned) + the increment-local window —
     both keyed on the fingerprint, so AQE can reuse one exchange."""
-    fp_new = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    fp_new = content_fingerprint_col(F.col(text_col))
     seen = existing.select(
-        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__fp"))
+        content_fingerprint_col(F.col(text_col)).alias("__fp"))
     fresh = (new_docs.withColumn("__fp", fp_new)
              .join(seen.dropDuplicates(["__fp"]), "__fp", "left_anti"))
     from pyspark.sql import Window as W
@@ -82,7 +92,7 @@ def deduplicate_keep_first(df: DataFrame, id_col: str = "doc_id",
     crawl-dedup policy). One window over the fingerprint hash; no join.
     """
     from pyspark.sql import Window as W
-    fp = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    fp = content_fingerprint_col(F.col(text_col))
     w = W.partitionBy(fp).orderBy(F.col(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))

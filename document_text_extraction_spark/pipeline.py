@@ -349,6 +349,26 @@ def run_extraction(
         raise ValueError("n_buckets changed mid-run; use a new run_id")
     manifest["n_buckets"] = n_buckets
 
+    if "part_bucket" in pages.columns:
+        # the stored bucket layout MUST match this run's n_buckets:
+        # slices trust the partition column for pruning, so a table
+        # bucketed with a different N would silently drop (or misfile)
+        # every row whose stored bucket disagrees with the recomputed
+        # one. A small probe catches a mismatch with near-certainty —
+        # under a different modulus virtually every row disagrees.
+        bad = (
+            pages.limit(1024)
+            .filter(F.col("part_bucket") != bucket_col(n_buckets))
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"input's part_bucket layout disagrees with "
+                f"n_buckets={n_buckets} on {bad}/1024 probed rows — "
+                "re-materialize with prepare_bucketed_input(..., "
+                f"n_buckets={n_buckets}) or pass the layout's bucket "
+                "count")
+
     # ONE salting pre-pass for the whole run (cheap groupBy over sizes);
     # each slice below reuses it so per-slice plans stay identical.
     salt_plan = plan_salting(pages, n_buckets) if salt else {}

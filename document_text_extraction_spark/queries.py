@@ -2505,9 +2505,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
     "quality_scores": q_quality_scores,
+    # ---- position 51+: long-stable greens (r2 rows + pytest),
+    # OUTSIDE the driver's 50-query window this round ------------------
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
-    # ---- position 51+: long-stable greens (r2 rows + pytest) ---------
     "host_topk": q_host_topk,
     "host_volume": q_host_volume,
     "emails_planted": q_emails_planted,

@@ -66,15 +66,42 @@ def run_stream_available_now(spark: SparkSession, input_path: str,
 def seed_fingerprint_store(docs: DataFrame, fp_store: str,
                            text_col: str = "text") -> None:
     """Initialize the streaming dedup's fingerprint store from the
-    already-ingested corpus (partition ``batch_id=-1``; micro-batches
-    add their own ``batch_id=N`` partitions). At scale this store is
-    the corpus's pre-computed fingerprint column — tiny next to the
-    corpus (32 hex chars per document)."""
+    already-ingested corpus (partition ``batch_id=seed``; micro-batches
+    add their own ``batch_id=<run>_<n>`` partitions). At scale this
+    store is the corpus's pre-computed fingerprint column — tiny next
+    to the corpus (32 hex chars per document)."""
     from pyspark.sql import functions as F
-    (docs.select(F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__fp"))
+
+    from ..operators.dedup import content_fingerprint_col
+    (docs.select(content_fingerprint_col(F.col(text_col)).alias("__fp"))
      .dropDuplicates(["__fp"])
      .write.mode("overwrite").parquet(os.path.join(fp_store,
-                                                   "batch_id=-1")))
+                                                   "batch_id=seed")))
+
+
+def _dedup_run_token(checkpoint_path: str) -> str:
+    """A run token scoped to the streaming checkpoint: batch ids are
+    only unique WITHIN one checkpoint's lifetime (a lost/reset
+    checkpoint restarts them at 0), so fingerprint/output partitions
+    are keyed by ``<token>_<batch_id>``. Same checkpoint → same token →
+    a replayed batch overwrites its own partition (idempotent); a NEW
+    checkpoint gets a fresh token, so it can never overwrite an old
+    run's partitions — reprocessed content dedups against the old
+    fingerprints instead of re-admitting or clobbering them. (Local
+    paths here; on a cluster keep the token next to the checkpoint on
+    the same fault-tolerant store.)"""
+    import uuid
+    os.makedirs(checkpoint_path, exist_ok=True)
+    p = os.path.join(checkpoint_path, "_dedup_run_token")
+    if os.path.exists(p):
+        with open(p) as f:
+            return f.read().strip()
+    token = uuid.uuid4().hex[:12]
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(token)
+    os.replace(tmp, p)
+    return token
 
 
 def run_incremental_dedup_stream(spark: SparkSession, input_path: str,
@@ -90,11 +117,16 @@ def run_incremental_dedup_stream(spark: SparkSession, input_path: str,
     store as the batch's own partition.
 
     Effectively-once under foreachBatch's at-least-once replay: both
-    the output and the fingerprint partition are keyed by batch_id and
-    OVERWRITTEN, and the anti-join excludes the current batch's own
-    fingerprint partition — so a replayed batch recomputes the same
-    survivors instead of anti-joining against itself (which would
-    silently emit zero rows).
+    the output and the fingerprint partition are keyed by
+    ``<run-token>_<batch_id>`` and OVERWRITTEN, and the anti-join
+    excludes the current batch's own fingerprint partition — so a
+    replayed batch recomputes the same survivors instead of
+    anti-joining against itself (which would silently emit zero rows).
+    The run token is scoped to the checkpoint (see
+    :func:`_dedup_run_token`): if the checkpoint is lost, the restarted
+    stream's batch 0 cannot collide with the old run's batch 0 — old
+    partitions stay intact and previously admitted content is dropped
+    by the store, never re-admitted or overwritten.
 
     Scale shape: one hash equi-join per micro-batch between the batch
     and the store, shuffled on the fingerprint — the store side is the
@@ -107,16 +139,20 @@ def run_incremental_dedup_stream(spark: SparkSession, input_path: str,
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    from ..operators.dedup import content_fingerprint_col
+
     schema = spark.read.parquet(input_path).schema
     inc = (spark.readStream.schema(schema).format("parquet")
            .load(input_path))
+    run_token = _dedup_run_token(checkpoint_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        fp = F.md5(F.encode(F.col(text_col), "UTF-8"))
+        part = f"{run_token}_{batch_id}"
+        fp = content_fingerprint_col(F.col(text_col))
         seen = (
             sess.read.parquet(fp_store)
-            .filter(F.col("batch_id") != batch_id)
+            .filter(F.col("batch_id") != part)
             .select("__fp").dropDuplicates(["__fp"])
         )
         fresh = (batch_df.withColumn("__fp", fp)
@@ -127,9 +163,9 @@ def run_incremental_dedup_stream(spark: SparkSession, input_path: str,
         # survivors first, then their fingerprints: a crash between the
         # two writes replays the batch, which overwrites both
         (kept.drop("__fp").write.mode("overwrite")
-         .parquet(os.path.join(output_path, f"batch_id={batch_id}")))
+         .parquet(os.path.join(output_path, f"batch_id={part}")))
         (kept.select("__fp").write.mode("overwrite")
-         .parquet(os.path.join(fp_store, f"batch_id={batch_id}")))
+         .parquet(os.path.join(fp_store, f"batch_id={part}")))
 
     q = (
         inc.writeStream.foreachBatch(write_batch)

@@ -121,6 +121,20 @@ def test_run_extraction_bucketed_input_resume_identical(spark, pages,
     assert len(b) == N_DOCS
 
 
+def test_run_extraction_rejects_mismatched_bucket_layout(spark, pages,
+                                                         tmp_path):
+    """A bucketed input whose layout N differs from the run's n_buckets
+    would silently drop/misfile rows via the partition-pruned slice
+    filters — run_extraction must refuse it up front."""
+    bucketed = pipeline.prepare_bucketed_input(
+        pages, str(tmp_path / "b16"), n_buckets=16)
+    bpages = spark.read.parquet(bucketed)
+    with pytest.raises(ValueError, match="part_bucket layout"):
+        pipeline.run_extraction(spark, bpages,
+                                str(tmp_path / "o"), n_buckets=8,
+                                slice_buckets=4, salt=False)
+
+
 def test_metrics_reconcile(spark, pages, tmp_path):
     out_dir = str(tmp_path / "m")
     pipeline.run_extraction(spark, pages, out_dir, n_buckets=8,
