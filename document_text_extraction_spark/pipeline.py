@@ -404,6 +404,7 @@ def run_extraction(
                 "committed": True, "buckets": buckets, "partitions": [],
                 "docs": 0, "bytes_in": 0, "parse_failures": 0,
             }
+            manifest.setdefault("commit_log", []).append(key)
             _commit_manifest(out_dir, run_id, manifest)
             ran += 1
             continue
@@ -435,9 +436,52 @@ def run_extraction(
                 sum(r["parse_failures"] or 0 for r in counters)
             ),
         }
+        manifest.setdefault("commit_log", []).append(key)
         _commit_manifest(out_dir, run_id, manifest)
         ran += 1
     return manifest
+
+
+def snapshots(out_dir: str, run_id: str = "run1") -> list[dict]:
+    """Committed snapshots of a run, oldest first — the Iceberg-snapshot
+    emulation over the manifest's commit log. Snapshot ``k`` is the
+    table state after the k-th slice commit."""
+    manifest = _load_manifest(out_dir, run_id)
+    log = manifest.get("commit_log", [])
+    out = []
+    docs = 0
+    for k, key in enumerate(log, start=1):
+        docs += int(manifest["slices"][key].get("docs", 0))
+        out.append({"snapshot_id": k, "slice": key, "docs": docs})
+    return out
+
+
+def read_snapshot(spark: SparkSession, out_dir: str,
+                  run_id: str = "run1",
+                  snapshot_id: int | None = None) -> DataFrame:
+    """Time-travel read: the extraction table AS OF snapshot
+    ``snapshot_id`` (default: latest). Emulates Iceberg snapshot
+    isolation on the manifest: a reader pinned to snapshot k sees
+    exactly the buckets committed by the first k slice commits, via a
+    partition-pruned scan of those buckets — later commits (or a
+    half-written in-flight slice) are invisible, because the slice
+    wipe+redo only ever touches buckets past the pinned commit log."""
+    manifest = _load_manifest(out_dir, run_id)
+    log = manifest.get("commit_log", [])
+    if snapshot_id is None:
+        snapshot_id = len(log)
+    if not 0 <= snapshot_id <= len(log):
+        raise ValueError(
+            f"snapshot {snapshot_id} out of range 0..{len(log)}")
+    buckets: list[int] = []
+    for key in log[:snapshot_id]:
+        buckets.extend(manifest["slices"][key]["buckets"])
+    data_dir = os.path.join(out_dir, "data")
+    df = (spark.read.option("basePath", data_dir).parquet(data_dir)
+          if os.path.isdir(data_dir) else None)
+    if df is None or not buckets:
+        return spark.createDataFrame([], schema=OUTPUT_SCHEMA)
+    return df.filter(F.col("part_bucket").isin(buckets))
 
 
 def partition_metrics(spark: SparkSession, out_dir: str,

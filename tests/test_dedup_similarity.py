@@ -263,3 +263,37 @@ def test_winnow_plan_has_no_inlined_filter(spark):
     for line in plan.splitlines():
         if line.strip().startswith("Condition"):
             assert "array_min" not in line, line
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=1,
+                max_size=12))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_winnow_matches_python_reference(spark, texts):
+    """winnow_fingerprints_df == a direct pure-Python transcription of
+    the winnowing definition, over arbitrary unicode text (codepoint
+    indexing, md5-60bit hash, clamped windows, short/empty documents)."""
+    import hashlib
+
+    from document_text_extraction_spark.operators.dedup import (
+        md5_token_hash,
+        winnow_fingerprints_df,
+    )
+
+    def py_winnow(t, k=8, w=4):
+        grams = [t[i:i + k] for i in range(max(len(t) - k + 1, 1))]
+        hs = [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+              for g in grams]
+        return sorted({min(hs[i:i + w])
+                       for i in range(max(len(hs) - w + 1, 1))})
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: list(r["fps"]) for r in
+           winnow_fingerprints_df(df, token_hash=md5_token_hash).collect()}
+    assert got == {i: py_winnow(t) for i, t in enumerate(texts)}

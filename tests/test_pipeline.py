@@ -121,6 +121,28 @@ def test_run_extraction_bucketed_input_resume_identical(spark, pages,
     assert len(b) == N_DOCS
 
 
+def test_snapshot_time_travel(spark, pages, tmp_path):
+    """Iceberg-snapshot emulation: a reader pinned to snapshot k sees
+    exactly the first k commits' buckets; the latest snapshot equals
+    the full table; earlier snapshots stay stable as commits land."""
+    out = str(tmp_path / "snap")
+    pipeline.run_extraction(spark, pages, out, n_buckets=8,
+                            slice_buckets=2, salt=False, max_slices=2)
+    snaps = pipeline.snapshots(out)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    seen_at_2 = pipeline.read_snapshot(spark, out, snapshot_id=2).count()
+    assert seen_at_2 == snaps[-1]["docs"]
+    # finish the run: old snapshot is unchanged, latest sees everything
+    pipeline.run_extraction(spark, pages, out, n_buckets=8,
+                            slice_buckets=2, salt=False)
+    assert (pipeline.read_snapshot(spark, out, snapshot_id=2).count()
+            == seen_at_2)
+    assert pipeline.read_snapshot(spark, out).count() == N_DOCS
+    assert pipeline.read_snapshot(spark, out, snapshot_id=0).count() == 0
+    with pytest.raises(ValueError, match="out of range"):
+        pipeline.read_snapshot(spark, out, snapshot_id=99)
+
+
 def test_run_extraction_rejects_mismatched_bucket_layout(spark, pages,
                                                          tmp_path):
     """A bucketed input whose layout N differs from the run's n_buckets
