@@ -29,8 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet dir of web_pages table")
+    ap.add_argument("--warc-input",
+                    help="dir/glob of WARC files to ingest instead of "
+                         "--input (Common-Crawl layout supported)")
     ap.add_argument("--synth", type=int, default=0,
                     help="generate N synthetic pages instead of --input")
+    ap.add_argument("--bucketize", action="store_true",
+                    help="materialize the input clustered by part_bucket "
+                         "under OUTPUT/input_bucketed first, so resumable "
+                         "slice scans are partition-pruned (one corpus "
+                         "read per run instead of one per slice)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--buckets", type=int, default=256)
@@ -55,10 +63,19 @@ def main() -> None:
     if args.synth:
         from document_text_extraction_spark.sources import synth_web_pages
         pages = synth_web_pages(spark, args.synth)
+    elif args.warc_input:
+        from document_text_extraction_spark.sources import warc_pages_df
+        pages = warc_pages_df(spark, args.warc_input)
     elif args.input:
         pages = spark.read.parquet(args.input)
     else:
-        ap.error("need --input or --synth")
+        ap.error("need --input, --warc-input or --synth")
+
+    if args.bucketize:
+        bdir = os.path.join(args.output, "input_bucketed")
+        pipeline.prepare_bucketed_input(pages, bdir,
+                                        n_buckets=args.buckets)
+        pages = spark.read.parquet(bdir)
 
     manifest = pipeline.run_extraction(
         spark, pages, args.output, run_id=args.run_id,
