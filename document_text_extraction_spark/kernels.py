@@ -188,9 +188,6 @@ def _sniff_batch(payloads: pd.Series) -> np.ndarray:
     )
 
 
-_WS_PAT = r"\s+"
-
-
 def _classify_html_blocks(
     doc_idx: np.ndarray, fulls: pd.Series, links: pd.Series,
     base_kinds: np.ndarray,

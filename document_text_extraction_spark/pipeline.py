@@ -352,22 +352,37 @@ def run_extraction(
     if "part_bucket" in pages.columns:
         # the stored bucket layout MUST match this run's n_buckets:
         # slices trust the partition column for pruning, so a table
-        # bucketed with a different N would silently drop (or misfile)
-        # every row whose stored bucket disagrees with the recomputed
-        # one. A small probe catches a mismatch with near-certainty —
-        # under a different modulus virtually every row disagrees.
-        bad = (
-            pages.limit(1024)
-            .filter(F.col("part_bucket") != bucket_col(n_buckets))
-            .count()
-        )
-        if bad:
-            raise ValueError(
-                f"input's part_bucket layout disagrees with "
-                f"n_buckets={n_buckets} on {bad}/1024 probed rows — "
-                "re-materialize with prepare_bucketed_input(..., "
-                f"n_buckets={n_buckets}) or pass the layout's bucket "
-                "count")
+        # bucketed with a different modulus M would silently drop (or
+        # misfile) rows. Two checks, both cheap: (1) the partition
+        # VALUES must fit 0..n_buckets-1 (catches M > N outright);
+        # (2) a row probe inside the HIGHEST partition — for any M ≠ N
+        # that partition's recomputed buckets disagree for most rows
+        # (for M a multiple of N a naive limit() probe can land
+        # entirely in low partitions where stored == recomputed and
+        # pass wrongly; the max partition can't).
+        vals = [r[0] for r in
+                pages.select("part_bucket").distinct().collect()]
+        if vals:
+            if max(vals) >= n_buckets or min(vals) < 0:
+                raise ValueError(
+                    f"input's part_bucket values span {min(vals)}.."
+                    f"{max(vals)} but the run uses n_buckets="
+                    f"{n_buckets} — re-materialize with "
+                    "prepare_bucketed_input(..., n_buckets="
+                    f"{n_buckets}) or pass the layout's bucket count")
+            probe_v = max(vals)
+            bad = (
+                pages.filter(F.col("part_bucket") == probe_v).limit(256)
+                .filter(F.col("part_bucket") != bucket_col(n_buckets))
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"input's part_bucket layout disagrees with "
+                    f"n_buckets={n_buckets} on {bad}/256 rows probed "
+                    f"in partition {probe_v} — re-materialize with "
+                    "prepare_bucketed_input(..., n_buckets="
+                    f"{n_buckets}) or pass the layout's bucket count")
 
     # ONE salting pre-pass for the whole run (cheap groupBy over sizes);
     # each slice below reuses it so per-slice plans stay identical.

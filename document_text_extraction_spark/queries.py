@@ -1717,8 +1717,10 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     inner_dup.write.mode("append").parquet(f"{base}/in")
     run_incremental_dedup_stream(
         spark, f"{base}/in", f"{base}/fps", f"{base}/out", f"{base}/ck")
-    # stream finished: input/checkpoint are dead weight; {base}/out and
-    # {base}/fps back nothing the result needs after the read below
+    # stream finished: input/checkpoint are dead weight. {base}/out
+    # BACKS the returned DataFrame (parquet reads are lazy — the files
+    # are read at collection time), so out/ and fps/ must outlive the
+    # caller's use of the result and are intentionally left in place.
     shutil.rmtree(f"{base}/in", ignore_errors=True)
     shutil.rmtree(f"{base}/ck", ignore_errors=True)
     return spark.read.parquet(f"{base}/out").select("doc_id", "text")

@@ -107,14 +107,34 @@ def _split_headers(block: bytes) -> tuple[dict[str, str], int]:
     return headers, end + 4
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """WARC bytes → ``[{url, warc_ts, html}]`` for ``response`` records.
+def _http_status(body: bytes) -> int:
+    """Status code from the embedded HTTP response's first line
+    (``HTTP/1.1 200 OK``); 0 if unparseable."""
+    line_end = body.find(_CRLF)
+    parts = body[: line_end if line_end >= 0 else len(body)].split()
+    if len(parts) >= 2 and parts[0][:5] == b"HTTP/":
+        try:
+            return int(parts[1])
+        except ValueError:
+            return 0
+    return 0
+
+
+def parse_warc(data: bytes, ok_statuses_only: bool = True) -> list[dict]:
+    """WARC bytes → ``[{url, warc_ts, html, http_status}]`` for
+    ``response`` records.
 
     Framing is by the record header's ``Content-Length`` (mandatory per
     ISO 28500) — payload bytes are sliced exactly, so binary content
     containing ``WARC/1.0`` cannot desync the walk. Gzip input (single-
-    or multi-member) is decompressed first. Records with damaged
-    framing terminate the walk (partial file tails), never raise."""
+    or multi-member) is decompressed first. Damaged framing — a partial
+    file tail, or a record whose declared length overruns the buffer —
+    terminates the walk without emitting the broken record and never
+    raises. By default only 2xx responses surface (real crawls carry
+    404/redirect stub bodies in response records too; ingesting them
+    would pollute dedup and quality statistics — pass
+    ``ok_statuses_only=False`` to keep every response with its
+    ``http_status``)."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)  # consumes ALL members
     out: list[dict] = []
@@ -133,9 +153,14 @@ def parse_warc(data: bytes) -> list[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if head_end + 4 + length > n:
+            break  # declared length overruns the buffer: truncated tail
         body = data[head_end + 4: head_end + 4 + length]
         i = head_end + 4 + length
         if headers.get("warc-type") != "response":
+            continue
+        status = _http_status(body)
+        if ok_statuses_only and not 200 <= status < 300:
             continue
         url = headers.get("warc-target-uri", "")
         ts_raw = headers.get("warc-date", "")
@@ -145,7 +170,8 @@ def parse_warc(data: bytes) -> list[dict]:
         except ValueError:
             ts = None
         _, body_off = _split_headers(body)
-        out.append({"url": url, "warc_ts": ts, "html": body[body_off:]})
+        out.append({"url": url, "warc_ts": ts, "html": body[body_off:],
+                    "http_status": status})
     return out
 
 

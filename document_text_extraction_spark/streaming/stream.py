@@ -160,12 +160,20 @@ def run_incremental_dedup_stream(spark: SparkSession, input_path: str,
         w = W.partitionBy("__fp").orderBy(F.col(id_col))
         kept = (fresh.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1).drop("__rn"))
-        # survivors first, then their fingerprints: a crash between the
-        # two writes replays the batch, which overwrites both
-        (kept.drop("__fp").write.mode("overwrite")
-         .parquet(os.path.join(output_path, f"batch_id={part}")))
-        (kept.select("__fp").write.mode("overwrite")
-         .parquet(os.path.join(fp_store, f"batch_id={part}")))
+        # persist: two write actions follow, and without it the second
+        # re-runs the whole lineage — including the corpus-sized
+        # fingerprint-store scan and the anti-join (the heaviest I/O of
+        # the batch, twice)
+        kept.persist()
+        try:
+            # survivors first, then their fingerprints: a crash between
+            # the two writes replays the batch, which overwrites both
+            (kept.drop("__fp").write.mode("overwrite")
+             .parquet(os.path.join(output_path, f"batch_id={part}")))
+            (kept.select("__fp").write.mode("overwrite")
+             .parquet(os.path.join(fp_store, f"batch_id={part}")))
+        finally:
+            kept.unpersist()
 
     q = (
         inc.writeStream.foreachBatch(write_batch)

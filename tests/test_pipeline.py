@@ -151,10 +151,19 @@ def test_run_extraction_rejects_mismatched_bucket_layout(spark, pages,
     bucketed = pipeline.prepare_bucketed_input(
         pages, str(tmp_path / "b16"), n_buckets=16)
     bpages = spark.read.parquet(bucketed)
-    with pytest.raises(ValueError, match="part_bucket layout"):
+    with pytest.raises(ValueError, match="part_bucket"):
         pipeline.run_extraction(spark, bpages,
                                 str(tmp_path / "o"), n_buckets=8,
                                 slice_buckets=4, salt=False)
+    # the adversarial direction: stored modulus a DIVISOR of the run's
+    # (8 vs 16) keeps every stored value in range, so only the
+    # max-partition row probe can catch it
+    bucketed8 = pipeline.prepare_bucketed_input(
+        pages, str(tmp_path / "b8"), n_buckets=8)
+    with pytest.raises(ValueError, match="part_bucket"):
+        pipeline.run_extraction(spark, spark.read.parquet(bucketed8),
+                                str(tmp_path / "o2"), n_buckets=16,
+                                slice_buckets=8, salt=False)
 
 
 def test_metrics_reconcile(spark, pages, tmp_path):

@@ -55,6 +55,40 @@ def test_warc_skips_non_response_and_binary_payloads():
     assert got[0]["html"] == evil
 
 
+def test_warc_status_filtering():
+    """Non-2xx responses (404 pages, redirect stubs) are crawl noise:
+    dropped by default, kept with their status when asked."""
+    recs = [
+        {"url": "https://a.example.org/ok", "ts": _ts(0),
+         "payload": b"<p>ok</p>", "status": 200},
+        {"url": "https://a.example.org/gone", "ts": _ts(1),
+         "payload": b"<p>not found</p>", "status": 404},
+        {"url": "https://a.example.org/moved", "ts": _ts(2),
+         "payload": b"<p>moved</p>", "status": 301},
+    ]
+    data = make_warc(recs)
+    assert [r["url"] for r in parse_warc(data)] == [
+        "https://a.example.org/ok"]
+    everything = parse_warc(data, ok_statuses_only=False)
+    assert [(r["url"], r["http_status"]) for r in everything] == [
+        ("https://a.example.org/ok", 200),
+        ("https://a.example.org/gone", 404),
+        ("https://a.example.org/moved", 301),
+    ]
+
+
+def test_warc_overlong_length_is_damaged_framing():
+    """A record whose declared Content-Length overruns the buffer is a
+    truncated tail: the broken record must NOT be emitted."""
+    recs = _records(2)
+    data = make_warc(recs)
+    # cut into the SECOND record's payload: record 1 survives, record 2
+    # (now overrunning) is dropped rather than emitted half-read
+    second_start = data.index(b"WARC/1.0", 10)
+    got = parse_warc(data[: second_start + 200])
+    assert [r["url"] for r in got] == [recs[0]["url"]]
+
+
 def test_warc_damaged_tail_never_raises():
     data = make_warc(_records(3))
     for cut in (len(data) - 7, len(data) // 2, 10, 3, 0):
