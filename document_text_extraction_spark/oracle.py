@@ -46,9 +46,14 @@ def sniff(data: bytes) -> str:
     if data[:2] == b"\x1f\x8b":
         import zlib
         try:
-            # bounded peek: decompress just enough head bytes to route
+            # bounded peek: enough decompressed head to route. The
+            # bound must cover a real DOCX's preamble — Word files
+            # routinely carry >2 KB of [Content_Types].xml + rels
+            # before the word/document.xml member name appears, so a
+            # 2 KB peek misrouted gzip-wrapped DOCX as unknown; 64 KB
+            # is still O(1) work per document.
             d = zlib.decompressobj(wbits=31)
-            data = d.decompress(bytes(data[:8192]), 2048)
+            data = d.decompress(bytes(data[:96 * 1024]), 64 * 1024)
         except zlib.error:
             return "unknown"
     if data[:4] == b"PK\x03\x04":
@@ -668,6 +673,11 @@ _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
 _HEXTRIPLE_RE = re.compile(
     rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+# the bfrange ARRAY destination form (§9.10.3): <lo> <hi> [<d> <d> ...]
+_HEXARRAY_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)+)"
+    rb"\s*\]")
+_HEXITEM_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 _CODESPACE_RE = re.compile(
     rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
@@ -693,6 +703,19 @@ def _parse_cmap(stream: bytes) -> dict:
             mapping[int(src, 16)] = bytes.fromhex(
                 dst.decode()).decode("utf-16-be", errors="replace")
     for block in _BFRANGE_RE.findall(stream):
+        # array-destination form first (<lo> <hi> [<d1> <d2> ...]):
+        # one explicit target per code — the form real generators emit
+        # for non-contiguous targets. Matched spans are excised so the
+        # triple scan below cannot misread an array's first element as
+        # an increment-form destination.
+        def _apply_array(m: "re.Match[bytes]") -> bytes:
+            lo_i, hi_i = int(m.group(1), 16), int(m.group(2), 16)
+            items = _HEXITEM_RE.findall(m.group(3))
+            for off, dst in zip(range(hi_i - lo_i + 1), items):
+                mapping[lo_i + off] = bytes.fromhex(
+                    dst.decode()).decode("utf-16-be", errors="replace")
+            return b""
+        block = _HEXARRAY_RE.sub(_apply_array, block)
         for lo, hi, dst in _HEXTRIPLE_RE.findall(block):
             lo_i, hi_i = int(lo, 16), int(hi, 16)
             base = int(dst, 16)
@@ -1220,6 +1243,7 @@ _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R\b")
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_EOL_RE = re.compile(rb"\r\n|\r|\n")
 
 
 def _scan_string(buf: bytes, i: int) -> tuple[str, int]:
@@ -1349,8 +1373,11 @@ def _tokenize_content(buf: bytes):
             yield ("name", m.group().decode("latin-1"))
             i = m.end()
         elif ci == 0x25:  # %
-            j = buf.find(b"\n", i)
-            i = n if j < 0 else j + 1
+            # comment runs to EOL — CR, LF or CRLF are all legal PDF
+            # EOLs (§7.2.3); searching only for LF would swallow the
+            # next line's operators on CR-only files
+            m = _EOL_RE.search(buf, i)
+            i = n if m is None else m.end()
         elif ci == 0x3C:  # <
             # hex string or dict — skip to matching close (not emitted by
             # our generator; tolerated for robustness)
@@ -1362,9 +1389,17 @@ def _tokenize_content(buf: bytes):
                 if j < 0:
                     i = n
                 else:
-                    yield ("str", bytes.fromhex(
-                        re.sub(rb"\s", b"", buf[i + 1 : j]).decode()
-                    ).decode("latin-1"))
+                    hx = re.sub(rb"\s", b"", buf[i + 1: j])
+                    if len(hx) % 2:
+                        hx += b"0"  # odd digit count: final 0 assumed
+                    try:
+                        s = bytes.fromhex(hx.decode())
+                    except ValueError:
+                        # non-hex garbage inside <...>: spec-invalid —
+                        # skip the token rather than crash the page
+                        s = b""
+                    if s:
+                        yield ("str", s.decode("latin-1"))
                     i = j + 1
         else:
             m = _NUM_RE.match(buf, i)
@@ -1606,8 +1641,11 @@ def extract_pdf_full(data: bytes) -> tuple[str, list[dict], int, list[str]]:
         shows.extend(page_shows)
         links.extend(uris)
     spans: list[dict] = []
-    for page in sorted({s["page"] for s in shows}):
-        page_shows = [s for s in shows if s["page"] == page]
+    by_page: dict[int, list[dict]] = {}
+    for s in shows:
+        by_page.setdefault(s["page"], []).append(s)
+    for page in sorted(by_page):
+        page_shows = by_page[page]
         starts = _column_clusters([s["x"] for s in page_shows])
         for s in page_shows:
             col = 0
@@ -1695,7 +1733,12 @@ def extract_docx_full(data: bytes) -> tuple[str, list[dict], list[str]]:
 # Regex field library (O44–O54 families)
 # ---------------------------------------------------------------------------
 
-EMAIL_RE = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b")
+# deliberate deviation from the reference's literal regex
+# (final.py:199-200 writes the TLD class as [A-Z|a-z] — a character-
+# class typo that admits '|' into TLDs): we use [A-Za-z] so this stays
+# bit-identical to functions/fields.EMAIL_PATTERN and the DuckDB
+# oracles, which the extraction-time fields must agree with
+EMAIL_RE = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")
 PHONE_RES = [
     re.compile(r"\+?\d{1,3}[-.\s]?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}"),
     re.compile(r"\(\d{3}\)\s?\d{3}[-.\s]?\d{4}"),

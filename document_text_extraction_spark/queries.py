@@ -40,6 +40,16 @@ from .sources import web_pages_from_documents
 CHUNK_SQL = (
     r"regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g')"
 )
+
+
+def chunk_lines_col(text="text"):
+    """Spark twin of CHUNK_SQL / corpus.chunk_text: the 10-word
+    golden chunking as an array-of-lines column. ONE definition --
+    the queries that re-derive golden lines all use this, so the
+    chunking contract cannot drift between Spark sites and the SQL
+    oracle."""
+    return F.split(
+        F.regexp_replace(text, r"((?:\S+ ){9}\S+) ", "$1\n"), "\n")
 ROUTE_SQL = (
     "CASE WHEN doc_id % 20 = 12 THEN 'docx' "
     "WHEN doc_id % 20 < 14 THEN 'html' "
@@ -761,8 +771,7 @@ def q_sections_planted(spark, sf_dir):
     every block at index%4==2 a heading — blocks before the first
     heading land in '_preamble', names normalize via the keyword map."""
     d = _docs(spark, sf_dir)
-    lines = F.split(
-        F.regexp_replace("text", r"((?:\S+ ){9}\S+) ", "$1\n"), "\n")
+    lines = chunk_lines_col()
     spans = F.transform(lines, lambda ln, i: F.struct(
         i.cast("int").alias("block"),
         F.when(i % 4 == 2, F.lit("heading")).otherwise(F.lit("main"))
@@ -818,8 +827,7 @@ def q_span_merge_planted(spark, sf_dir):
     covering-envelope bboxes (``cv_yolo_extractor_v2.py:208-272``
     semantics as one window pass, no pairwise join)."""
     d = _docs(spark, sf_dir)
-    lines = F.split(
-        F.regexp_replace("text", r"((?:\S+ ){9}\S+) ", "$1\n"), "\n")
+    lines = chunk_lines_col()
     ex = d.select("doc_id", F.posexplode(lines).alias("block", "text"))
     y0 = (F.lit(720.0) - F.col("block") * 14.0
           - F.floor(F.col("block") / 4) * 100.0)
@@ -1125,9 +1133,7 @@ def q_line_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     lines = d.select(
         "doc_id",
-        F.posexplode(F.split(
-            F.regexp_replace("text", r"((?:\S+ ){9}\S+) ", "$1\n"),
-            "\n")).alias("pos", "line"),
+        F.posexplode(chunk_lines_col()).alias("pos", "line"),
     )
     dup = (lines.groupBy("line")
            .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1662,14 +1668,13 @@ SQL_WINNOW_OVERLAP = (
 )
 
 
-def q_incremental_dedup(spark, sf_dir):
-    """Per-crawl incremental dedup: a planted NEW increment carries
-    (a) re-captures of every 9th existing doc (must drop — fingerprint
-    already ingested), (b) genuinely new content (kept), and (c) an
-    exact duplicate of each new text under a higher id (dropped by the
-    increment-local keep-first window). The existing corpus contributes
-    only its fingerprint column (operators/dedup.incremental_dedup)."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+def _planted_increment(docs):
+    """The planted crawl increment BOTH incremental-dedup queries (batch
+    + streaming) deliver — one definition because both are checked
+    against the single SQL_INCREMENTAL_DEDUP oracle: (recap) re-captures
+    of every 9th existing doc, (newer) genuinely new content, and
+    (inner_dup) an exact duplicate of each new text under a higher id.
+    Returned separately so the streaming query can stage arrivals."""
     recap = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text")
     fresh_txt = F.concat(F.col("text"), F.lit(" fresh"))
@@ -1679,6 +1684,18 @@ def q_incremental_dedup(spark, sf_dir):
     inner_dup = docs.filter(F.col("doc_id") % 9 == 1).select(
         (F.col("doc_id") + 400000).alias("doc_id"),
         fresh_txt.alias("text"))
+    return recap, newer, inner_dup
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Per-crawl incremental dedup: a planted NEW increment carries
+    (a) re-captures of every 9th existing doc (must drop — fingerprint
+    already ingested), (b) genuinely new content (kept), and (c) an
+    exact duplicate of each new text under a higher id (dropped by the
+    increment-local keep-first window). The existing corpus contributes
+    only its fingerprint column (operators/dedup.incremental_dedup)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recap, newer, inner_dup = _planted_increment(docs)
     increment = recap.unionAll(newer).unionAll(inner_dup)
     return dedup.incremental_dedup(increment, docs)
 
@@ -1702,15 +1719,7 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="dte_q_sdedup_")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     seed_fingerprint_store(docs, f"{base}/fps")
-    fresh_txt = F.concat(F.col("text"), F.lit(" fresh"))
-    recap = docs.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text")
-    newer = docs.filter(F.col("doc_id") % 9 == 1).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
-        fresh_txt.alias("text"))
-    inner_dup = docs.filter(F.col("doc_id") % 9 == 1).select(
-        (F.col("doc_id") + 400000).alias("doc_id"),
-        fresh_txt.alias("text"))
+    recap, newer, inner_dup = _planted_increment(docs)
     recap.unionAll(newer).write.mode("overwrite").parquet(f"{base}/in")
     run_incremental_dedup_stream(
         spark, f"{base}/in", f"{base}/fps", f"{base}/out", f"{base}/ck")
@@ -2180,8 +2189,9 @@ def q_host_pagerank(spark, sf_dir):
     host, dst = host of ``doc_id*31+7``), 10 iterations — the
     link-centrality quality prior (Common-Crawl-style host ranking)
     computed with the iterative-join pattern of operators/graphrank.py.
-    Ranks round to 6 decimals so cross-engine float-sum order cannot
-    flip the comparison."""
+    Ranks floor-scale to 6 decimals (the module's float-comparison
+    convention) so cross-engine float-sum noise cannot flip the
+    comparison via differing round-half rules."""
     from .operators.graphrank import pagerank
     d = _docs(spark, sf_dir)
     edges = (
@@ -2192,7 +2202,8 @@ def q_host_pagerank(spark, sf_dir):
     )
     pr = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING,
                   weight="w")
-    return pr.select("node", F.round("rank", 6).alias("rank"))
+    return pr.select(
+        "node", (F.floor(F.col("rank") * 1e6) / 1e6).alias("rank"))
 
 
 def _pagerank_sql() -> str:
@@ -2231,7 +2242,7 @@ def _pagerank_sql() -> str:
             "ON t.src = r.node GROUP BY 1) c ON nodes.node = c.node)"
         )
     parts.append(
-        f" SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}")
+        f" SELECT node, floor(rank * 1e6) / 1e6 AS rank FROM r{_PR_ITERS}")
     return "".join(parts)
 
 

@@ -764,3 +764,52 @@ def test_plain_zip_is_unknown():
     with zipfile.ZipFile(buf, "w") as z:
         z.writestr("other.txt", "hi")
     assert oracle.sniff(buf.getvalue()) == "unknown"
+
+
+def test_hex_string_odd_digits_and_garbage():
+    """PDF §7.3.4.3: odd hex digit count implies a final 0; non-hex
+    garbage inside <...> skips the token, never crashes the page."""
+    toks = list(oracle._tokenize_content(b"BT <48656C6C6F2> Tj ET"))
+    strs = [v for k, v in toks if k == "str"]
+    assert strs == ["Hello "]  # trailing 0x20 from the assumed 0
+    toks = list(oracle._tokenize_content(b"BT <XYZ> Tj (ok) Tj ET"))
+    strs = [v for k, v in toks if k == "str"]
+    assert strs == ["ok"]
+
+
+def test_comment_cr_only_eol():
+    """PDF §7.2.3: CR alone ends a line — a % comment must not swallow
+    the CR-terminated next line's operators."""
+    content = (b"BT /F1 12 Tf % note\r72 720 Td (Hello) Tj ET\n"
+               b"BT 72 700 Td (World) Tj ET")
+    shows = oracle._interpret_page(content, 0)
+    assert [s["text"] for s in shows] == ["Hello", "World"]
+
+
+def test_bfrange_array_destination_form():
+    """PDF §9.10.3: bfrange's array form <lo> <hi> [<d1> <d2> ...] maps
+    each code to its own target (and must not be misread as the
+    increment form)."""
+    cmap = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange <0041> <0042> [<0058> <0059>] endbfrange\n"
+            b"1 beginbfrange <0050> <0051> <0061> endbfrange")
+    parsed = oracle._parse_cmap(cmap)
+    assert parsed["map"] == {
+        0x41: "X", 0x42: "Y", 0x50: "a", 0x51: "b"}
+
+
+def test_gzip_docx_with_long_preamble_routes_docx():
+    """A gzip-wrapped DOCX whose word/document.xml member name sits
+    past 2 KB of decompressed preamble must still route docx."""
+    import gzip
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("[Content_Types].xml",
+                   "<Types>" + "<Override/>" * 300 + "</Types>")
+        z.writestr("word/document.xml", "<w:document/>")
+    raw = buf.getvalue()
+    assert raw.index(b"word/document.xml") > 2048
+    assert oracle.sniff(raw) == "docx"
+    assert oracle.sniff(gzip.compress(raw, mtime=0)) == "docx"
