@@ -126,7 +126,13 @@ def make_html(doc_id: int, text: str) -> bytes:
     exercise the list path (reference analogue: Docling list groups,
     ``/root/reference/parse_cv_docling.py:150-160``).
     """
-    paras = chunk_text(text)
+    import html as _h
+    # escape markup characters so the chunk_text golden-text contract
+    # holds for ANY input text (the extractor entity-unescapes, so the
+    # roundtrip restores the original) — the HTML analogue of
+    # _xml_escape (docx) and _pdf_escape (pdf). quote=False: quotes
+    # need no escaping in element content
+    paras = [_h.escape(p, quote=False) for p in chunk_text(text)]
     nav = "".join(
         f'<a href="/{w.lower()}">{w}</a> ' for w in _NAV_ITEMS
     )
@@ -1304,7 +1310,8 @@ def synth_rows(n: int, big_doc_every: int = 97):
     """Generator of n input rows; every ``big_doc_every``-th doc is large
     enough to span multiple PDF pages / long HTML."""
     for doc_id in range(n):
-        if big_doc_every and doc_id % big_doc_every == 96:
+        if (big_doc_every
+                and doc_id % big_doc_every == big_doc_every - 1):
             text = synth_text(doc_id, 600, 1200)
         else:
             text = synth_text(doc_id)

@@ -61,7 +61,7 @@ def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
     """One regex pass over a document → raw blocks + outlink hrefs +
     robots directive.
 
-    Returns ``([(base_kind_code, full_raw, link_raw)], hrefs,
+    Returns ``([(full_raw, link_raw, base_kind_code)], hrefs,
     meta_robots)`` per block with entity-unescaped but *un-normalized*
     text; ``base_kind_code`` already folds in the boilerplate-ancestor
     rule (cheap to track in the scan, and it keeps the batch stage

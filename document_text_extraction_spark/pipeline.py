@@ -198,7 +198,6 @@ def _placement_key(n_buckets: int, salt_plan: dict[int, int]) -> F.Column:
     b = bucket_col(n_buckets)
     if not salt_plan:
         return b.cast("long")
-    factor = F.lit(1)
     # small plan → literal map lookup stays JVM-side
     pairs: list = []
     for k, v in sorted(salt_plan.items()):
@@ -343,11 +342,39 @@ def run_extraction(
     """
     os.makedirs(out_dir, exist_ok=True)
     data_dir = os.path.join(out_dir, "data")
+    # one out_dir belongs to ONE run_id: out_dir/data is shared, so a
+    # second run id in the same directory would wipe+rewrite buckets
+    # that the first run's manifest still marks committed — silent
+    # corruption of its snapshots and counters. Refuse up front.
+    others = [
+        f for f in os.listdir(out_dir)
+        if f.startswith("_manifest_") and f.endswith(".json")
+        and f != os.path.basename(_manifest_path(out_dir, run_id))
+    ]
+    if others:
+        raise ValueError(
+            f"out_dir already holds {others[0]} — one output directory "
+            "per run_id (a second run would overwrite the first run's "
+            "committed bucket data); use a fresh out_dir")
     manifest = _load_manifest(out_dir, run_id) if resume else {
         "run_id": run_id, "n_buckets": None, "slices": {}}
     if manifest["n_buckets"] not in (None, n_buckets):
-        raise ValueError("n_buckets changed mid-run; use a new run_id")
+        raise ValueError(
+            "n_buckets changed mid-run; use a new run_id AND a new "
+            "out_dir")
     manifest["n_buckets"] = n_buckets
+
+    slices = [
+        list(range(s, min(s + slice_buckets, n_buckets)))
+        for s in range(0, n_buckets, slice_buckets)
+    ]
+    # idempotent-resume fast path: a fully-committed run must be a
+    # metadata no-op — without this check the layout probe and salting
+    # pre-pass below would re-scan the corpus (twice, at 100 TB) just
+    # to skip every slice
+    if all(manifest["slices"].get(str(si), {}).get("committed")
+           for si in range(len(slices))):
+        return manifest
 
     if "part_bucket" in pages.columns:
         # the stored bucket layout MUST match this run's n_buckets:
@@ -388,10 +415,6 @@ def run_extraction(
     # each slice below reuses it so per-slice plans stay identical.
     salt_plan = plan_salting(pages, n_buckets) if salt else {}
 
-    slices = [
-        list(range(s, min(s + slice_buckets, n_buckets)))
-        for s in range(0, n_buckets, slice_buckets)
-    ]
     ran = 0
     for si, buckets in enumerate(slices):
         key = str(si)
@@ -492,10 +515,15 @@ def read_snapshot(spark: SparkSession, out_dir: str,
     for key in log[:snapshot_id]:
         buckets.extend(manifest["slices"][key]["buckets"])
     data_dir = os.path.join(out_dir, "data")
-    df = (spark.read.option("basePath", data_dir).parquet(data_dir)
-          if os.path.isdir(data_dir) else None)
-    if df is None or not buckets:
+    # guard BEFORE the read: snapshot 0, or a data dir holding no
+    # partition dirs yet (all committed slices legitimately empty),
+    # must return an empty frame — spark.read.parquet over a fileless
+    # dir raises UNABLE_TO_INFER_SCHEMA
+    has_parts = os.path.isdir(data_dir) and any(
+        d.startswith("part_bucket=") for d in os.listdir(data_dir))
+    if not buckets or not has_parts:
         return spark.createDataFrame([], schema=OUTPUT_SCHEMA)
+    df = spark.read.option("basePath", data_dir).parquet(data_dir)
     return df.filter(F.col("part_bucket").isin(buckets))
 
 

@@ -813,3 +813,24 @@ def test_gzip_docx_with_long_preamble_routes_docx():
     assert raw.index(b"word/document.xml") > 2048
     assert oracle.sniff(raw) == "docx"
     assert oracle.sniff(gzip.compress(raw, mtime=0)) == "docx"
+
+
+def test_html_golden_contract_holds_for_markup_text():
+    """make_html escapes interpolated text (like _xml_escape/_pdf_escape
+    on the other routes), so the chunk_text golden contract holds for
+    text carrying markup characters — previously tags were swallowed."""
+    cases = [
+        "alpha <b>beta</b> gamma four five six seven eight nine ten",
+        "price &amp; terms apply now one two three four five",
+        "a <p> b c d e f g h i j",
+    ]
+    for t in cases:
+        rec = oracle.extract_document(corpus.make_html(1, t))
+        assert rec["status"] == "ok"
+        assert rec["extracted_text"] == "\n".join(corpus.chunk_text(t)), t
+
+
+def test_synth_rows_big_doc_interval_param():
+    rows = list(corpus.synth_rows(120, big_doc_every=40))
+    big = [r for r in rows if len(r["text"]) > 2500]
+    assert len(big) == 3  # doc_ids 39, 79, 119

@@ -225,3 +225,44 @@ def test_resume_wipes_partial_slice_garbage(spark, pages, tmp_path):
     data = spark.read.parquet(out_dir + "/data")
     assert data.count() == N_DOCS
     assert data.select("url").distinct().count() == N_DOCS
+
+
+def test_resume_of_complete_run_is_metadata_noop(spark, pages, tmp_path):
+    """Re-running a fully-committed run must not rescan the corpus: the
+    fast path returns straight from the manifest (asserted by the total
+    absence of new Spark jobs via the statusTracker)."""
+    out = str(tmp_path / "noop")
+    pipeline.run_extraction(spark, pages, out, n_buckets=8,
+                            slice_buckets=4, salt=False)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    m = pipeline.run_extraction(spark, pages, out, n_buckets=8,
+                                slice_buckets=4, salt=False)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert all(s["committed"] for s in m["slices"].values())
+    assert after == before, "resume of a complete run launched Spark jobs"
+
+
+def test_out_dir_is_exclusive_to_one_run_id(spark, pages, tmp_path):
+    """out_dir/data is shared storage: a second run_id in the same
+    out_dir would wipe buckets the first run's manifest marks committed
+    — must be refused."""
+    out = str(tmp_path / "excl")
+    pipeline.run_extraction(spark, pages, out, n_buckets=8,
+                            slice_buckets=4, salt=False, run_id="runA")
+    with pytest.raises(ValueError, match="one output directory"):
+        pipeline.run_extraction(spark, pages, out, n_buckets=8,
+                                slice_buckets=4, salt=False,
+                                run_id="runB")
+
+
+def test_read_snapshot_zero_and_empty(spark, pages, tmp_path):
+    out = str(tmp_path / "snap0")
+    pipeline.run_extraction(spark, pages, out, n_buckets=8,
+                            slice_buckets=4, salt=False)
+    assert pipeline.read_snapshot(spark, out, snapshot_id=0).count() == 0
+    # an out_dir with no data at all
+    empty = str(tmp_path / "nothing")
+    import os
+    os.makedirs(empty, exist_ok=True)
+    assert pipeline.read_snapshot(spark, empty).count() == 0
