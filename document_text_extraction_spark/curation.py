@@ -49,8 +49,15 @@ def _write_read(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
 
 
 def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
-           run_id: str = "run1", near_threshold: float = 0.5) -> dict:
+           run_id: str = "run1", near_threshold: float = 0.5,
+           cluster_dedup: bool = False) -> dict:
     """Run the four curation stages with materialization between them.
+
+    ``cluster_dedup=True`` switches the near-dup stage from the
+    pairwise drop-higher-id policy (the oracle-checkable default) to
+    transitive-safe connected-components cluster dedup — the policy a
+    production run should use on corpora where near-dup CHAINS occur
+    (A~B~C without A~C).
 
     ``docs`` needs (doc_id, text). All stage data lives under
     ``{out_dir}/{run_id}/`` (concurrent or repeated runs with distinct
@@ -64,6 +71,8 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
     base = f"{out_dir}/{run_id}"
     os.makedirs(base, exist_ok=True)
     manifest: dict = {"run_id": run_id, "near_threshold": near_threshold,
+                      "near_dedup_policy": ("cluster" if cluster_dedup
+                                            else "pairwise"),
                       "data_dir": base, "stages": {}}
 
     def commit() -> None:
@@ -92,11 +101,21 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
 
     pairs = dedup.minhash_near_duplicates(unique,
                                           threshold=near_threshold)
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = _write_read(spark,
-                       unique.join(F.broadcast(drop), "doc_id",
-                                   "left_anti"),
-                       f"{base}/stage3_kept")
+    if cluster_dedup:
+        # transitive-safe cluster semantics: connected components over
+        # the pair graph, one representative (min id) per cluster —
+        # the production web-dedup policy (operators/components.py
+        # explains why pairwise dropping is not transitive-safe)
+        from .operators.components import keep_cluster_representative
+        survivors = keep_cluster_representative(unique, pairs)
+    else:
+        # pairwise policy (drop the higher id of every pair) — the
+        # oracle-checkable default, matching q_curate_corpus and its
+        # DuckDB replica; on chained near-dup clusters it keeps every
+        # member not directly paired with a survivor
+        drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        survivors = unique.join(F.broadcast(drop), "doc_id", "left_anti")
+    kept = _write_read(spark, survivors, f"{base}/stage3_kept")
     n_kept = kept.count()
     manifest["stages"]["near_dedup"] = {"in": n_unique, "out": n_kept}
     commit()

@@ -51,6 +51,7 @@ def resolve_href_col(base: Column, href: Column) -> Column:
     * root-relative ``/p`` → base origin + href;
     * fragment-only ``#x`` → the base url (its own fragment stripped)
       + fragment (RFC 3986 §4.4, matching ``urllib.parse.urljoin``);
+    * query-only ``?x`` → base path kept, query replaced (also §4.4);
     * path-relative ``p`` → base origin + base directory + href
       (no ``..`` normalization — crawl hrefs rarely need it, and the
       canonicalizer is a separate pass).
@@ -72,6 +73,11 @@ def resolve_href_col(base: Column, href: Column) -> Column:
         .when(href.startswith("/"), F.concat(origin, href))
         .when(href.startswith("#"),
               F.concat(F.regexp_replace(base, "#.*$", ""), href))
+        # query-only ref (RFC 3986 §4.4 / urljoin): replaces the query,
+        # KEEPS the base path — resolving '?page=2' against the base
+        # directory would drop the filename pagination points at
+        .when(href.startswith("?"),
+              F.concat(F.regexp_replace(base, r"[?#].*$", ""), href))
         .otherwise(F.concat(origin, base_dir, href))
     )
 

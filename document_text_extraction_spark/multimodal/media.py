@@ -121,14 +121,18 @@ def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             continue
         payloads = [bytes(p) if p is not None else b"" for p in b["payload"]]
         lens = np.array([len(p) for p in payloads], dtype=np.int64)
-        # entropy, vectorized: per-row byte histogram via a single
-        # bincount keyed by row_id*256 + byte_value
-        blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-        if len(blob):
-            row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
-            counts = np.bincount(
-                row_ids * 256 + blob, minlength=n * 256
-            ).reshape(n, 256)
+        # entropy: one C-level bincount PER ROW. The earlier global
+        # formulation (bincount over row_id*256 + byte) was a single
+        # call but materialized ~16 transient bytes of int64 per
+        # payload byte — an OOM hazard once payloads are video-sized;
+        # the per-row loop allocates a constant 256 longs per row and
+        # each bincount is still a C pass over the payload
+        counts = np.zeros((n, 256), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            if p:
+                counts[i] = np.bincount(
+                    np.frombuffer(p, dtype=np.uint8), minlength=256)
+        if counts.any():
             probs = counts / np.maximum(lens, 1)[:, None]
             with np.errstate(divide="ignore", invalid="ignore"):
                 plogp = np.where(counts > 0, probs * np.log2(probs), 0.0)
@@ -236,13 +240,17 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     """Audio chunking plan: one row per (media_id, chunk_start_ms) —
     JVM-side explode over the duration; decode happens per chunk in the
     deployment's decoder (same shape as frame_sample_plan)."""
+    # duration_ms == -1 is the schema's 'n/a' sentinel: such rows have
+    # nothing plannable (the old greatest() guard emitted a chunk whose
+    # end preceded its start) — they are skipped, not given fake work
     return (
-        media.filter(F.col("kind") == "audio")
+        media.filter((F.col("kind") == "audio")
+                     & (F.col("duration_ms") > 0))
         .select(
             "media_id", "duration_ms",
             F.explode(
                 F.sequence(F.lit(0),
-                           F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                           F.col("duration_ms") - 1,
                            F.lit(chunk_ms))
             ).alias("chunk_start_ms"),
         )
@@ -258,8 +266,11 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts) —
     the explode is JVM-side; actual frame decode is the stubbed hook."""
+    # duration_ms <= 0 (the -1 'n/a' sentinel, or empty media) has no
+    # frames to plan — and sequence(0, -1, step) is a runtime error
     return (
-        media.filter(F.col("kind") == "video")
+        media.filter((F.col("kind") == "video")
+                     & (F.col("duration_ms") >= 0))
         .select(
             "media_id",
             F.explode(

@@ -26,13 +26,21 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HOST_PATTERN = r"https?://([^/]+)"
+_HOSTPORT_PATTERN = r"^[^:/?#]+://([^/?#]*)"
 
 
 def host_of(url=None) -> F.Column:
-    """The url's host — the blocklist match key."""
-    return F.regexp_extract(url if url is not None else F.col("url"),
-                            _HOST_PATTERN, 1)
+    """The url's HOST — the blocklist match key.
+
+    The authority must stop at '/', '?' and '#' (the naive
+    ``https?://([^/]+)`` let ``https://blocked.example?x=1`` extract
+    ``blocked.example?x=1`` and sail past the blocklist), and userinfo
+    / port decorations must not defeat an exact-host entry either:
+    ``u@blocked.example:8443`` matches ``blocked.example``."""
+    u = url if url is not None else F.col("url")
+    hostport = F.regexp_extract(u, _HOSTPORT_PATTERN, 1)
+    no_user = F.regexp_replace(hostport, r"^[^@]*@", "")
+    return F.regexp_replace(no_user, r":\d+$", "")
 
 
 def blocklist_filter(pages: DataFrame,

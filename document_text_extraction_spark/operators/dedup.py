@@ -253,12 +253,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         sb = sizes.select(F.col(id_col).alias("id_b"),
                           F.col("n_sh").alias("n_b"))
         # floor-scaling (not round) so the value is bit-stable vs the
-        # DuckDB oracle: both engines divide the same exact integers
+        # DuckDB oracle: both engines divide the same exact integers.
+        # No broadcast hints: sizes is one row per DOCUMENT (huge at
+        # corpus scale) while pair_inter is the small side — AQE's
+        # runtime join selection broadcasts the right side
         jac_raw = (F.col("inter")
                    / (F.col("n_a") + F.col("n_b") - F.col("inter")))
         return (
-            pair_inter.join(F.broadcast(sa), "id_a")
-            .join(F.broadcast(sb), "id_b")
+            pair_inter.join(sa, "id_a")
+            .join(sb, "id_b")
             .filter(jac_raw >= threshold)
             .select(
                 "id_a", "id_b",

@@ -88,7 +88,12 @@ def cosine_topk_join(df: DataFrame, query_df: DataFrame, k: int = 10,
 
 def _probe_masks(n_planes: int, hamming_probe: int) -> list[int]:
     """XOR masks enumerating all buckets within Hamming<=probe of the
-    query bucket (deterministic, driver-side ints)."""
+    query bucket (deterministic, driver-side ints). probe>2 is not
+    implemented — refuse rather than silently return probe-2 recall."""
+    if hamming_probe > 2:
+        raise ValueError(
+            f"hamming_probe={hamming_probe} not supported (max 2); "
+            "higher probes would silently degrade to 2")
     masks = [0]
     if hamming_probe >= 1:
         masks += [1 << p for p in range(n_planes)]
@@ -173,6 +178,10 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  n_planes: int = 12, hamming_probe: int = 1) -> DataFrame:
     """Approximate top-k: probe the query bucket ± Hamming<=probe buckets,
     exact cosine re-rank inside."""
+    if hamming_probe > 2:
+        raise ValueError(
+            f"hamming_probe={hamming_probe} not supported (max 2); "
+            "higher probes would silently degrade to 2")
     dim = len(query_vec)
     planes = _planes(dim, n_planes)
     qbits = 0

@@ -46,7 +46,10 @@ def make_sessionizer(gap_seconds: int):
             return
         ts: list[int] = []
         for pdf in pdfs:
-            ts.extend(int(v) for v in pdf["ts_us"])
+            # null/uncastable event times surface as NaN here; int(NaN)
+            # would kill the task (and the query) — drop them, matching
+            # the batch sessionizer's null-last window ordering
+            ts.extend(int(v) for v in pdf["ts_us"] if v == v)
         ts.sort()
         if state.exists:
             start_us, end_us, n = state.get

@@ -19,11 +19,19 @@ def streaming_dedup(stream: DataFrame, key_cols: list[str],
     """Streaming exact dedup: first record per key wins; the watermark
     bounds the dedup state (keys older than it are evicted — the
     streaming form of `deduplicate_keep_first`, with the same
-    'first capture wins' semantics inside the watermark horizon)."""
+    'first capture wins' semantics inside the watermark horizon).
+
+    ``dropDuplicatesWithinWatermark``, not ``dropDuplicates``: with a
+    key-only subset, plain dropDuplicates never applies the watermark
+    to its state store (eviction only happens when the event-time
+    column is part of the dedup keys), so a long-running crawl stream
+    would grow one state entry per key forever. The WithinWatermark
+    form is exactly the bounded-state contract this function
+    documents."""
     return (
         stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(list(key_cols))
+        .dropDuplicatesWithinWatermark(list(key_cols))
     )
 
 

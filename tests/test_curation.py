@@ -135,3 +135,36 @@ def test_contamination_probe_is_broadcast(spark):
     plan = (ct.contamination_report(docs, bench, k=8)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_curate_cluster_dedup_collapses_chains(spark, tmp_path):
+    """A near-dup CHAIN A~B~C (A and C not directly similar) keeps two
+    members under the pairwise policy but exactly one representative
+    under cluster_dedup=True (connected components)."""
+    # sliding 60-word windows, shift 10: adjacent jaccard ≈ 0.71
+    # (pairs detected — LSH is deterministic for fixed input/seeds),
+    # ends jaccard ≈ 0.49 < threshold → a genuine A~B~C chain. 60
+    # words also passes the Gopher min-word gate.
+    w = [f"tok{i:02d}" for i in range(80)]
+    a, b, c = (" ".join(w[0:60]), " ".join(w[10:70]),
+               " ".join(w[20:80]))
+    # the MIDDLE of the chain gets the HIGHEST id: detected pairs are
+    # (1,3) and (2,3), so the pairwise policy drops only doc 3 and
+    # under-deduplicates (keeps 1 AND 2, transitively similar via 3)
+    docs = spark.createDataFrame(
+        [(1, a), (3, b), (2, c)], ["doc_id", "text"])
+    pair_m = curate(spark, docs, str(tmp_path / "p"), run_id="pw",
+                    near_threshold=0.5)
+    clus_m = curate(spark, docs, str(tmp_path / "c"), run_id="cl",
+                    near_threshold=0.5, cluster_dedup=True)
+    assert pair_m["near_dedup_policy"] == "pairwise"
+    assert clus_m["near_dedup_policy"] == "cluster"
+    # chain detected: (1,2) and (2,3) pairs at least; pairwise drops the
+    # id_b side only, cluster keeps exactly one of {1,2,3}
+    assert clus_m["docs_out"] < pair_m["docs_out"]
+    kept_ids = {
+        r["doc_id"] for r in
+        spark.read.parquet(str(tmp_path / "c" / "cl" / "curated"))
+        .select("doc_id").collect()
+    }
+    assert len(kept_ids & {1, 2, 3}) == 1
