@@ -2315,6 +2315,46 @@ SQL_LINK_GRAPH = (
 )
 
 
+def q_robots_txt_filter(spark, sf_dir):
+    """robots.txt PROTOCOL compliance (RFC 9309, complementing the
+    meta-robots tag): per-host robots bodies are planted — every 3rd
+    host disallows two source prefixes for '*' (with a decoy stanza
+    for another agent), the next third disallows a prefix nothing
+    matches — parsed by the real JVM rule parser and applied by the
+    real filter; output is per-host surviving page counts. The oracle
+    reconstructs the planted policy arithmetically."""
+    from .operators import robots as rb
+    pages = web_pages_from_documents(spark, sf_dir).select("url")
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    hosts = pages.select(host.alias("host")).distinct()
+    num = F.substring("host", 5, 2).cast("int")
+    body = (
+        F.when(num % 3 == 0, F.lit(
+            "# crawl policy\nUser-agent: archiver\n"
+            "Disallow: /keep-out/\n\n"
+            "User-agent: *\nDisallow: /src3/\nDisallow: /src7/\n"))
+        .when(num % 3 == 1, F.lit(
+            "User-agent: *\nDisallow: /nothing-here/\n"))
+    )
+    robots_tbl = (hosts.select("host", body.alias("body"))
+                  .filter(F.col("body").isNotNull()))
+    rules = rb.parse_robots_rules(robots_tbl, user_agent="*")
+    kept = rb.robots_filter(pages, rules)
+    return (
+        kept.groupBy(
+            F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+SQL_ROBOTS_TXT = (
+    f"SELECT {HOST_SQL} AS host, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents WHERE NOT ("
+    "least(49, CAST(floor(50 * pow((doc_id % 1000) / 1000.0, 3)) "
+    "AS INT)) % 3 = 0 AND source IN ('src3', 'src7')) GROUP BY 1"
+)
+
+
 def q_latest_capture(spark, sf_dir):
     """Re-crawl snapshot compaction: a crawl table accumulates multiple
     captures per url; keep the NEWEST (max warc_ts) row of each — one
@@ -2480,6 +2520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_failure_budget": q_pdf_failure_budget,
     "extract_fail_reasons": q_extract_fail_reasons,
     "robots_noindex": q_robots_noindex,
+    "robots_txt_filter": q_robots_txt_filter,
     "link_graph": q_link_graph,
     # -- unchecked in round 2 (pushed past the 50-query window) --------
     "incremental_dedup": q_incremental_dedup,
@@ -2517,9 +2558,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
-    "quality_scores": q_quality_scores,
     # ---- position 51+: long-stable greens (r2 rows + pytest),
     # OUTSIDE the driver's 50-query window this round ------------------
+    "quality_scores": q_quality_scores,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
     "host_topk": q_host_topk,
@@ -2589,6 +2630,7 @@ ORACLE_SQL: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "host_pagerank": SQL_HOST_PAGERANK,
     "robots_noindex": SQL_ROBOTS_NOINDEX,
+    "robots_txt_filter": SQL_ROBOTS_TXT,
     "link_graph": SQL_LINK_GRAPH,
     "latest_capture": SQL_LATEST_CAPTURE,
     "blocklist_filter": SQL_BLOCKLIST,
