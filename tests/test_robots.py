@@ -63,3 +63,29 @@ def test_filter_prefix_semantics(spark):
     # c.example disallows '/' for evilbot → page 5 gone; a.example's
     # '*' rules apply (no evilbot group there)
     assert evil_kept == [2, 3, 4, 6, 7]
+
+
+def test_crlf_tabs_and_empty_exemption(spark):
+    """RFC 9309 whitespace: CRLF line endings and tab separators must
+    not defeat parsing; an agent whose own group is the allow-all
+    'Disallow:' exemption must NOT inherit the '*' rules."""
+    body = ("User-agent: mybot\r\nDisallow:\r\n\r\n"
+            "User-agent: *\r\nDisallow:\t/private/\r\n")
+    r = spark.createDataFrame([("x.example", body)], ["host", "body"])
+    star = {x["host"]: list(x["disallow"])
+            for x in parse_robots_rules(r, "*").collect()}
+    assert star == {"x.example": ["/private/"]}
+    # mybot's own allow-all group suppresses the '*' fallback entirely
+    assert parse_robots_rules(r, "mybot").count() == 0
+
+
+def test_mixed_case_host_still_matches(spark):
+    r = spark.createDataFrame(
+        [("A.Example", "User-agent: *\nDisallow: /no/\n")],
+        ["host", "body"])
+    pages = spark.createDataFrame(
+        [(1, "https://a.EXAMPLE/no/x"), (2, "https://a.example/yes/x")],
+        ["doc_id", "url"])
+    kept = sorted(x["doc_id"] for x in
+                  robots_filter(pages, parse_robots_rules(r)).collect())
+    assert kept == [2]
