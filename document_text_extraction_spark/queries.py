@@ -1861,6 +1861,45 @@ SQL_SIMHASH = _simhash_sql()
 # events: sessionization / windows (O25, O28, O34 analogues)
 # ---------------------------------------------------------------------------
 
+def q_asof_last_signup(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): every purchase event
+    matched to the same user's most recent signup at or before the
+    purchase time — the point-in-time join DuckDB validates natively
+    with ASOF LEFT JOIN. event_id is the tie-break so equal-timestamp
+    right rows resolve deterministically in both engines."""
+    from .operators.asof import asof_join
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts")
+    j = asof_join(purchases, signups, key_col="user_id",
+                  tiebreak_col="event_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.coalesce(F.col("event_id_asof"), F.lit(-1)).cast("long")
+        .alias("signup_event_id"),
+        F.coalesce(
+            F.unix_micros(F.col("ts_asof").cast("timestamp")),
+            F.lit(-1)).cast("long").alias("signup_ts_us"),
+    )
+
+
+SQL_ASOF_SIGNUP = (
+    "WITH p AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'purchase'), "
+    "s AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'signup') "
+    "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, "
+    "CAST(coalesce(s.event_id, -1) AS BIGINT) AS signup_event_id, "
+    "CAST(coalesce(epoch_us(s.ts), -1) AS BIGINT) AS signup_ts_us "
+    "FROM p ASOF LEFT JOIN s "
+    "ON p.user_id = s.user_id AND p.ts >= s.ts"
+)
+
+
 def q_sessions_per_user(spark, sf_dir):
     """O25 gaps-and-islands: sessions with 10-minute inactivity gap."""
     e = _events(spark, sf_dir)
@@ -2521,6 +2560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_fail_reasons": q_extract_fail_reasons,
     "robots_noindex": q_robots_noindex,
     "robots_txt_filter": q_robots_txt_filter,
+    "asof_last_signup": q_asof_last_signup,
     "link_graph": q_link_graph,
     # -- unchecked in round 2 (pushed past the 50-query window) --------
     "incremental_dedup": q_incremental_dedup,
@@ -2634,6 +2674,7 @@ ORACLE_SQL: dict[str, str] = {
     "host_pagerank": SQL_HOST_PAGERANK,
     "robots_noindex": SQL_ROBOTS_NOINDEX,
     "robots_txt_filter": SQL_ROBOTS_TXT,
+    "asof_last_signup": SQL_ASOF_SIGNUP,
     "link_graph": SQL_LINK_GRAPH,
     "latest_capture": SQL_LATEST_CAPTURE,
     "blocklist_filter": SQL_BLOCKLIST,

@@ -363,3 +363,35 @@ def test_sql_api_views(spark):
         "ON e.url LIKE '%/' || d.doc_id AND e.lineage.status = 'ok'"
     ).first()["n"]
     assert joined > 0
+
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive as-of: equal timestamps match; later right
+    rows don't; no preceding right row → nulls; tie-break picks the
+    LAST right row by the tie column; and the plan is the single-
+    shuffle union+window form (no cartesian, no range join)."""
+    import datetime as dt
+
+    from document_text_extraction_spark.operators.asof import asof_join
+    from document_text_extraction_spark.plans import plan_report
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(2)), (3, 10, t(1)), (4, 20, t(9))],
+        ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(101, 10, t(2)), (102, 10, t(4)), (103, 10, t(4)),
+         (104, 30, t(0))],
+        ["event_id", "user_id", "ts"])
+    out = {r["event_id"]: (r["event_id_asof"], r["ts_asof"])
+           for r in asof_join(left, right, key_col="user_id",
+                              tiebreak_col="event_id").collect()}
+    assert out[1] == (103, t(4))   # tie at t(4): highest id wins
+    assert out[2] == (101, t(2))   # inclusive equality
+    assert out[3] == (None, None)  # nothing at or before t(1)
+    assert out[4] == (None, None)  # user 20 has no right rows
+    rep = plan_report(asof_join(left, right, key_col="user_id"))
+    assert not rep["has_cartesian"], rep["plan"]
+    assert rep["plan"].count("Exchange") <= 2, rep["plan"]
