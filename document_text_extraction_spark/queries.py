@@ -2590,7 +2590,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
     "extract_route_counts": q_extract_route_counts,
     "extract_status_counts": q_extract_status_counts,
-    "extract_pdf_block_counts": q_extract_pdf_block_counts,
     # -- core curation/dedup (green r2) --------------------------------
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -2600,10 +2599,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     # ---- position 51+: long-stable greens (r2 rows + pytest),
     # OUTSIDE the driver's 50-query window this round. Rotated out to
-    # make room for new queries: extract_volume_by_route (its route
-    # coverage overlaps route_counts + status_counts, both still in
+    # make room for new queries: extract_volume_by_route and
+    # extract_pdf_block_counts (route/per-page coverage overlaps
+    # route_counts + status_counts + the PDF roundtrips, all still in
     # the window), gopher_quality, pack_sequences -------------------
     "extract_volume_by_route": q_extract_volume_by_route,
+    "extract_pdf_block_counts": q_extract_pdf_block_counts,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
     "host_topk": q_host_topk,
