@@ -63,3 +63,39 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     out_cols = list(left.columns) + [f"{c}{suffix}" for c in rp] \
         + [f"{ts_col}{suffix}"]
     return filled.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_col: str, start_col: str, end_col: str,
+               key_cols: list[str] | None = None,
+               bin_size: float = 3600.0) -> DataFrame:
+    """Interval-containment join: every (point, interval) pair with
+    ``start <= point < end`` (and equal ``key_cols``), WITHOUT the
+    inequality-join cross product.
+
+    Banding trick: each interval explodes into the time bins it covers
+    (``floor(start/bin) .. floor((end - ε)/bin)``), each point tags its
+    single bin, and the join becomes an EQUI-join on (keys, bin)
+    followed by the exact range predicate. A point's bin is unique, so
+    each qualifying pair appears exactly once — no dedup. Shuffle cost
+    is O(points + intervals × interval_len/bin): pick ``bin_size``
+    near the typical interval length (numeric columns — epoch seconds,
+    positions, offsets — all work; Spark's own plan for a raw
+    inequality join is BroadcastNestedLoop/cartesian, which this
+    avoids at any scale)."""
+    keys = list(key_cols or [])
+    lo_bin = F.floor(F.col(start_col) / bin_size)
+    hi_bin = F.floor((F.col(end_col)
+                      - F.lit(1e-9)) / bin_size)
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(F.sequence(lo_bin.cast("long"),
+                             F.greatest(hi_bin.cast("long"),
+                                        lo_bin.cast("long")))),
+    )
+    pt = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / bin_size).cast("long"))
+    cond = (F.col(start_col) <= F.col(point_col)) & (
+        F.col(point_col) < F.col(end_col))
+    joined = pt.join(iv, [*keys, "__bin"]).filter(cond)
+    return joined.drop("__bin")

@@ -1900,6 +1900,58 @@ SQL_ASOF_SIGNUP = (
 )
 
 
+_RJ_HOUR_US = 3_600_000_000
+_RJ_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def q_range_join_windows(spark, sf_dir):
+    """Interval-containment (range) join via the banding trick
+    (operators/asof.range_join): every event matched into planted
+    per-user maintenance windows (3 irregular intervals per user,
+    17h-stepped starts, widths 20/40/60h). The equi-join on
+    (user, time-bin) + exact predicate replaces the
+    BroadcastNestedLoop plan a raw inequality join would get; the
+    oracle recomputes the pair set with a plain range-predicate join
+    in DuckDB."""
+    from .operators.asof import range_join
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"))
+    users = pts.select("user_id").distinct()
+    k = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k")
+    ivs = users.select("user_id", k)
+    start = (F.lit(_RJ_BASE_US)
+             + ((F.col("user_id") % 29) * 17 + F.col("k") * 160)
+             * _RJ_HOUR_US)
+    ivs = ivs.select(
+        "user_id", F.col("k").cast("long").alias("interval_id"),
+        start.cast("long").alias("start_us"),
+        (start + (F.col("k") + 1) * 20 * _RJ_HOUR_US).cast("long")
+        .alias("end_us"))
+    j = range_join(pts, ivs, "t_us", "start_us", "end_us",
+                   key_cols=["user_id"],
+                   bin_size=float(20 * _RJ_HOUR_US))
+    return j.select("event_id", "user_id", "interval_id")
+
+
+SQL_RANGE_JOIN = (
+    "WITH pts AS (SELECT event_id, user_id, epoch_us(ts) AS t_us "
+    "FROM events), "
+    "u AS (SELECT DISTINCT user_id FROM pts), "
+    f"iv AS (SELECT user_id, k AS interval_id, "
+    f"{_RJ_BASE_US} + ((user_id % 29) * 17 + k * 160) * {_RJ_HOUR_US} "
+    "AS start_us, "
+    f"{_RJ_BASE_US} + ((user_id % 29) * 17 + k * 160) * {_RJ_HOUR_US} "
+    f"+ (k + 1) * 20 * {_RJ_HOUR_US} AS end_us "
+    "FROM u CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)) "
+    "SELECT p.event_id, p.user_id, CAST(iv.interval_id AS BIGINT) "
+    "AS interval_id "
+    "FROM pts p JOIN iv ON p.user_id = iv.user_id "
+    "AND iv.start_us <= p.t_us AND p.t_us < iv.end_us"
+)
+
+
 def q_sessions_per_user(spark, sf_dir):
     """O25 gaps-and-islands: sessions with 10-minute inactivity gap."""
     e = _events(spark, sf_dir)
@@ -2561,6 +2613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_noindex": q_robots_noindex,
     "robots_txt_filter": q_robots_txt_filter,
     "asof_last_signup": q_asof_last_signup,
+    "range_join_windows": q_range_join_windows,
     "link_graph": q_link_graph,
     # -- unchecked in round 2 (pushed past the 50-query window) --------
     "incremental_dedup": q_incremental_dedup,
@@ -2587,7 +2640,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_type3_roundtrip": q_extract_pdf_type3_roundtrip,
     "extract_pdf_rotated_roundtrip": q_extract_pdf_rotated_roundtrip,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
-    "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
     "extract_route_counts": q_extract_route_counts,
     "extract_status_counts": q_extract_status_counts,
     # -- core curation/dedup (green r2) --------------------------------
@@ -2605,6 +2657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the window), gopher_quality, pack_sequences -------------------
     "extract_volume_by_route": q_extract_volume_by_route,
     "extract_pdf_block_counts": q_extract_pdf_block_counts,
+    "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
     "host_topk": q_host_topk,
@@ -2676,6 +2729,7 @@ ORACLE_SQL: dict[str, str] = {
     "robots_noindex": SQL_ROBOTS_NOINDEX,
     "robots_txt_filter": SQL_ROBOTS_TXT,
     "asof_last_signup": SQL_ASOF_SIGNUP,
+    "range_join_windows": SQL_RANGE_JOIN,
     "link_graph": SQL_LINK_GRAPH,
     "latest_capture": SQL_LATEST_CAPTURE,
     "blocklist_filter": SQL_BLOCKLIST,

@@ -395,3 +395,29 @@ def test_asof_join_semantics(spark):
     rep = plan_report(asof_join(left, right, key_col="user_id"))
     assert not rep["has_cartesian"], rep["plan"]
     assert rep["plan"].count("Exchange") <= 2, rep["plan"]
+
+
+def test_range_join_banding_correct_and_no_cartesian(spark):
+    """Banding range join: exact containment semantics (boundary
+    inclusive start / exclusive end, intervals spanning many bins,
+    point in no interval) with an equi-join plan — never
+    BroadcastNestedLoop/cartesian."""
+    from document_text_extraction_spark.operators.asof import range_join
+    from document_text_extraction_spark.plans import plan_report
+
+    pts = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 10.0), (3, "a", 99.0), (4, "b", 5.0),
+         (5, "a", 250.0)],
+        ["pid", "k", "t"])
+    ivs = spark.createDataFrame(
+        [("a", 100, 5.0, 10.0),    # [5,10): catches t=5, not t=10
+         ("a", 101, 8.0, 300.0),   # spans many 10-unit bins
+         ("b", 102, 0.0, 4.0)],    # t=5 outside
+        ["k", "iid", "lo", "hi"])
+    out = range_join(pts, ivs, "t", "lo", "hi", key_cols=["k"],
+                     bin_size=10.0)
+    pairs = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert pairs == [(1, 100), (2, 101), (3, 101), (5, 101)]
+    rep = plan_report(out)
+    assert not rep["has_cartesian"], rep["plan"]
+    assert "NestedLoop" not in rep["plan"], rep["plan"]
