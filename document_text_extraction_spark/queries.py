@@ -1952,6 +1952,42 @@ SQL_RANGE_JOIN = (
 )
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Multi-resolution continuous aggregate (operators/rollup.py):
+    hourly buckets from raw events, daily buckets RE-AGGREGATED from
+    the hourly level (never rescanning raw — the hypertable property).
+    Output is the union of both levels tagged by resolution; the
+    oracle computes each level straight from raw events, which must be
+    identical because count/sum/min/max re-aggregate exactly (sums in
+    integer cents, so no float-order drift)."""
+    from .operators.rollup import hypertable_rollup
+    ev = _events(spark, sf_dir)
+    levels = hypertable_rollup(ev, resolutions=(3600, 86400))
+    tagged = [
+        df.select(F.lit(r).cast("long").alias("resolution_s"), "*")
+        for r, df in levels.items()
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+SQL_HYPERTABLE = (
+    "SELECT CAST(r AS BIGINT) AS resolution_s, "
+    "CAST(floor(epoch(ts) / r) * r AS BIGINT) AS bucket_start_s, "
+    "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+    "AS total_value, "
+    "CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+    "AS min_value, "
+    "CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+    "AS max_value "
+    "FROM events CROSS JOIN (SELECT unnest([3600, 86400]) AS r) "
+    "GROUP BY 1, 2, 3"
+)
+
+
 def q_sessions_per_user(spark, sf_dir):
     """O25 gaps-and-islands: sessions with 10-minute inactivity gap."""
     e = _events(spark, sf_dir)
@@ -2614,6 +2650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_txt_filter": q_robots_txt_filter,
     "asof_last_signup": q_asof_last_signup,
     "range_join_windows": q_range_join_windows,
+    "hypertable_rollup": q_hypertable_rollup,
     "link_graph": q_link_graph,
     # -- unchecked in round 2 (pushed past the 50-query window) --------
     "incremental_dedup": q_incremental_dedup,
@@ -2641,7 +2678,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_rotated_roundtrip": q_extract_pdf_rotated_roundtrip,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
     "extract_route_counts": q_extract_route_counts,
-    "extract_status_counts": q_extract_status_counts,
     # -- core curation/dedup (green r2) --------------------------------
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -2658,6 +2694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_volume_by_route": q_extract_volume_by_route,
     "extract_pdf_block_counts": q_extract_pdf_block_counts,
     "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
+    "extract_status_counts": q_extract_status_counts,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
     "host_topk": q_host_topk,
@@ -2730,6 +2767,7 @@ ORACLE_SQL: dict[str, str] = {
     "robots_txt_filter": SQL_ROBOTS_TXT,
     "asof_last_signup": SQL_ASOF_SIGNUP,
     "range_join_windows": SQL_RANGE_JOIN,
+    "hypertable_rollup": SQL_HYPERTABLE,
     "link_graph": SQL_LINK_GRAPH,
     "latest_capture": SQL_LATEST_CAPTURE,
     "blocklist_filter": SQL_BLOCKLIST,

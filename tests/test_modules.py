@@ -421,3 +421,52 @@ def test_range_join_banding_correct_and_no_cartesian(spark):
     rep = plan_report(out)
     assert not rep["has_cartesian"], rep["plan"]
     assert "NestedLoop" not in rep["plan"], rep["plan"]
+
+
+def test_hypertable_rollup_derives_coarse_from_fine(spark, tmp_path):
+    """The hypertable property: the daily level re-aggregates the
+    hourly level — its plan scans the raw table exactly ONCE (stacked
+    aggregates), and its values equal a direct daily groupBy of raw."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from document_text_extraction_spark.operators.rollup import (
+        hypertable_rollup,
+    )
+    from document_text_extraction_spark.plans import plan_report
+    rows = []
+    for i in range(200):
+        rows.append((dt.datetime(2024, 1, 1 + i % 3, i % 24, i % 60),
+                     "t%d" % (i % 2), float(i) / 7.0))
+    ev = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    p = str(tmp_path / "ev")
+    ev.write.parquet(p)
+    ev = spark.read.parquet(p)
+    levels = hypertable_rollup(ev, resolutions=(3600, 86400))
+    daily = levels[86400]
+    import re as _re
+    plan = plan_report(daily)["plan"]
+    # one scan NODE (the formatted plan prints each node in the tree
+    # and again in the detail section — count numbered node headers)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # and FOUR stacked HashAggregates: hourly partial+final feeding
+    # daily partial+final — the re-aggregation shape
+    assert len(_re.findall(r"\(\d+\) HashAggregate", plan)) == 4, plan
+    from pyspark.sql import functions as FF
+    direct = (
+        ev.groupBy(
+            (FF.floor(FF.unix_micros(FF.col("ts").cast("timestamp"))
+                      / 1_000_000 / 86400) * 86400).cast("long")
+            .alias("bucket_start_s"), "event_type")
+        .agg(FF.count("*").cast("long").alias("n_events"),
+             FF.sum(FF.round(FF.col("value") * 100).cast("long"))
+             .alias("total_value"))
+    )
+    got = {(r["bucket_start_s"], r["event_type"]):
+           (r["n_events"], r["total_value"]) for r in daily.collect()}
+    want = {(r["bucket_start_s"], r["event_type"]):
+            (r["n_events"], r["total_value"]) for r in direct.collect()}
+    assert got == want and len(got) > 2
+    with _pytest.raises(ValueError, match="nest"):
+        hypertable_rollup(ev, resolutions=(3600, 5000))
