@@ -245,6 +245,10 @@ def main() -> None:
     timed("minhash_neardup", Q.q_minhash_neardup)
     timed("ngram_jaccard", Q.q_ngram_jaccard)
     timed("simhash_neardup", Q.q_simhash_neardup)
+    timed("winnow_overlap", Q.q_winnow_overlap)
+    timed("asof_join", Q.q_asof_last_signup)
+    timed("range_join", Q.q_range_join_windows)
+    timed("hypertable_rollup", Q.q_hypertable_rollup)
     timed("dedup_exact", Q.q_dedup_exact)
     timed("sessions_per_user", Q.q_sessions_per_user)
     timed("running_value", Q.q_running_value)
