@@ -470,3 +470,51 @@ def test_hypertable_rollup_derives_coarse_from_fine(spark, tmp_path):
     assert got == want and len(got) > 2
     with _pytest.raises(ValueError, match="nest"):
         hypertable_rollup(ev, resolutions=(3600, 5000))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 3),            # key
+              st.integers(0, 1000),         # ts
+              st.booleans()),               # side: True=left
+    min_size=1, max_size=60))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_asof_and_range_join_match_python_reference(spark, rows):
+    """asof_join == brute-force python point-in-time lookup, and
+    range_join == brute-force containment scan, over random keyed
+    event sets (including ties and empty sides)."""
+    from document_text_extraction_spark.operators.asof import (
+        asof_join,
+        range_join,
+    )
+    left = [(i, k, float(t)) for i, (k, t, s) in enumerate(rows) if s]
+    right = [(i, k, float(t)) for i, (k, t, s) in enumerate(rows)
+             if not s]
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(left, ["eid", "k", "ts"])
+    rdf = spark.createDataFrame(right, ["eid", "k", "ts"])
+    got = {r["eid"]: r["eid_asof"] for r in
+           asof_join(ldf, rdf, key_col="k",
+                     tiebreak_col="eid").collect()}
+    for eid, k, t in left:
+        cands = [(rt, rid) for rid, rk, rt in right
+                 if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (eid, k, t, cands)
+    # range join: right rows become intervals [ts, ts+137)
+    ivs = spark.createDataFrame(
+        [(rid, rk, rt, rt + 137.0) for rid, rk, rt in right],
+        ["iid", "k", "lo", "hi"])
+    pairs = {(r["eid"], r["iid"]) for r in
+             range_join(ldf, ivs, "ts", "lo", "hi", key_cols=["k"],
+                        bin_size=100.0).collect()}
+    want_pairs = {(eid, rid) for eid, k, t in left
+                  for rid, rk, rt in right
+                  if rk == k and rt <= t < rt + 137.0}
+    assert pairs == want_pairs
