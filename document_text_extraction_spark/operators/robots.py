@@ -7,25 +7,32 @@ even when the crawler itself fetched them (RFC 9309; C4/CCNet apply the
 same hygiene retroactively). This module is the dataset-level form:
 
 * :func:`parse_robots_rules` — robots bodies table ``(host, body)`` →
-  ``(host, disallow: array<string>)`` of path prefixes that apply to
-  the given user-agent (its own groups win; the ``*`` groups apply
-  only when the agent has no group of its own — including when its own
-  group is the standard allow-all exemption ``Disallow:`` with no
-  value). CRLF/tab whitespace tolerated per RFC 9309. Pure JVM
-  expressions: one posexplode + one window for stanza grouping — no
-  UDF, linear in body size.
-* :func:`robots_filter` — drop every page whose url path starts with a
-  disallowed prefix of its host. One hash join on the lowercased host
-  (the rules table is one row per host — tiny next to the corpus;
-  broadcast-able when the host set is, AQE decides) + one ``exists``
-  over the prefix array per page. Hosts without rules keep their
-  pages.
+  ``(host, rules: array<struct<prefix, allow, pattern>>)`` of BOTH
+  Allow and Disallow rules that apply to the given user-agent (its own
+  groups win; the ``*`` groups apply only when the agent has no group
+  of its own — including when its own group is the standard allow-all
+  exemption ``Disallow:`` with no value). The array is sorted for
+  longest-match evaluation: most octets first, Allow before Disallow at
+  equal length (RFC 9309 §2.2.2: "The most specific match found MUST
+  be used"; equivalent allow/disallow → allow). CRLF/tab whitespace
+  tolerated per RFC 9309. Pure JVM expressions: one posexplode + one
+  window for stanza grouping — no UDF, linear in body size.
+* :func:`robots_filter` — drop every page whose url path's MOST
+  SPECIFIC matching rule is a Disallow. One hash join on the
+  lowercased, userinfo/port-stripped host (the rules table is one row
+  per host — tiny next to the corpus; broadcast-able when the host set
+  is, AQE decides) + one ``filter``+``element_at`` over the
+  specificity-sorted rule array per page. Hosts without rules (or with
+  no matching rule) keep their pages.
 
-Simplifications vs full RFC 9309, stated: longest-match
-Allow/Disallow precedence is not implemented (Allow lines are
-ignored), and ``*``/``$`` wildcards inside paths match literally. Both
-are extensions most simple robots files never use; the upgrade path is
-a pandas-UDF parser with the same output schema.
+Wildcards: ``*`` matches any octet run and a trailing ``$`` anchors the
+match at the path end (the de-facto extensions RFC 9309 §2.2.3 blesses)
+— both compiled into ONE JVM ``LIKE`` pattern per rule at parse time
+(``*`` → ``%``, literal ``%``/``_``/``\\`` escaped, non-anchored rules
+get a trailing ``%``), so the per-page match is a JVM LIKE over a tiny
+per-host array, no regex compilation in the hot path. Rule specificity
+is the octet length of the raw rule path as written (wildcards count,
+per Google's reference parser).
 
 Reference analogue: none (the reference processes local files); this
 belongs to the crawl-hygiene family (robots meta, blocklists).
@@ -36,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.urls import _HOSTPORT_RE
+from .blocklist import host_of
 
 _PATH_RE = r"^[^:/?#]+://[^/?#]*(/[^?#]*)?"
 
@@ -48,16 +55,37 @@ def _wtrim(col):
     return F.regexp_replace(col, r"^\s+|\s+$", "")
 
 
+def _like_pattern(prefix):
+    """Compile a robots rule path into a SQL LIKE pattern (escape char
+    ``\\``): ``*`` → ``%``, trailing ``$`` anchors (no trailing ``%``),
+    literal LIKE metacharacters escaped. All ``F.replace`` (literal,
+    not regex) so robots bodies cannot inject pattern syntax."""
+    anchored = prefix.endswith("$")
+    core = F.when(
+        anchored, F.expr("substring(__rb_prefix, 1, "
+                         "length(__rb_prefix) - 1)")
+    ).otherwise(prefix)
+    esc = F.replace(core, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    pat = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(anchored, pat).otherwise(F.concat(pat, F.lit("%")))
+
+
 def parse_robots_rules(robots: DataFrame, user_agent: str = "*",
                        host_col: str = "host",
                        body_col: str = "body") -> DataFrame:
-    """``(host, body)`` → ``(host, disallow array)`` for ``user_agent``.
+    """``(host, body)`` → ``(host, rules array)`` for ``user_agent``.
 
     Stanza semantics: a ``User-agent:`` line opens a group; consecutive
     user-agent lines share the following rule lines. The specific
     agent's groups REPLACE the ``*`` groups whenever the agent has any
     group of its own — even one whose only directive is the allow-all
     ``Disallow:`` with an empty value (the standard exemption idiom).
+
+    ``rules`` is sorted most-specific-first (octet length desc, Allow
+    before Disallow on ties, then prefix for determinism), so the first
+    matching element IS the governing rule.
     """
     lines = F.split(F.col(body_col), "\n")
     clean = F.filter(
@@ -82,11 +110,13 @@ def parse_robots_rules(robots: DataFrame, user_agent: str = "*",
     agents = (ex.filter("ua")
               .groupBy("host", "sid")
               .agg(F.collect_set(ua_val).alias("agents")))
-    dis_val = _wtrim(F.expr("substring(ln, 10)"))  # after 'Disallow:'
-    rules = (ex.filter(~F.col("ua")
-                       & F.lower("ln").startswith("disallow:"))
-             .select("host", "sid", dis_val.alias("prefix"))
-             .filter(F.col("prefix") != ""))
+    directive = F.lower(_wtrim(F.substring_index("ln", ":", 1)))
+    rule_val = _wtrim(F.expr("substring(ln, locate(':', ln) + 1)"))
+    rules = (ex.filter(~F.col("ua"))
+             .select("host", "sid", directive.alias("d"),
+                     rule_val.alias("__rb_prefix"))
+             .filter(F.col("d").isin("allow", "disallow")
+                     & (F.col("__rb_prefix") != "")))
     me = F.lit(user_agent.lower())
     # group selection from AGENTS, not from joined rules: an agent
     # whose own group has only an empty Disallow (allow-all) must
@@ -96,21 +126,39 @@ def parse_robots_rules(robots: DataFrame, user_agent: str = "*",
     wild_stanzas = (agents.filter(F.array_contains("agents", "*"))
                     .join(my_hosts, "host", "left_anti"))
     chosen = my_stanzas.unionAll(wild_stanzas).select("host", "sid")
-    return (rules.join(chosen, ["host", "sid"])
-            .groupBy("host")
-            .agg(F.array_sort(F.collect_set("prefix"))
-                 .alias("disallow")))
+    picked = (rules.join(chosen, ["host", "sid"])
+              .select("host",
+                      F.struct(
+                          F.col("__rb_prefix").alias("prefix"),
+                          (F.col("d") == "allow").alias("allow"),
+                          _like_pattern(F.col("__rb_prefix"))
+                          .alias("pattern"),
+                      ).alias("rule")))
+
+    def _cmp(l, r):  # noqa: E741 - l/r read naturally here
+        ll, rl = F.length(l["prefix"]), F.length(r["prefix"])
+        return (F.when(ll > rl, F.lit(-1)).when(ll < rl, F.lit(1))
+                .when(l["allow"] & ~r["allow"], F.lit(-1))
+                .when(r["allow"] & ~l["allow"], F.lit(1))
+                .when(l["prefix"] < r["prefix"], F.lit(-1))
+                .when(l["prefix"] > r["prefix"], F.lit(1))
+                .otherwise(F.lit(0)))
+
+    return (picked.groupBy("host")
+            .agg(F.array_sort(F.collect_set("rule"), _cmp)
+                 .alias("rules")))
 
 
 def robots_filter(pages: DataFrame, rules: DataFrame,
                   url_col: str = "url") -> DataFrame:
-    """Drop pages whose url path begins with a disallowed prefix of
-    their host. Hash join on the LOWERCASED host (robots hosts are
-    case-insensitive; the join must not leak disallowed pages for
-    mixed-case urls); per-page check is one ``exists`` over the
-    (small, per-host) prefix array."""
-    host = F.lower(
-        F.regexp_extract(F.col(url_col), _HOSTPORT_RE, 1))
+    """Drop pages whose url path's most specific matching rule is a
+    Disallow. Hash join on the LOWERCASED host with userinfo and port
+    stripped (robots hosts are case-insensitive, and
+    ``https://u@host:8443/…`` must not evade a rule for ``host`` — the
+    same hardening as ``blocklist.host_of``); the per-page check keeps
+    only the rules whose LIKE pattern matches and takes the first
+    (most specific) — Allow or missing → keep."""
+    host = F.lower(host_of(F.col(url_col)))
     path = F.coalesce(
         F.nullif(F.regexp_extract(F.col(url_col), _PATH_RE, 1), F.lit("")),
         F.lit("/"))
@@ -118,12 +166,14 @@ def robots_filter(pages: DataFrame, rules: DataFrame,
         "__rb_path", path)
     joined = tagged.join(
         rules.select(F.lower(F.col("host")).alias("__rb_host"),
-                     "disallow"),
+                     "rules"),
         "__rb_host", "left")
+    winner = F.try_element_at(
+        F.expr("filter(rules, r -> __rb_path LIKE r.pattern "
+               "ESCAPE '\\\\')"), F.lit(1))
     blocked = F.when(
-        F.col("disallow").isNotNull(),
-        F.exists("disallow",
-                 lambda p: F.col("__rb_path").startswith(p)),
+        F.col("rules").isNotNull() & winner.isNotNull(),
+        ~winner["allow"],
     ).otherwise(F.lit(False))
     return (joined.filter(~blocked)
-            .drop("__rb_host", "__rb_path", "disallow"))
+            .drop("__rb_host", "__rb_path", "rules"))

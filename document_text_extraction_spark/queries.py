@@ -2444,12 +2444,17 @@ SQL_LINK_GRAPH = (
 
 def q_robots_txt_filter(spark, sf_dir):
     """robots.txt PROTOCOL compliance (RFC 9309, complementing the
-    meta-robots tag): per-host robots bodies are planted — every 3rd
-    host disallows two source prefixes for '*' (with a decoy stanza
-    for another agent), the next third disallows a prefix nothing
-    matches — parsed by the real JVM rule parser and applied by the
-    real filter; output is per-host surviving page counts. The oracle
-    reconstructs the planted policy arithmetically."""
+    meta-robots tag): per-host robots bodies are planted to exercise
+    the full precedence ladder — every 3rd host disallows two source
+    prefixes for '*' but Allow-exempts one of them at equal length
+    (tie → Allow) and a doc-id subrange of the other at greater length
+    (longest match wins, with a decoy stanza for another agent); the
+    next third is the canonical real-world idiom 'Disallow: / +
+    Allow: /src' plus a wildcard+anchored 'Disallow: /src1/*2$'; the
+    last third has no robots body. Parsed by the real JVM rule parser
+    and applied by the real filter; output is per-host surviving page
+    counts. The oracle reconstructs the planted policy
+    arithmetically."""
     from .operators import robots as rb
     pages = web_pages_from_documents(spark, sf_dir).select("url")
     host = F.regexp_extract("url", r"https://([^/]+)/", 1)
@@ -2459,9 +2464,11 @@ def q_robots_txt_filter(spark, sf_dir):
         F.when(num % 3 == 0, F.lit(
             "# crawl policy\nUser-agent: archiver\n"
             "Disallow: /keep-out/\n\n"
-            "User-agent: *\nDisallow: /src3/\nDisallow: /src7/\n"))
+            "User-agent: *\nDisallow: /src3/\nDisallow: /src7/\n"
+            "Allow: /src7/\nAllow: /src3/1\n"))
         .when(num % 3 == 1, F.lit(
-            "User-agent: *\nDisallow: /nothing-here/\n"))
+            "User-agent: *\nDisallow: /\nAllow: /src\n"
+            "Disallow: /src1/*2$\n"))
     )
     robots_tbl = (hosts.select("host", body.alias("body"))
                   .filter(F.col("body").isNotNull()))
@@ -2474,11 +2481,22 @@ def q_robots_txt_filter(spark, sf_dir):
     )
 
 
+_ROBOTS_NUM_SQL = (
+    "least(49, CAST(floor(50 * pow((doc_id % 1000) / 1000.0, 3)) AS INT))"
+)
 SQL_ROBOTS_TXT = (
     f"SELECT {HOST_SQL} AS host, CAST(count(*) AS BIGINT) AS n_docs "
     "FROM documents WHERE NOT ("
-    "least(49, CAST(floor(50 * pow((doc_id % 1000) / 1000.0, 3)) "
-    "AS INT)) % 3 = 0 AND source IN ('src3', 'src7')) GROUP BY 1"
+    # host class 0: /src3/ disallowed except doc_ids starting '1'
+    # (Allow /src3/1 outranks by length); /src7/ survives via the
+    # equal-length Allow tie
+    f"({_ROBOTS_NUM_SQL} % 3 = 0 AND source = 'src3' "
+    "AND CAST(doc_id AS VARCHAR) NOT LIKE '1%') "
+    # host class 1: Disallow:/ + Allow:/src keeps everything except
+    # the wildcard+anchored /src1/*2$ (doc_ids ending in 2)
+    f"OR ({_ROBOTS_NUM_SQL} % 3 = 1 AND source = 'src1' "
+    "AND CAST(doc_id AS VARCHAR) LIKE '%2')"
+    ") GROUP BY 1"
 )
 
 

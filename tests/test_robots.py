@@ -1,4 +1,5 @@
-"""robots.txt protocol parsing/filtering (RFC 9309 subset)."""
+"""robots.txt protocol parsing/filtering (RFC 9309 incl. Allow lines,
+longest-match precedence, ``*`` wildcards, ``$`` anchors)."""
 
 from document_text_extraction_spark.operators.robots import (
     parse_robots_rules,
@@ -25,21 +26,23 @@ def _robots(spark):
         ["host", "body"])
 
 
+def _prefixes(df):
+    return {x["host"]: [(r["prefix"], r["allow"]) for r in x["rules"]]
+            for x in df.collect()}
+
+
 def test_parse_group_selection(spark):
     """'*' group applies when the agent has no own group; a specific
     agent's group REPLACES the '*' group; empty Disallow = allow all;
     comments and consecutive user-agent lines handled."""
     r = _robots(spark)
-    star = {x["host"]: list(x["disallow"])
-            for x in parse_robots_rules(r, "*").collect()}
-    assert star == {"a.example": ["/private/", "/tmp/"]}
-    mybot = {x["host"]: list(x["disallow"])
-             for x in parse_robots_rules(r, "mybot").collect()}
-    assert mybot == {"a.example": ["/mybot-only/"]}
-    evil = {x["host"]: list(x["disallow"])
-            for x in parse_robots_rules(r, "evilbot").collect()}
-    assert evil == {"a.example": ["/private/", "/tmp/"],
-                    "c.example": ["/"]}
+    star = _prefixes(parse_robots_rules(r, "*"))
+    assert star == {"a.example": [("/private/", False), ("/tmp/", False)]}
+    mybot = _prefixes(parse_robots_rules(r, "mybot"))
+    assert mybot == {"a.example": [("/mybot-only/", False)]}
+    evil = _prefixes(parse_robots_rules(r, "evilbot"))
+    assert evil == {"a.example": [("/private/", False), ("/tmp/", False)],
+                    "c.example": [("/", False)]}
 
 
 def test_filter_prefix_semantics(spark):
@@ -72,9 +75,8 @@ def test_crlf_tabs_and_empty_exemption(spark):
     body = ("User-agent: mybot\r\nDisallow:\r\n\r\n"
             "User-agent: *\r\nDisallow:\t/private/\r\n")
     r = spark.createDataFrame([("x.example", body)], ["host", "body"])
-    star = {x["host"]: list(x["disallow"])
-            for x in parse_robots_rules(r, "*").collect()}
-    assert star == {"x.example": ["/private/"]}
+    star = _prefixes(parse_robots_rules(r, "*"))
+    assert star == {"x.example": [("/private/", False)]}
     # mybot's own allow-all group suppresses the '*' fallback entirely
     assert parse_robots_rules(r, "mybot").count() == 0
 
@@ -89,3 +91,77 @@ def test_mixed_case_host_still_matches(spark):
     kept = sorted(x["doc_id"] for x in
                   robots_filter(pages, parse_robots_rules(r)).collect())
     assert kept == [2]
+
+
+def test_userinfo_and_port_do_not_evade(spark):
+    """RFC 9309 rules are per-host: userinfo/port decorations in the
+    page url must not bypass the host's Disallow (the same evasion
+    class blocklist.host_of hardens against)."""
+    r = spark.createDataFrame(
+        [("blocked.example", "User-agent: *\nDisallow: /secret/\n")],
+        ["host", "body"])
+    pages = spark.createDataFrame([
+        (1, "https://blocked.example/secret/a"),
+        (2, "https://blocked.example:8443/secret/b"),
+        (3, "https://u@blocked.example/secret/c"),
+        (4, "https://blocked.example/open/d"),
+    ], ["doc_id", "url"])
+    kept = sorted(x["doc_id"] for x in
+                  robots_filter(pages, parse_robots_rules(r)).collect())
+    assert kept == [4]
+
+
+def test_allow_longest_match_precedence(spark):
+    """RFC 9309 §2.2.2: the most specific (most octets) matching rule
+    governs; 'Disallow: / + Allow: /public/' — the canonical real-world
+    robots idiom — must NOT block the whole host."""
+    body = ("User-agent: *\n"
+            "Disallow: /\n"
+            "Allow: /public/\n"
+            "Disallow: /public/private/\n")
+    r = spark.createDataFrame([("h.example", body)], ["host", "body"])
+    pages = spark.createDataFrame([
+        (1, "https://h.example/public/ok"),
+        (2, "https://h.example/public/private/x"),
+        (3, "https://h.example/other"),
+        (4, "https://h.example/"),
+    ], ["doc_id", "url"])
+    kept = sorted(x["doc_id"] for x in
+                  robots_filter(pages, parse_robots_rules(r)).collect())
+    assert kept == [1]
+
+
+def test_allow_wins_equal_length_tie(spark):
+    """Equivalent allow and disallow rules → allow SHOULD be used
+    (RFC 9309 §2.2.2) — pinned, not incidental."""
+    body = ("User-agent: *\n"
+            "Disallow: /dir/\n"
+            "Allow: /dir/\n")
+    r = spark.createDataFrame([("h.example", body)], ["host", "body"])
+    pages = spark.createDataFrame(
+        [(1, "https://h.example/dir/x")], ["doc_id", "url"])
+    assert [x["doc_id"] for x in
+            robots_filter(pages, parse_robots_rules(r)).collect()] == [1]
+
+
+def test_wildcard_and_anchor(spark):
+    """'*' spans any octets; trailing '$' anchors at path end; LIKE
+    metacharacters in rule paths stay literal (no injection)."""
+    body = ("User-agent: *\n"
+            "Disallow: /*.pdf$\n"
+            "Disallow: /tmp*/\n"
+            "Disallow: /lit%eral_\n")
+    r = spark.createDataFrame([("h.example", body)], ["host", "body"])
+    pages = spark.createDataFrame([
+        (1, "https://h.example/docs/a.pdf"),        # *.pdf$ → blocked
+        (2, "https://h.example/docs/a.pdf?x=1"),    # query cut → blocked
+        (3, "https://h.example/docs/a.pdfx"),       # not anchored end
+        (4, "https://h.example/tmp123/f"),          # /tmp*/ → blocked
+        (5, "https://h.example/tmp123"),            # no closing slash
+        (6, "https://h.example/lit%eral_x"),        # literal % and _
+        (7, "https://h.example/litXeral_x"),        # % must NOT be LIKE-%
+        (8, "https://h.example/ok"),
+    ], ["doc_id", "url"])
+    kept = sorted(x["doc_id"] for x in
+                  robots_filter(pages, parse_robots_rules(r)).collect())
+    assert kept == [3, 5, 7, 8]
