@@ -397,6 +397,55 @@ def test_asof_join_semantics(spark):
     assert rep["plan"].count("Exchange") <= 2, rep["plan"]
 
 
+def test_asof_null_payload_stays_on_matched_row(spark):
+    """A matched right row with a NULL payload value must yield NULL
+    for that column — not inherit it from an OLDER right row (the
+    single-struct forward fill; per-column fills mixed rows)."""
+    from document_text_extraction_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 10.0)], ["eid", "k", "ts"])
+    right = spark.createDataFrame(
+        [("k", 3.0, 7), ("k", 5.0, None)], ["k", "ts", "v"])
+    r = asof_join(left, right, key_col="k").collect()[0]
+    assert r["ts_asof"] == 5.0
+    assert r["v_asof"] is None  # NOT 7 from the ts=3 row
+
+
+def test_asof_skew_banded_path_matches_plain(spark):
+    """One hot key holding ~50% of rows through the banded anti-skew
+    plan (skew_threshold + boundary carry-over) must produce exactly
+    the plain single-window result — including bands with no right
+    rows (seeded from prior bands), ties, and cold keys."""
+    from document_text_extraction_spark.operators.asof import asof_join
+
+    rows_l, rows_r = [], []
+    eid = 0
+    for i in range(120):  # hot key: left every 3 ticks
+        rows_l.append((eid, "hot", float(i * 3)))
+        eid += 1
+    for i in range(40):   # hot key: right rows clustered early (late
+        rows_r.append((eid, "hot", float(i)))   # bands have NO right
+        eid += 1                                # rows → seed path)
+    for k in ("c1", "c2"):
+        for i in range(10):
+            rows_l.append((eid, k, float(i * 7)))
+            eid += 1
+            rows_r.append((eid, k, float(i * 5)))
+            eid += 1
+    ldf = spark.createDataFrame(rows_l, ["eid", "k", "ts"])
+    rdf = spark.createDataFrame(rows_r, ["eid", "k", "ts"])
+    plain = {r["eid"]: (r["eid_asof"], r["ts_asof"]) for r in
+             asof_join(ldf, rdf, key_col="k",
+                       tiebreak_col="eid").collect()}
+    banded = {r["eid"]: (r["eid_asof"], r["ts_asof"]) for r in
+              asof_join(ldf, rdf, key_col="k", tiebreak_col="eid",
+                        skew_threshold=50, n_bands=8).collect()}
+    assert banded == plain
+    # every late-band hot left row actually exercised the carry-over
+    assert all(v[0] is not None for k_, v in banded.items()
+               if k_ < 120 and k_ > 20)
+
+
 def test_range_join_banding_correct_and_no_cartesian(spark):
     """Banding range join: exact containment semantics (boundary
     inclusive start / exclusive end, intervals spanning many bins,
@@ -502,11 +551,15 @@ def test_asof_and_range_join_match_python_reference(spark, rows):
     got = {r["eid"]: r["eid_asof"] for r in
            asof_join(ldf, rdf, key_col="k",
                      tiebreak_col="eid").collect()}
+    banded = {r["eid"]: r["eid_asof"] for r in
+              asof_join(ldf, rdf, key_col="k", tiebreak_col="eid",
+                        skew_threshold=2, n_bands=4).collect()}
     for eid, k, t in left:
         cands = [(rt, rid) for rid, rk, rt in right
                  if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[eid] == want, (eid, k, t, cands)
+        assert banded[eid] == want, (eid, k, t, cands)
     # range join: right rows become intervals [ts, ts+137)
     ivs = spark.createDataFrame(
         [(rid, rk, rt, rt + 137.0) for rid, rk, rt in right],
