@@ -174,7 +174,13 @@ def run_resumable_bench(spark, path: str, n_buckets: int = 256,
       Iceberg bucket(url_host) table), so each slice's scan is
       partition-PRUNED and the whole run reads the corpus once. The
       one-time bucketing cost is reported separately as input prep
-      (it models the table's storage layout, not per-run work).
+      (it models the table's storage layout, not per-run work);
+    * round-3: per-slice fixed cost (job scheduling + AQE barriers +
+      a post-hoc counter scan). Counters now ride the write job via
+      observe(), and slices run double-buffered (parallel_slices=2):
+      slice k+1 executes while slice k finishes and commits — the
+      production wave-pipelining shape; commit atomicity per slice is
+      unchanged (staging dir + rename + locked manifest commit).
     """
     import shutil
     import tempfile
@@ -195,7 +201,7 @@ def run_resumable_bench(spark, path: str, n_buckets: int = 256,
         t0 = time.perf_counter()
         manifest = pipeline.run_extraction(
             spark, pages, out_dir, n_buckets=n_buckets,
-            slice_buckets=slice_buckets)
+            slice_buckets=slice_buckets, parallel_slices=2)
         times.append(time.perf_counter() - t0)
         docs = sum(s["docs"] for s in manifest["slices"].values())
         shutil.rmtree(out_dir, ignore_errors=True)

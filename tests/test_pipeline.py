@@ -227,6 +227,37 @@ def test_resume_wipes_partial_slice_garbage(spark, pages, tmp_path):
     assert data.select("url").distinct().count() == N_DOCS
 
 
+def test_parallel_slices_match_sequential(spark, pages, tmp_path):
+    """parallel_slices overlaps slice execution (the production wave
+    double-buffering) but must keep identical output data, identical
+    per-partition counter totals, and resumability: a run killed after
+    2 of 4 commits finishes idempotently in parallel mode."""
+    seq_dir = str(tmp_path / "seq")
+    par_dir = str(tmp_path / "par")
+    pipeline.run_extraction(spark, pages, seq_dir, n_buckets=8,
+                            slice_buckets=2, salt=False)
+    m1 = pipeline.run_extraction(spark, pages, par_dir, n_buckets=8,
+                                 slice_buckets=2, salt=False,
+                                 max_slices=2, parallel_slices=4)
+    assert sum(s.get("committed", False)
+               for s in m1["slices"].values()) == 2
+    m2 = pipeline.run_extraction(spark, pages, par_dir, n_buckets=8,
+                                 slice_buckets=2, salt=False,
+                                 parallel_slices=4)
+    a = (spark.read.parquet(seq_dir + "/data")
+         .select("url", "extracted_text", "part_bucket")
+         .toPandas().sort_values("url").reset_index(drop=True))
+    b = (spark.read.parquet(par_dir + "/data")
+         .select("url", "extracted_text", "part_bucket")
+         .toPandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert sum(s["docs"] for s in m2["slices"].values()) == N_DOCS
+    # no staging litter left behind
+    import os as _os
+    assert not [f for f in _os.listdir(par_dir)
+                if f.startswith("_stage_")]
+
+
 def test_resume_of_complete_run_is_metadata_noop(spark, pages, tmp_path):
     """Re-running a fully-committed run must not rescan the corpus: the
     fast path returns straight from the manifest (asserted by the total
