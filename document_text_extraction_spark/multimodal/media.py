@@ -74,26 +74,29 @@ def _png_bytes(width: int, height: int, seed: int) -> bytes:
     return sig + ihdr + body
 
 
+def synth_media_row(i: int) -> tuple:
+    """ONE deterministic synthetic media row for id ``i`` (images as
+    header-valid PNGs, audio/video as sniffable stubs; durations use
+    co-prime strides so small id ranges still spread across the full
+    duration band). Pure function of ``i`` — generated executor-side
+    by the registry's media queries, driver-side by tests."""
+    kind = ["image", "audio", "video"][i % 3]
+    if kind == "image":
+        w, h = 16 + (i % 64) * 8, 16 + (i % 48) * 8
+        return (i, kind, _png_bytes(w, h, i), "image/png", w, h, -1)
+    if kind == "audio":
+        payload = b"RIFF" + hashlib.md5(b"a:%d" % i).digest() * 32
+        return (i, kind, payload, "audio/wav", -1, -1,
+                1000 + (i * 797) % 60000)
+    payload = (b"\x00\x00\x00\x18ftypmp42"
+               + hashlib.md5(b"v:%d" % i).digest() * 64)
+    return (i, kind, payload, "video/mp4", -1, -1,
+            5000 + (i * 2311) % 300000)
+
+
 def synth_media_rows(n: int):
-    """Deterministic synthetic media rows (images as header-valid PNGs,
-    audio/video as sniffable stubs)."""
-    rows = []
-    for i in range(n):
-        kind = ["image", "audio", "video"][i % 3]
-        if kind == "image":
-            w, h = 16 + (i % 64) * 8, 16 + (i % 48) * 8
-            rows.append((i, kind, _png_bytes(w, h, i), "image/png",
-                         w, h, -1))
-        elif kind == "audio":
-            payload = b"RIFF" + hashlib.md5(b"a:%d" % i).digest() * 32
-            rows.append((i, kind, payload, "audio/wav", -1, -1,
-                         1000 + i % 60000))
-        else:
-            payload = (b"\x00\x00\x00\x18ftypmp42"
-                       + hashlib.md5(b"v:%d" % i).digest() * 64)
-            rows.append((i, kind, payload, "video/mp4", -1, -1,
-                         5000 + i % 300000))
-    return rows
+    """Deterministic synthetic media rows 0..n-1."""
+    return [synth_media_row(i) for i in range(n)]
 
 
 def _decode_pixels(payload: bytes):  # pragma: no cover - stub
@@ -266,11 +269,13 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts) —
     the explode is JVM-side; actual frame decode is the stubbed hook."""
-    # duration_ms <= 0 (the -1 'n/a' sentinel, or empty media) has no
-    # frames to plan — and sequence(0, -1, step) is a runtime error
+    # duration_ms <= 0 (the -1 'n/a' sentinel, or zero-length media)
+    # has no frames to plan — and sequence(0, -1, step) is a runtime
+    # error (> 0, matching audio_chunk_plan: a duration-0 video must
+    # not emit a phantom t=0 frame)
     return (
         media.filter((F.col("kind") == "video")
-                     & (F.col("duration_ms") >= 0))
+                     & (F.col("duration_ms") > 0))
         .select(
             "media_id",
             F.explode(

@@ -2636,6 +2636,96 @@ SQL_DECONTAMINATE = (
 )
 
 
+def _media_df(spark, sf_dir):
+    """Deterministic synthetic media table keyed by doc_id (< 300):
+    payloads generated EXECUTOR-side inside mapInPandas from the row id
+    (multimodal/media.synth_media_row), the same pattern as
+    web_pages_from_documents — the driver never materializes payload
+    bytes."""
+    import pandas as pd
+
+    from .multimodal import media as M
+    ids = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 300)
+
+    def gen(batches):
+        cols = [f.name for f in M.MEDIA_SCHEMA.fields]
+        for b in batches:
+            rows = [M.synth_media_row(int(i)) for i in b["doc_id"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ids.mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction (multimodal/media.py): magic-byte
+    container sniff, payload sizes, and PNG IHDR width/height parsed by
+    the Arrow-batch feature kernel over a deterministic synthetic media
+    table (300 rows keyed by doc_id). Every output column is
+    arithmetically reconstructable by the oracle from the generator's
+    formulas: PNG payloads are sig(8)+IHDR(25)+body(256)=289 bytes with
+    planted dims, RIFF audio 516, mp4 video 1036. byte_entropy is
+    feature-kernel-real but not SQL-derivable, so the driver row
+    compares the structural columns (entropy stays pytest-asserted,
+    test_media_features)."""
+    from .multimodal import media as M
+    feats = M.extract_media_features(_media_df(spark, sf_dir),
+                                     partitions=8)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sniffed",
+        "header_width", "header_height", "status")
+
+
+SQL_MEDIA_FEATURES = (
+    "SELECT doc_id AS media_id, "
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS kind, "
+    "CAST(CASE doc_id % 3 WHEN 0 THEN 289 WHEN 1 THEN 516 "
+    "ELSE 1036 END AS BIGINT) AS n_bytes, "
+    "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'riff' "
+    "ELSE 'mp4' END AS sniffed, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 64) * 8 "
+    "ELSE -1 END AS INT) AS header_width, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 48) * 8 "
+    "ELSE -1 END AS INT) AS header_height, "
+    "'ok' AS status "
+    "FROM documents WHERE doc_id < 300"
+)
+
+
+def q_media_sample_plan(spark, sf_dir):
+    """Decode planning for time media (multimodal/media.py): audio
+    chunk boundaries (5 s chunks over duration, JVM explode) and video
+    frame-sample instants (1 Hz) — the Spark-side plumbing a deployment
+    points its codec at; one row per (media_id, instant). The oracle
+    regenerates both ladders with generate_series from the planted
+    duration formulas."""
+    from .multimodal import media as M
+    media = _media_df(spark, sf_dir)
+    ac = M.audio_chunk_plan(media, chunk_ms=5000).select(
+        "media_id", F.lit("audio").alias("kind"),
+        F.col("chunk_start_ms").cast("long").alias("t_ms"))
+    fp = M.frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.lit("video").alias("kind"),
+        F.col("frame_ts_ms").cast("long").alias("t_ms"))
+    return ac.unionByName(fp)
+
+
+SQL_MEDIA_SAMPLE_PLAN = (
+    "WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS r, "
+    "CASE doc_id % 3 WHEN 1 THEN 1000 + (doc_id * 797) % 60000 "
+    "ELSE 5000 + (doc_id * 2311) % 300000 END AS dur "
+    "FROM documents WHERE doc_id < 300 AND doc_id % 3 IN (1, 2)) "
+    "SELECT media_id, 'audio' AS kind, "
+    "CAST(unnest(generate_series(0, dur - 1, 5000)) AS BIGINT) AS t_ms "
+    "FROM m WHERE r = 1 "
+    "UNION ALL "
+    "SELECT media_id, 'video' AS kind, "
+    "CAST(unnest(generate_series(0, dur, 1000)) AS BIGINT) AS t_ms "
+    "FROM m WHERE r = 2"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2647,6 +2737,10 @@ SQL_DECONTAMINATE = (
 # green r1 and/or r2 + pytest) fill the tail. Append new queries to the
 # FRONT group, not mid-dict.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- new or changed in round 4 (multimodal driver rows; robots,
+    # asof, range_join also changed and already sit in the window) ----
+    "media_features": q_media_features,
+    "media_sample_plan": q_media_sample_plan,
     # -- round-1 failures whose fixes were never driver-verified -------
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -2740,6 +2834,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "media_features": SQL_MEDIA_FEATURES,
+    "media_sample_plan": SQL_MEDIA_SAMPLE_PLAN,
     "extract_html_roundtrip": SQL_EXTRACT_HTML,
     "extract_docx_roundtrip": SQL_EXTRACT_DOCX,
     "extract_pdf_roundtrip": SQL_EXTRACT_PDF,
