@@ -144,20 +144,29 @@ def make_html(doc_id: int, text: str) -> bytes:
         main = "<ul>" + "".join(f"\n    <li>{p}</li>" for p in paras) + "</ul>"
     else:
         main = "".join(f"\n    <p>{p}</p>" for p in paras)
-    ad = (
-        '<div class="ad"><a href="https://ads.example.com/click?id=%d">'
-        "Buy now! Limited offer — click here</a></div>" % (doc_id,)
-    )
     # every 16th-mod-6 doc asks crawlers not to index it — the
     # crawl-hygiene signal a pipeline must honor (robots meta tag)
     robots_meta = (
         '\n  <meta name="robots" content="noindex, nofollow">'
         if doc_id % 16 == 6 else ""
     )
-    page = f"""<!DOCTYPE html>
+    return _render_page(doc_id, main, nav, aside,
+                        robots_meta).encode("utf-8")
+
+
+def _render_page(doc_id: int, main: str, nav: str, aside: str,
+                 extra_head: str = "") -> str:
+    """The shared page shell (head/nav/header/aside/ad/main/footer) —
+    one definition so charset/robots variants keep the exact block
+    structure the boilerplate classifier is validated against."""
+    ad = (
+        '<div class="ad"><a href="https://ads.example.com/click?id=%d">'
+        "Buy now! Limited offer — click here</a></div>" % (doc_id,)
+    )
+    return f"""<!DOCTYPE html>
 <html lang="en">
 <head>
-  <title>Document {doc_id}</title>{robots_meta}
+  <title>Document {doc_id}</title>{extra_head}
   <style>body {{ margin: 0; }} .ad {{ color: red; }}</style>
   <script>var docId = {doc_id}; // tracking stub
     function track() {{ return docId * 2; }}</script>
@@ -173,7 +182,47 @@ def make_html(doc_id: int, text: str) -> bytes:
     <a href="/privacy">Privacy</a> &copy; 2025 Example Corp</footer>
 </body>
 </html>"""
-    return page.encode("utf-8")
+
+
+# legacy-charset page variants: codec → (meta declaration as real
+# pages write it — three syntactic forms exercised — and the
+# non-ASCII quote decoration wrapped around each content line so a
+# missed transcode is VISIBLE in extracted_text, not just in dropped
+# boilerplate; all decorations encode in their codec and differ from
+# their U+FFFD mojibake)
+CHARSET_VARIANTS = {
+    "shift_jis": (
+        '\n  <meta http-equiv="Content-Type" '
+        'content="text/html; charset=Shift_JIS">', "「", "」"),
+    "euc_jp": ('\n  <meta charset=EUC-JP>', "「", "」"),
+    "cp1251": ('\n  <meta charset="windows-1251">', "«", "»"),
+}
+
+
+def make_html_charset(doc_id: int, text: str,
+                      codec: str = "shift_jis") -> bytes:
+    """A legacy-charset page: same shell as :func:`make_html`, content
+    lines wrapped in codec-native quote marks, ``<meta charset>``
+    declared, whole page encoded with ``codec``. Golden text =
+    ``open + line + close`` per chunk line — reconstructable by the
+    DuckDB oracle, and NOT equal to the mojibake a missing transcode
+    produces."""
+    import html as _h
+    meta, op, cl = CHARSET_VARIANTS[codec]
+    paras = [op + _h.escape(p, quote=False) + cl for p in chunk_text(text)]
+    nav = "".join(
+        f'<a href="/{w.lower()}">{w}</a> ' for w in _NAV_ITEMS
+    )
+    aside = "".join(
+        f'<li><a href="/s/{i}">{w}</a></li>'
+        for i, w in enumerate(_ASIDE_ITEMS)
+    )
+    main = "".join(f"\n    <p>{p}</p>" for p in paras)
+    # xmlcharrefreplace: shell glyphs outside the codec (the ad's em
+    # dash in shift_jis) become numeric entities, exactly as a real
+    # legacy-charset page serializer writes them
+    return _render_page(doc_id, main, nav, aside, meta).encode(
+        codec, errors="xmlcharrefreplace")
 
 
 # --------------------------------------------------------------------------

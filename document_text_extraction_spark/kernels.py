@@ -386,7 +386,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         try:
             if r == "html":
                 doc_blocks, doc_hrefs, doc_robots = _scan_html_doc(
-                    oracle._decode_transfer(payload_arr[i]))
+                    oracle._decode_transfer_html(payload_arr[i]))
                 for full, link, kind in doc_blocks:
                     html_blocks_doc.append(i)
                     html_blocks_full.append(full)

@@ -95,6 +95,61 @@ def _decode_transfer(data: bytes) -> bytes:
     return _transcode_bom(data)
 
 
+# <meta charset=X> / <meta http-equiv=Content-Type content="...;
+# charset=X"> in the document head — the label real legacy pages
+# declare. Quote/space tolerant; first match wins (browser behavior).
+_META_CHARSET_RE = re.compile(
+    br"<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:\-]+)",
+    re.IGNORECASE)
+
+# label → python codec for the legacy tail worth carrying (the labels
+# cover >99% of non-UTF-8 declarations in web crawls: CJK DBCS +
+# cyrillic + latin-1 family). Unknown labels stay undecoded (U+FFFD
+# replacement, the documented pre-round-4 behavior).
+_CHARSET_CODECS = {
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "x-sjis": "shift_jis",
+    "windows-31j": "cp932", "cp932": "cp932",
+    "euc-jp": "euc_jp", "eucjp": "euc_jp", "x-euc-jp": "euc_jp",
+    "euc-kr": "euc_kr", "ks_c_5601-1987": "euc_kr",
+    "gb2312": "gbk", "gbk": "gbk", "gb18030": "gb18030",
+    "big5": "big5", "big5-hkscs": "big5hkscs",
+    "windows-1250": "cp1250", "windows-1251": "cp1251",
+    "cp1251": "cp1251", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "windows-1254": "cp1254", "windows-1256": "cp1256",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "iso-8859-2": "iso8859-2", "iso-8859-15": "iso8859-15",
+    "koi8-r": "koi8-r", "koi8-u": "koi8-u",
+    "tis-620": "cp874",
+}
+
+
+def _transcode_meta_charset(data: bytes) -> bytes:
+    """``<meta charset=…>`` sniff → UTF-8 transcode for BOM-less legacy
+    pages (LIMITS.md §2 closed): Shift_JIS/EUC-JP/GBK/cp1251/… bodies
+    previously reached the tokenizer as UTF-8-with-U+FFFD mojibake.
+    Sniff window is the first 1024 bytes like the route sniffer;
+    UTF-8/ASCII labels (the overwhelming majority) return unchanged, so
+    the hot path costs one bounded regex scan. HTML-only by
+    construction — callers apply it on the html branch (PDF/DOCX are
+    binary containers where a byte regex for 'charset' would be
+    meaningless)."""
+    m = _META_CHARSET_RE.search(data[:1024])
+    if not m:
+        return data
+    label = m.group(1).decode("ascii", "replace").lower()
+    codec = _CHARSET_CODECS.get(label)
+    if codec is None:  # utf-8/ascii/unknown → already-handled or stated gap
+        return data
+    return data.decode(codec, errors="replace").encode("utf-8")
+
+
+def _decode_transfer_html(data: bytes) -> bytes:
+    """The html-branch decode stack: transfer layer (gzip), BOM
+    charsets, then the meta-declared legacy charset."""
+    return _transcode_meta_charset(_decode_transfer(data))
+
+
 # ---------------------------------------------------------------------------
 # HTML extraction
 # ---------------------------------------------------------------------------
@@ -1933,7 +1988,7 @@ def extract_document(data: bytes) -> dict:
     try:
         if route == "html":
             text, spans, outlinks, meta_robots = extract_html_full(
-                _decode_transfer(data))
+                _decode_transfer_html(data))
             n_pages = 1
         elif route == "docx":
             # gzip-wrapped DOCX is routed by its decompressed head, so

@@ -2636,6 +2636,52 @@ SQL_DECONTAMINATE = (
 )
 
 
+def q_extract_charset_roundtrip(spark, sf_dir):
+    """BOM-less legacy-charset pages (LIMITS.md §2 closed): Shift_JIS /
+    EUC-JP / windows-1251 bodies declaring ``<meta charset>`` in three
+    real-world syntactic forms, content lines wrapped in codec-native
+    quote glyphs so a MISSING transcode shows up as U+FFFD mojibake in
+    extracted_text (not merely in dropped boilerplate). Pages are built
+    executor-side (corpus.make_html_charset) and run through the REAL
+    extraction pipeline (pipeline.extract_df → kernels batch path →
+    oracle._decode_transfer_html); the oracle reconstructs the
+    quote-wrapped golden text arithmetically."""
+    import pandas as pd
+
+    from . import corpus as C
+    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 300)
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for i, t in zip(b["doc_id"], b["text"]):
+                codec = ["shift_jis", "euc_jp", "cp1251"][int(i) % 3]
+                rows.append((C.url_for(int(i), "cs"),
+                             C.make_html_charset(int(i), t, codec)))
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    out = pipeline.extract_df(pages, n_buckets=_N_BUCKETS)
+    return out.filter(F.col("lineage.status") == "ok").select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        "extracted_text",
+    )
+
+
+def _wrap_sql(op: str, cl: str) -> str:
+    return (f"'{op}' || replace({CHUNK_SQL}, chr(10), "
+            f"'{cl}' || chr(10) || '{op}') || '{cl}'")
+
+
+SQL_EXTRACT_CHARSET = (
+    "SELECT doc_id, CASE doc_id % 3 "
+    f"WHEN 2 THEN {_wrap_sql('«', '»')} "
+    f"ELSE {_wrap_sql('「', '」')} END AS extracted_text "
+    "FROM documents WHERE doc_id < 300"
+)
+
+
 def _media_df(spark, sf_dir):
     """Deterministic synthetic media table keyed by doc_id (< 300):
     payloads generated EXECUTOR-side inside mapInPandas from the row id
@@ -2741,6 +2787,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # asof, range_join also changed and already sit in the window) ----
     "media_features": q_media_features,
     "media_sample_plan": q_media_sample_plan,
+    "extract_charset_roundtrip": q_extract_charset_roundtrip,
     # -- round-1 failures whose fixes were never driver-verified -------
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -2836,6 +2883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_sample_plan": SQL_MEDIA_SAMPLE_PLAN,
+    "extract_charset_roundtrip": SQL_EXTRACT_CHARSET,
     "extract_html_roundtrip": SQL_EXTRACT_HTML,
     "extract_docx_roundtrip": SQL_EXTRACT_DOCX,
     "extract_pdf_roundtrip": SQL_EXTRACT_PDF,

@@ -834,3 +834,49 @@ def test_synth_rows_big_doc_interval_param():
     rows = list(corpus.synth_rows(120, big_doc_every=40))
     big = [r for r in rows if len(r["text"]) > 2500]
     assert len(big) == 3  # doc_ids 39, 79, 119
+
+
+def test_meta_charset_transcode_legacy_pages():
+    """<meta charset> sniff: legacy codecs transcode to UTF-8 before
+    tokenizing; the quote-wrapped golden text proves the transcode ran
+    (a missed transcode yields U+FFFD mojibake, not the glyphs)."""
+    for codec in corpus.CHARSET_VARIANTS:
+        _, op, cl = corpus.CHARSET_VARIANTS[codec]
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rec = oracle.extract_document(corpus.make_html_charset(3, t, codec))
+        assert rec["status"] == "ok", codec
+        want = "\n".join(op + ln + cl for ln in corpus.chunk_text(t))
+        assert rec["extracted_text"] == want, codec
+
+
+def test_meta_charset_labels_and_fallbacks():
+    """Label handling: case-insensitive aliases map, utf-8/ascii and
+    unknown labels leave bytes untouched (documented U+FFFD fallback),
+    and the sniff only reads the first 1KB."""
+    sj = "日本".encode("shift_jis")
+    page = (b'<html><head><meta charset="SHIFT-JIS"></head><body><p>'
+            + sj + b'</p></body></html>')
+    out = oracle._transcode_meta_charset(page)
+    assert "日本".encode("utf-8") in out
+    # utf-8 label: unchanged bytes
+    u = b'<html><head><meta charset=utf-8></head><body>x</body></html>'
+    assert oracle._transcode_meta_charset(u) is u
+    # unknown label: unchanged (stated gap, not a crash)
+    w = b'<html><head><meta charset=klingon-8></head><body>x</body></html>'
+    assert oracle._transcode_meta_charset(w) is w
+    # declaration beyond the 1KB sniff window is ignored
+    far = (b"<html><head>" + b" " * 1100
+           + b'<meta charset="shift_jis"></head><body>'
+           + sj + b"</body></html>")
+    assert oracle._transcode_meta_charset(far) is far
+
+
+def test_meta_charset_does_not_touch_non_html_routes():
+    """PDF/DOCX payloads go through _decode_transfer only — a stray
+    'charset=' byte string inside a binary stream must never trigger
+    a transcode (the html-only composition in extract_document)."""
+    t = "one two three four five six seven eight nine ten"
+    pdf = corpus.make_pdf(77, t)
+    rec = oracle.extract_document(pdf)
+    assert rec["status"] == "ok" and rec["route"] == "pdf"
+    assert rec["extracted_text"] == "\n".join(corpus.chunk_text(t))
