@@ -2788,6 +2788,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_sample_plan": q_media_sample_plan,
     "extract_charset_roundtrip": q_extract_charset_roundtrip,
+    # -- round-4 dependency rotation: these consume the extraction
+    # pipeline / page source whose core modules (oracle, kernels,
+    # corpus, pipeline) changed this round — the mechanical rotation
+    # check (tests/test_registry_rotation.py) forces them back into
+    # the window until re-verified -------------------------------------
+    "extract_volume_by_route": q_extract_volume_by_route,
+    "extract_pdf_block_counts": q_extract_pdf_block_counts,
+    "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
+    "extract_status_counts": q_extract_status_counts,
+    "host_topk": q_host_topk,
+    "host_volume": q_host_volume,
+    "latest_capture": q_latest_capture,
+    "blocklist_filter": q_blocklist_filter,
     # -- round-1 failures whose fixes were never driver-verified -------
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -2813,17 +2826,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_graph": q_link_graph,
     # -- unchecked in round 2 (pushed past the 50-query window) --------
     "incremental_dedup": q_incremental_dedup,
-    "dup_clusters": q_dup_clusters,
-    "cluster_dedup_count": q_cluster_dedup_count,
     "skills_match": q_skills_match,
     "topk_longest": q_topk_longest,
     "status_cube": q_status_cube,
-    "first_event_per_day": q_first_event_per_day,
-    "sessions_per_user": q_sessions_per_user,
-    "running_value": q_running_value,
-    "moving_avg": q_moving_avg,
-    "user_event_types": q_user_event_types,
-    "event_mode": q_event_mode,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     # -- flagship extraction family (green r2; re-verified each round) -
@@ -2844,20 +2849,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
     "quality_scores": q_quality_scores,
-    # ---- position 51+: long-stable greens (r2 rows + pytest),
+    # ---- position 51+: long-stable greens (r2/r3 rows + pytest),
     # OUTSIDE the driver's 50-query window this round. Rotated out to
-    # make room for new queries: extract_volume_by_route and
-    # extract_pdf_block_counts (route/per-page coverage overlaps
-    # route_counts + status_counts + the PDF roundtrips, all still in
-    # the window), gopher_quality, pack_sequences -------------------
-    "extract_volume_by_route": q_extract_volume_by_route,
-    "extract_pdf_block_counts": q_extract_pdf_block_counts,
-    "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
-    "extract_status_counts": q_extract_status_counts,
+    # make room for the round-4 additions and the dependency
+    # rotation above: the events/window family (sessionize.py
+    # untouched; sessions_per_user stays in-window as its
+    # representative), the connected-components pair (components.py
+    # untouched), gopher_quality, pack_sequences ---------------------
+    "sessions_per_user": q_sessions_per_user,
+    "first_event_per_day": q_first_event_per_day,
+    "running_value": q_running_value,
+    "moving_avg": q_moving_avg,
+    "user_event_types": q_user_event_types,
+    "event_mode": q_event_mode,
+    "dup_clusters": q_dup_clusters,
+    "cluster_dedup_count": q_cluster_dedup_count,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
-    "host_topk": q_host_topk,
-    "host_volume": q_host_volume,
     "emails_planted": q_emails_planted,
     "cv_fields_planted": q_cv_fields_planted,
     "cv_name_planted": q_cv_name_planted,
@@ -2869,8 +2877,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical": q_url_canonical,
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
-    "latest_capture": q_latest_capture,
-    "blocklist_filter": q_blocklist_filter,
     "decontaminate_count": q_decontaminate_count,
     "train_val_split": q_train_val_split,
     "corpus_mixture_sample": q_corpus_mixture_sample,
