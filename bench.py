@@ -211,6 +211,42 @@ def run_resumable_bench(spark, path: str, n_buckets: int = 256,
             "all_runs_sec": [round(t, 2) for t in times]}
 
 
+def run_asof_skew_bench(spark, n: int = 400_000) -> dict:
+    """Hot-key as-of join: ONE key holds 50% of rows (the degenerate
+    bot-account/null-user shape), plain single-window plan vs the
+    banded anti-skew plan (skew_threshold + boundary carry-over).
+    Synthesized from spark.range executor-side; reports both walls and
+    the speedup — the evidence that the hot key no longer serializes
+    into a single window task."""
+    from pyspark.sql import functions as F
+
+    from document_text_extraction_spark.operators.asof import asof_join
+    base = spark.range(n)
+    key = F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64("id"), F.lit(64)) + 1)
+    rows = base.select(
+        F.col("id").alias("eid"), key.alias("k"),
+        (F.col("id") % 100_000).cast("double").alias("ts"),
+        (F.col("id") % 3 == 0).alias("is_right"))
+    left = rows.filter(~F.col("is_right")).drop("is_right")
+    right = (rows.filter("is_right").drop("is_right")
+             .withColumnRenamed("eid", "rid"))
+    runs = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "2"))
+    out = {}
+    for label, kw in (("plain", {}),
+                      ("banded", {"skew_threshold": 10_000,
+                                  "n_bands": 32})):
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            asof_join(left, right, key_col="k", tiebreak_col="rid",
+                      **kw).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[label] = best
+    return out
+
+
 def main() -> None:
     from document_text_extraction_spark import queries as Q
     from document_text_extraction_spark.session import get_spark
@@ -253,6 +289,9 @@ def main() -> None:
     timed("simhash_neardup", Q.q_simhash_neardup)
     timed("winnow_overlap", Q.q_winnow_overlap)
     timed("asof_join", Q.q_asof_last_signup)
+    skew = run_asof_skew_bench(spark)
+    timings["asof_skew_plain"] = round(skew["plain"], 3)
+    timings["asof_skew_banded"] = round(skew["banded"], 3)
     timed("range_join", Q.q_range_join_windows)
     timed("hypertable_rollup", Q.q_hypertable_rollup)
     timed("dedup_exact", Q.q_dedup_exact)
@@ -289,6 +328,8 @@ def main() -> None:
         "resumable_input_prep_seconds": res["input_prep_seconds"],
         # skew evidence: the Zipf-hot host serializes the unsalted run
         "salt_speedup": round(uns["seconds"] / ext["seconds"], 2),
+        # hot-key as-of: banded anti-skew plan vs single-window plan
+        "asof_skew_speedup": round(skew["plain"] / skew["banded"], 2),
     }
     print(json.dumps(result))
     spark.stop()

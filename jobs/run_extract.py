@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--slice-buckets", type=int, default=32)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--no-salt", action="store_true")
+    ap.add_argument("--parallel-slices", type=int, default=1,
+                    help="overlap N slice waves (each still commits "
+                         "atomically); 2 = double-buffering that hides "
+                         "per-wave scheduling + commit latency")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -81,6 +85,7 @@ def main() -> None:
         spark, pages, args.output, run_id=args.run_id,
         n_buckets=args.buckets, slice_buckets=args.slice_buckets,
         resume=not args.no_resume, salt=not args.no_salt,
+        parallel_slices=args.parallel_slices,
     )
     done = [s for s in manifest["slices"].values() if s.get("committed")]
     print(json.dumps({
