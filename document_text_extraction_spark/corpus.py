@@ -542,6 +542,51 @@ def make_pdf(doc_id: int, text: str,
     return _assemble_pdf(objs)
 
 
+def make_pdf_no_text(doc_id: int, raster: bool = False) -> bytes:
+    """A structurally valid one-page PDF with NO text-showing operators
+    — the OCR-budget shapes (VERDICT r3 #8):
+
+    * ``raster=True``: the page draws an image XObject (``Do``) and
+      nothing else — the scanned-document shape a future OCR route
+      would address (classified ``raster_only``);
+    * ``raster=False``: a text-capable page whose content stream is
+      empty — "text layer present but empty" (``no_text_layer``).
+
+    Used by the ``pdf_ocr_budget`` registry query and tests; NOT part
+    of the standard corpus mix (payload bytes of existing slots are
+    unchanged)."""
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    if raster:
+        page = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents 4 0 R /Resources "
+            "<< /XObject << /Im0 5 0 R >> >> >>"
+        ).encode()
+        content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (
+            int(PAGE_W), int(PAGE_H))
+        objs.append(page)
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(content), content))
+        pixels = hashlib.md5(b"scan:%d" % doc_id).digest() * 4  # 8x8 gray
+        objs.append(
+            b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d "
+            b">>\nstream\n%s\nendstream" % (len(pixels), pixels))
+    else:
+        page = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:.0f} "
+            f"{PAGE_H:.0f}] /Contents 4 0 R /Resources "
+            "<< /Font << /F1 5 0 R >> >> >>"
+        ).encode()
+        objs.append(page)
+        objs.append(b"<< /Length 0 >>\nstream\n\nendstream")
+        objs.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _assemble_pdf(objs)
+
+
 # /Differences substitutions for make_pdf_winansi: frequent letters are
 # shown as remapped codes, so extraction MUST interpret the encoding
 # (bare glyph names and uniXXXX forms both exercised). Codes 1-7 sit

@@ -485,6 +485,15 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         "\n".join(content_text.get(i, [])) if status[i] == "ok" else ""
         for i in range(n)
     ]
+    # OCR-budget split (shared with oracle.extract_document): a PDF
+    # that parsed but shows NO text is not an 'ok' empty row — it is
+    # raster_only (image XObject declared; the OCR addressable market)
+    # or no_text_layer. Must run before spans/sections/fields, which
+    # key off status.
+    for i in range(n):
+        if routes[i] == "pdf" and status[i] == "ok" and not text_list[i]:
+            status[i] = "parse_failure"
+            reasons[i] = oracle.classify_pdf_no_text(payload_arr[i])
     texts = pd.Series(text_list)
     headings = pd.Series(
         [headings_per_doc.get(i, []) if status[i] == "ok" else []

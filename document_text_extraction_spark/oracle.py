@@ -1973,13 +1973,32 @@ def fail_reason(exc: Exception) -> str:
     return "parse_error"
 
 
+_IMAGE_XOBJ_RE = re.compile(rb"/Subtype\s*/Image\b")
+
+
+def classify_pdf_no_text(data: bytes) -> str:
+    """Failure class for a PDF that parses but yields NO text — the
+    OCR-budget split (VERDICT r3 #8): ``raster_only`` when the file
+    declares an image XObject (a scanned page a future OCR route could
+    address — the addressable market), else ``no_text_layer`` (a
+    text-capable page with an empty layer). The image declaration
+    lives in a plain object dict (never inside a compressed stream),
+    so one bounded byte regex suffices and both engines share it."""
+    try:
+        data = _decode_transfer(bytes(data))
+    except Exception:
+        pass
+    return ("raster_only" if _IMAGE_XOBJ_RE.search(data)
+            else "no_text_layer")
+
+
 def extract_document(data: bytes) -> dict:
     """bytes → extraction record; never raises (EP3 error-row protocol).
 
     ``reason`` is None on success, else a stable failure-class code
     (unknown_route | unsupported_filter | encrypted | bad_flate |
     bad_objstm | bad_container | bad_transfer | bad_magic | no_streams
-    | parse_error).
+    | raster_only | no_text_layer | parse_error).
     """
     route = sniff(data)
     link_uris: list[str] = []
@@ -1999,6 +2018,15 @@ def extract_document(data: bytes) -> dict:
         elif route == "pdf":
             text, spans, n_pages, link_uris = extract_pdf_full(
                 _decode_transfer(data))
+            if not text:
+                # parsed fine but nothing shown: the OCR-budget split
+                return {
+                    "status": "parse_failure", "route": route,
+                    "reason": classify_pdf_no_text(data),
+                    "extracted_text": "", "spans": [],
+                    "fields": dict(EMPTY_FIELDS), "sections": [],
+                    "n_pages": 0, "n_blocks": 0,
+                }
         else:
             return {
                 "status": "parse_failure", "route": route,

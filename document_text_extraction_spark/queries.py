@@ -2682,6 +2682,56 @@ SQL_EXTRACT_CHARSET = (
 )
 
 
+def q_pdf_ocr_budget(spark, sf_dir):
+    """OCR addressable-market accounting (VERDICT r3 #8): PDFs that
+    parse but show NO text split into ``raster_only`` (image XObject
+    declared — a future OCR route's measured market) vs
+    ``no_text_layer`` (text-capable page, empty layer), with normal
+    text PDFs staying ok. Pages built executor-side
+    (corpus.make_pdf_no_text / make_pdf) and run through the REAL
+    pipeline; output is (status, reason, n_docs) with reason
+    ''-coalesced for the driver's canonicalizer."""
+    import pandas as pd
+
+    from . import corpus as C
+    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 240)
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for i, t in zip(b["doc_id"], b["text"]):
+                i = int(i)
+                if i % 3 == 0:
+                    payload = C.make_pdf(i, t)
+                else:
+                    payload = C.make_pdf_no_text(i, raster=(i % 3 == 1))
+                rows.append((C.url_for(i, "ocr"), payload))
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    out = pipeline.extract_df(pages, n_buckets=_N_BUCKETS)
+    return (
+        out.groupBy(
+            F.col("lineage.status").alias("status"),
+            F.coalesce(F.col("lineage.reason"), F.lit("")).alias("reason"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+SQL_PDF_OCR_BUDGET = (
+    "SELECT 'ok' AS status, '' AS reason, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM documents "
+    "WHERE doc_id < 240 AND doc_id % 3 = 0 "
+    "UNION ALL SELECT 'parse_failure', 'raster_only', "
+    "CAST(count(*) AS BIGINT) FROM documents "
+    "WHERE doc_id < 240 AND doc_id % 3 = 1 "
+    "UNION ALL SELECT 'parse_failure', 'no_text_layer', "
+    "CAST(count(*) AS BIGINT) FROM documents "
+    "WHERE doc_id < 240 AND doc_id % 3 = 2"
+)
+
+
 def _media_df(spark, sf_dir):
     """Deterministic synthetic media table keyed by doc_id (< 300):
     payloads generated EXECUTOR-side inside mapInPandas from the row id
@@ -2788,6 +2838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_sample_plan": q_media_sample_plan,
     "extract_charset_roundtrip": q_extract_charset_roundtrip,
+    "pdf_ocr_budget": q_pdf_ocr_budget,
     # -- round-4 dependency rotation: these consume the extraction
     # pipeline / page source whose core modules (oracle, kernels,
     # corpus, pipeline) changed this round — the mechanical rotation
@@ -2805,7 +2856,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "embedding_neardup": q_embedding_neardup,
     # -- round-2 driver ERRORs (array-column canonicalization) ---------
     "extract_pdf_links": q_extract_pdf_links,
     "extract_docx_links": q_extract_docx_links,
@@ -2855,7 +2905,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotation above: the events/window family (sessionize.py
     # untouched; sessions_per_user stays in-window as its
     # representative), the connected-components pair (components.py
-    # untouched), gopher_quality, pack_sequences ---------------------
+    # untouched), gopher_quality, pack_sequences, embedding_neardup
+    # (similarity.py untouched, r03 green) ---------------------------
+    "embedding_neardup": q_embedding_neardup,
     "sessions_per_user": q_sessions_per_user,
     "first_event_per_day": q_first_event_per_day,
     "running_value": q_running_value,
@@ -2890,6 +2942,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_sample_plan": SQL_MEDIA_SAMPLE_PLAN,
     "extract_charset_roundtrip": SQL_EXTRACT_CHARSET,
+    "pdf_ocr_budget": SQL_PDF_OCR_BUDGET,
     "extract_html_roundtrip": SQL_EXTRACT_HTML,
     "extract_docx_roundtrip": SQL_EXTRACT_DOCX,
     "extract_pdf_roundtrip": SQL_EXTRACT_PDF,

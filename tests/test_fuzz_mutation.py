@@ -13,6 +13,8 @@ _REASONS = {
     "unknown_route", "unsupported_filter", "encrypted", "bad_flate",
     "bad_objstm", "bad_container", "bad_transfer", "bad_magic",
     "no_streams", "parse_error", "bad_filter_data",
+    # OCR-budget split: a mutation can blank a PDF's text layer
+    "raster_only", "no_text_layer",
 }
 
 

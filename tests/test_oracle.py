@@ -880,3 +880,20 @@ def test_meta_charset_does_not_touch_non_html_routes():
     rec = oracle.extract_document(pdf)
     assert rec["status"] == "ok" and rec["route"] == "pdf"
     assert rec["extracted_text"] == "\n".join(corpus.chunk_text(t))
+
+
+def test_pdf_ocr_budget_classification():
+    """A PDF that parses but shows no text is a parse_failure with the
+    OCR-budget split: raster_only (image XObject declared) vs
+    no_text_layer (text-capable page, empty content) — never a silent
+    ok-with-empty-text row."""
+    r = oracle.extract_document(corpus.make_pdf_no_text(9, raster=True))
+    assert (r["status"], r["reason"]) == ("parse_failure", "raster_only")
+    e = oracle.extract_document(corpus.make_pdf_no_text(9, raster=False))
+    assert (e["status"], e["reason"]) == ("parse_failure", "no_text_layer")
+    # whitespace-only shows also classify (text strips to empty)
+    assert r["extracted_text"] == "" and r["n_pages"] == 0
+    # a normal text PDF stays ok
+    ok = oracle.extract_document(
+        corpus.make_pdf(9, "a b c d e f g h i j"))
+    assert ok["status"] == "ok" and ok["reason"] is None
