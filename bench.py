@@ -215,9 +215,16 @@ def run_asof_skew_bench(spark, n: int = 400_000) -> dict:
     """Hot-key as-of join: ONE key holds 50% of rows (the degenerate
     bot-account/null-user shape), plain single-window plan vs the
     banded anti-skew plan (skew_threshold + boundary carry-over).
-    Synthesized from spark.range executor-side; reports both walls and
-    the speedup — the evidence that the hot key no longer serializes
-    into a single window task."""
+
+    What this measures at bench scale is the banded plan's INSURANCE
+    OVERHEAD, not a speedup: a 200k-row hot window sorts in one task in
+    milliseconds, so the extra narrow shuffles dominate (measured
+    banded/plain ≈ 3× at 400k rows, converging — 3.4× at 2M, 1.5× at
+    8M — toward crossover in the tens of millions of hot rows, exactly
+    where the single-task plan stops completing at all). The scale
+    evidence that no stage serializes the hot key is the PLAN shape
+    (window partitioned by (key, band)), asserted in
+    tests/test_modules.py::test_asof_banded_plan_has_no_hot_window."""
     from pyspark.sql import functions as F
 
     from document_text_extraction_spark.operators.asof import asof_join
@@ -328,8 +335,10 @@ def main() -> None:
         "resumable_input_prep_seconds": res["input_prep_seconds"],
         # skew evidence: the Zipf-hot host serializes the unsalted run
         "salt_speedup": round(uns["seconds"] / ext["seconds"], 2),
-        # hot-key as-of: banded anti-skew plan vs single-window plan
-        "asof_skew_speedup": round(skew["plain"] / skew["banded"], 2),
+        # hot-key as-of: the banded anti-skew plan's insurance overhead
+        # at bench scale (expected >1 here; crossover sits at tens of
+        # millions of hot rows — see run_asof_skew_bench docstring)
+        "asof_banded_overhead_x": round(skew["banded"] / skew["plain"], 2),
     }
     print(json.dumps(result))
     spark.stop()

@@ -1261,10 +1261,14 @@ def q_curate_corpus(spark, sf_dir):
     dedup is one window over the fingerprint hash (WindowGroupLimit
     pre-prunes rank>1 rows map-side), the near-dup drop set is tiny and
     broadcast for a left-anti join, and the scrub is a codegen'd regexp
-    chain — no driver-side step anywhere. The unpersisted dataflow
-    re-derives the deduped pool for each MinHash sub-plan (fine on
-    parquet at test scale); a production run materializes the survivor
-    table between stages, as jobs/run_extract.py does for extraction.
+    chain — no driver-side step anywhere. The LSH band self-join's
+    repeated references to the deduped pool resolve to ONE computation
+    via exchange reuse (plan-asserted for minhash_neardup), so
+    materializing the pool between stages buys nothing at this scale —
+    profiled r4: full query 6.0 s plain vs 5.8/6.3 s with
+    localCheckpoint variants, all inside the host's noise band
+    (BENCH/EVIDENCE.md); a production run still materializes survivor
+    tables between stages for restartability (curation.curate).
     Oracle: the
     DuckDB replica uses the exact n-gram Jaccard pair set, equal to the
     MinHash output under the corpus's 100%-band-recall invariant (see

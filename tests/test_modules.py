@@ -411,6 +411,27 @@ def test_asof_null_payload_stays_on_matched_row(spark):
     assert r["v_asof"] is None  # NOT 7 from the ts=3 row
 
 
+def test_asof_banded_plan_has_no_hot_window(spark):
+    """The scale evidence for the anti-skew plan: the forward-fill
+    window over hot keys partitions by (key, band) — no stage windows
+    the bare hot key, so no single task ever owns a hot key's whole
+    stream (the plain plan's 100× OOM cliff)."""
+    from document_text_extraction_spark.operators.asof import asof_join
+    from document_text_extraction_spark.plans import plan_report
+
+    ldf = spark.createDataFrame([(1, "k", 1.0)], ["eid", "k", "ts"])
+    rdf = spark.createDataFrame([(2, "k", 0.5)], ["rid", "k", "ts"])
+    out = asof_join(ldf, rdf, key_col="k", skew_threshold=0, n_bands=8)
+    rep = plan_report(out)
+    assert "__band" in rep["plan"], rep["plan"]
+    # every windowspecdefinition over the hot side carries the band
+    import re as _re
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", rep["plan"])
+    hot_specs = [s for s in specs if "__band" in s]
+    assert hot_specs, rep["plan"]
+    assert not rep["has_cartesian"], rep["plan"]
+
+
 def test_asof_skew_banded_path_matches_plain(spark):
     """One hot key holding ~50% of rows through the banded anti-skew
     plan (skew_threshold + boundary carry-over) must produce exactly
