@@ -177,10 +177,12 @@ def run_resumable_bench(spark, path: str, n_buckets: int = 256,
       (it models the table's storage layout, not per-run work);
     * round-3: per-slice fixed cost (job scheduling + AQE barriers +
       a post-hoc counter scan). Counters now ride the write job via
-      observe(), and slices run double-buffered (parallel_slices=2):
-      slice k+1 executes while slice k finishes and commits — the
-      production wave-pipelining shape; commit atomicity per slice is
-      unchanged (staging dir + rename + locked manifest commit).
+      observe(), and slice waves run overlapped (parallel_slices=4
+      here: this bench's 4 slices each fan to ~9-16 byte-sized tasks,
+      so overlapping all four is what keeps 32 cores saturated —
+      measured 26.5 s sequential vs 11.3 s overlapped at sf0.1);
+      commit atomicity per slice is unchanged (staging dir + rename +
+      locked manifest commit).
     """
     import shutil
     import tempfile
@@ -201,7 +203,7 @@ def run_resumable_bench(spark, path: str, n_buckets: int = 256,
         t0 = time.perf_counter()
         manifest = pipeline.run_extraction(
             spark, pages, out_dir, n_buckets=n_buckets,
-            slice_buckets=slice_buckets, parallel_slices=2)
+            slice_buckets=slice_buckets, parallel_slices=4)
         times.append(time.perf_counter() - t0)
         docs = sum(s["docs"] for s in manifest["slices"].values())
         shutil.rmtree(out_dir, ignore_errors=True)

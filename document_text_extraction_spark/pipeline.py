@@ -484,16 +484,21 @@ def run_extraction(
     # heuristic in extract_df) would schedule n_slices × 4·base mostly
     # empty tasks per run — measured ~0.9 s/slice of pure scheduling at
     # bench scale. Instead: ceil(slice_bytes / salt grain) partitions
-    # (the same ~2 core-seconds-per-task target the salting plan uses),
-    # clamped to [8, 4·base] so a production slice sized as one cluster
-    # wave still fans out to the full executor width.
+    # (the byte-per-task target the salting plan uses), clamped to
+    # [floor, 4·base] where floor = base / parallel_slices — the
+    # concurrent slice waves must still cover the full executor width
+    # between them (byte-sizing alone measured 9 tasks/slice × 2 waves
+    # = 18 in-flight on 32 cores: steady 14.3 s at sf0.1 from pure
+    # core starvation). A production slice sized as one cluster wave
+    # hits the 4·base clamp and fans out fully either way.
     base = int(pages.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
+    floor = max(8, base // max(1, parallel_slices))
 
     def _slice_partitions(buckets: list[int]) -> int:
         sz = sum(stats.get(b, 0) for b in buckets)
         want = -(-sz // DEFAULT_SALT_THRESHOLD_BYTES) or 1
-        return max(8, min(4 * base, want))
+        return max(floor, min(4 * base, want))
 
     os.makedirs(data_dir, exist_ok=True)
 
@@ -591,6 +596,61 @@ def snapshots(out_dir: str, run_id: str = "run1") -> list[dict]:
     return out
 
 
+def expire_snapshots(out_dir: str, run_id: str = "run1",
+                     keep_last: int = 1) -> dict:
+    """Iceberg ``expireSnapshots`` analogue on the manifest store:
+    time-travel reads older than the last ``keep_last`` commits are
+    invalidated (``read_snapshot`` refuses them). Pure metadata — this
+    table is append-only (slices only ever ADD bucket dirs, never
+    rewrite), so an old snapshot's files are always part of every
+    newer snapshot and expiry can never delete data; the file-level
+    counterpart for crash litter is :func:`vacuum`."""
+    manifest = _load_manifest(out_dir, run_id)
+    log = manifest.get("commit_log", [])
+    expired_before = max(len(log) - max(keep_last, 0),
+                         manifest.get("expired_before", 0))
+    manifest["expired_before"] = expired_before
+    _commit_manifest(out_dir, run_id, manifest)
+    return {"expired_before": expired_before, "kept": len(log) -
+            expired_before}
+
+
+def vacuum(out_dir: str, run_id: str = "run1") -> dict:
+    """Iceberg ``removeOrphanFiles`` analogue: delete files unreachable
+    from the committed manifest — stale ``_stage_*`` dirs (a crash
+    between the slice write and its renames) and ``part_bucket=`` dirs
+    no committed slice references (a crash between a rename and the
+    manifest commit; the redo wipes them anyway, but vacuum reclaims
+    the space without re-running). Like Iceberg's procedure, run it
+    only while no writer is active on this out_dir. Returns removal
+    counts."""
+    manifest = _load_manifest(out_dir, run_id)
+    committed: set[int] = set()
+    for s in manifest.get("slices", {}).values():
+        if s.get("committed"):
+            committed.update(s.get("buckets", []))
+    removed = {"staging_dirs": 0, "orphan_buckets": 0}
+    for name in os.listdir(out_dir):
+        if name.startswith("_stage_"):
+            shutil.rmtree(os.path.join(out_dir, name),
+                          ignore_errors=True)
+            removed["staging_dirs"] += 1
+    data_dir = os.path.join(out_dir, "data")
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            if not name.startswith("part_bucket="):
+                continue
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b not in committed:
+                shutil.rmtree(os.path.join(data_dir, name),
+                              ignore_errors=True)
+                removed["orphan_buckets"] += 1
+    return removed
+
+
 def read_snapshot(spark: SparkSession, out_dir: str,
                   run_id: str = "run1",
                   snapshot_id: int | None = None) -> DataFrame:
@@ -608,6 +668,11 @@ def read_snapshot(spark: SparkSession, out_dir: str,
     if not 0 <= snapshot_id <= len(log):
         raise ValueError(
             f"snapshot {snapshot_id} out of range 0..{len(log)}")
+    expired_before = manifest.get("expired_before", 0)
+    if snapshot_id != len(log) and snapshot_id < expired_before:
+        raise ValueError(
+            f"snapshot {snapshot_id} expired (expire_snapshots kept "
+            f"{expired_before}..{len(log)})")
     buckets: list[int] = []
     for key in log[:snapshot_id]:
         buckets.extend(manifest["slices"][key]["buckets"])

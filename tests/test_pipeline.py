@@ -274,6 +274,37 @@ def test_resume_of_complete_run_is_metadata_noop(spark, pages, tmp_path):
     assert after == before, "resume of a complete run launched Spark jobs"
 
 
+def test_expire_snapshots_and_vacuum(spark, pages, tmp_path):
+    """expire_snapshots gates time travel (metadata only — the table
+    is append-only, so no data is deleted and the latest read still
+    sees everything); vacuum removes crash litter: stale staging dirs
+    and bucket dirs no committed slice references."""
+    import os as _os
+    out = str(tmp_path / "exp")
+    pipeline.run_extraction(spark, pages, out, n_buckets=8,
+                            slice_buckets=2, salt=False)
+    n_snaps = len(pipeline.snapshots(out))
+    assert n_snaps == 4
+    full = pipeline.read_snapshot(spark, out).count()
+    info = pipeline.expire_snapshots(out, keep_last=2)
+    assert info["expired_before"] == 2 and info["kept"] == 2
+    with pytest.raises(ValueError, match="expired"):
+        pipeline.read_snapshot(spark, out, snapshot_id=1)
+    # unexpired ids and the latest still read; data untouched
+    assert pipeline.read_snapshot(spark, out, snapshot_id=3).count() > 0
+    assert pipeline.read_snapshot(spark, out).count() == full == N_DOCS
+    # crash litter: a stale staging dir + an orphan bucket dir
+    _os.makedirs(_os.path.join(out, "_stage_run1_99", "part_bucket=3"))
+    orphan = _os.path.join(out, "data", "part_bucket=99")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "part-000.parquet"), "wb") as f:
+        f.write(b"junk")
+    removed = pipeline.vacuum(out)
+    assert removed == {"staging_dirs": 1, "orphan_buckets": 1}
+    assert not _os.path.isdir(orphan)
+    assert pipeline.read_snapshot(spark, out).count() == N_DOCS
+
+
 def test_out_dir_is_exclusive_to_one_run_id(spark, pages, tmp_path):
     """out_dir/data is shared storage: a second run_id in the same
     out_dir would wipe buckets the first run's manifest marks committed
