@@ -72,21 +72,12 @@ def _like_pattern(prefix):
     return F.when(anchored, pat).otherwise(F.concat(pat, F.lit("%")))
 
 
-def parse_robots_rules(robots: DataFrame, user_agent: str = "*",
-                       host_col: str = "host",
-                       body_col: str = "body") -> DataFrame:
-    """``(host, body)`` → ``(host, rules array)`` for ``user_agent``.
-
-    Stanza semantics: a ``User-agent:`` line opens a group; consecutive
-    user-agent lines share the following rule lines. The specific
-    agent's groups REPLACE the ``*`` groups whenever the agent has any
-    group of its own — even one whose only directive is the allow-all
-    ``Disallow:`` with an empty value (the standard exemption idiom).
-
-    ``rules`` is sorted most-specific-first (octet length desc, Allow
-    before Disallow on ties, then prefix for determinism), so the first
-    matching element IS the governing rule.
-    """
+def _grouped_lines(robots: DataFrame, host_col: str,
+                   body_col: str) -> DataFrame:
+    """Shared stanza machinery: body → one row per non-empty line with
+    (host, pos, ln, ua flag, sid stanza id). A ``User-agent:`` line
+    opens a group; consecutive user-agent lines share the following
+    rule lines. One posexplode + one window — linear in body size."""
     lines = F.split(F.col(body_col), "\n")
     clean = F.filter(
         F.transform(
@@ -104,12 +95,38 @@ def parse_robots_rules(robots: DataFrame, user_agent: str = "*",
     w = Window.partitionBy("host").orderBy("pos")
     new_group = F.col("ua") & ~F.coalesce(
         F.lag("ua").over(w), F.lit(False))
-    ex = ex.withColumn(
-        "sid", F.sum(new_group.cast("int")).over(w))
+    return ex.withColumn("sid", F.sum(new_group.cast("int")).over(w))
+
+
+def _chosen_stanzas(ex: DataFrame, user_agent: str) -> DataFrame:
+    """(host, sid) pairs whose group applies to ``user_agent``: its own
+    groups REPLACE the ``*`` groups whenever the agent has ANY group of
+    its own — even one whose only directive is the allow-all
+    ``Disallow:`` with an empty value (the standard exemption idiom).
+    Selection is from AGENT lines, not joined rules, so the empty
+    exemption still suppresses the ``*`` fallback."""
     ua_val = F.lower(_wtrim(F.substring_index("ln", ":", -1)))
     agents = (ex.filter("ua")
               .groupBy("host", "sid")
               .agg(F.collect_set(ua_val).alias("agents")))
+    me = F.lit(user_agent.lower())
+    my_stanzas = agents.filter(F.array_contains("agents", me))
+    my_hosts = my_stanzas.select("host").distinct()
+    wild_stanzas = (agents.filter(F.array_contains("agents", "*"))
+                    .join(my_hosts, "host", "left_anti"))
+    return my_stanzas.unionAll(wild_stanzas).select("host", "sid")
+
+
+def parse_robots_rules(robots: DataFrame, user_agent: str = "*",
+                       host_col: str = "host",
+                       body_col: str = "body") -> DataFrame:
+    """``(host, body)`` → ``(host, rules array)`` for ``user_agent``.
+
+    ``rules`` is sorted most-specific-first (octet length desc, Allow
+    before Disallow on ties, then prefix for determinism), so the first
+    matching element IS the governing rule.
+    """
+    ex = _grouped_lines(robots, host_col, body_col)
     directive = F.lower(_wtrim(F.substring_index("ln", ":", 1)))
     rule_val = _wtrim(F.expr("substring(ln, locate(':', ln) + 1)"))
     rules = (ex.filter(~F.col("ua"))
@@ -117,15 +134,7 @@ def parse_robots_rules(robots: DataFrame, user_agent: str = "*",
                      rule_val.alias("__rb_prefix"))
              .filter(F.col("d").isin("allow", "disallow")
                      & (F.col("__rb_prefix") != "")))
-    me = F.lit(user_agent.lower())
-    # group selection from AGENTS, not from joined rules: an agent
-    # whose own group has only an empty Disallow (allow-all) must
-    # still suppress the '*' fallback for that host
-    my_stanzas = agents.filter(F.array_contains("agents", me))
-    my_hosts = my_stanzas.select("host").distinct()
-    wild_stanzas = (agents.filter(F.array_contains("agents", "*"))
-                    .join(my_hosts, "host", "left_anti"))
-    chosen = my_stanzas.unionAll(wild_stanzas).select("host", "sid")
+    chosen = _chosen_stanzas(ex, user_agent)
     picked = (rules.join(chosen, ["host", "sid"])
               .select("host",
                       F.struct(
@@ -147,6 +156,44 @@ def parse_robots_rules(robots: DataFrame, user_agent: str = "*",
     return (picked.groupBy("host")
             .agg(F.array_sort(F.collect_set("rule"), _cmp)
                  .alias("rules")))
+
+
+def parse_robots_meta(robots: DataFrame, user_agent: str = "*",
+                      host_col: str = "host",
+                      body_col: str = "body") -> DataFrame:
+    """Per-host crawl metadata beyond allow/disallow:
+
+    * ``crawl_delay`` — the ``Crawl-delay:`` of the groups that apply
+      to ``user_agent`` (same group-selection precedence as the
+      rules); several applicable groups → the MINIMUM (the
+      conservative rate a polite scheduler must honor); absent or
+      non-numeric → null;
+    * ``sitemaps`` — every ``Sitemap:`` URL in the file, sorted. Per
+      the sitemaps protocol these are group-INDEPENDENT, so they are
+      collected from all lines, not just chosen stanzas.
+
+    Same pure-JVM stanza machinery as :func:`parse_robots_rules`; a
+    host appears iff it has a crawl-delay or at least one sitemap.
+    """
+    ex = _grouped_lines(robots, host_col, body_col)
+    directive = F.lower(_wtrim(F.substring_index("ln", ":", 1)))
+    val = _wtrim(F.expr("substring(ln, locate(':', ln) + 1)"))
+    body = ex.filter(~F.col("ua")).select(
+        "host", "sid", directive.alias("d"), val.alias("v"))
+    chosen = _chosen_stanzas(ex, user_agent)
+    delays = (body.filter(F.col("d") == "crawl-delay")
+              .join(chosen, ["host", "sid"])
+              .select("host",
+                      F.col("v").try_cast("double").alias("cd"))
+              .filter(F.col("cd").isNotNull())
+              .groupBy("host")
+              .agg(F.min("cd").alias("crawl_delay")))
+    maps = (body.filter((F.col("d") == "sitemap") & (F.col("v") != ""))
+            .groupBy("host")
+            .agg(F.array_sort(F.collect_set("v")).alias("sitemaps")))
+    return (delays.join(maps, "host", "full")
+            .select("host", "crawl_delay",
+                    F.coalesce("sitemaps", F.array()).alias("sitemaps")))
 
 
 def robots_filter(pages: DataFrame, rules: DataFrame,

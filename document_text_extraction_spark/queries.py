@@ -2504,6 +2504,51 @@ SQL_ROBOTS_TXT = (
 )
 
 
+def q_robots_meta(spark, sf_dir):
+    """robots.txt crawl metadata (operators/robots.parse_robots_meta):
+    Crawl-delay under the same group-selection precedence as the rules
+    (decoy agent stanza planted; min across applicable groups;
+    non-numeric dropped) and group-independent Sitemap collection.
+    Bodies planted per host class; sitemaps emitted comma-joined for
+    the driver canonicalizer."""
+    from .operators import robots as rb
+    pages = web_pages_from_documents(spark, sf_dir).select("url")
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    hosts = pages.select(host.alias("host")).distinct()
+    num = F.substring("host", 5, 2).cast("int")
+    sm = F.concat(F.lit("https://"), F.col("host"))
+    body = (
+        F.when(num % 3 == 0, F.concat(
+            F.lit("User-agent: archiver\nCrawl-delay: 99\n\n"
+                  "User-agent: *\nCrawl-delay: 4\nDisallow: /src3/\n"
+                  "Sitemap: "), sm, F.lit("/sitemap.xml\n")))
+        .when(num % 3 == 1, F.concat(
+            F.lit("User-agent: *\nCrawl-delay: soon\nSitemap: "),
+            sm, F.lit("/sm-a.xml\nSitemap: "), sm, F.lit("/sm-b.xml\n")))
+    )
+    robots_tbl = (hosts.select("host", body.alias("body"))
+                  .filter(F.col("body").isNotNull()))
+    meta = rb.parse_robots_meta(robots_tbl, user_agent="*")
+    # crawl_delay -1-coalesced: absent delay is data, and bare NULLs
+    # don't sort in the cross-engine row canonicalizer
+    return meta.select(
+        "host",
+        F.coalesce("crawl_delay", F.lit(-1.0)).alias("crawl_delay"),
+        F.array_join("sitemaps", ",").alias("sitemaps"))
+
+
+_ROBOTS_HOST_NUM_SQL = "CAST(substring(host, 5, 2) AS INT)"
+SQL_ROBOTS_META = (
+    f"WITH h AS (SELECT DISTINCT {HOST_SQL} AS host FROM documents) "
+    f"SELECT host, CAST(4 AS DOUBLE) AS crawl_delay, "
+    "'https://' || host || '/sitemap.xml' AS sitemaps FROM h "
+    f"WHERE {_ROBOTS_HOST_NUM_SQL} % 3 = 0 "
+    "UNION ALL SELECT host, CAST(-1 AS DOUBLE), "
+    "'https://' || host || '/sm-a.xml,https://' || host || '/sm-b.xml' "
+    f"FROM h WHERE {_ROBOTS_HOST_NUM_SQL} % 3 = 1"
+)
+
+
 def q_latest_capture(spark, sf_dir):
     """Re-crawl snapshot compaction: a crawl table accumulates multiple
     captures per url; keep the NEWEST (max warc_ts) row of each — one
@@ -2874,6 +2919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_fail_reasons": q_extract_fail_reasons,
     "robots_noindex": q_robots_noindex,
     "robots_txt_filter": q_robots_txt_filter,
+    "robots_meta": q_robots_meta,
     "asof_last_signup": q_asof_last_signup,
     "range_join_windows": q_range_join_windows,
     "hypertable_rollup": q_hypertable_rollup,
@@ -2881,7 +2927,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- unchecked in round 2 (pushed past the 50-query window) --------
     "incremental_dedup": q_incremental_dedup,
     "skills_match": q_skills_match,
-    "topk_longest": q_topk_longest,
     "status_cube": q_status_cube,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2910,7 +2955,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # untouched; sessions_per_user stays in-window as its
     # representative), the connected-components pair (components.py
     # untouched), gopher_quality, pack_sequences, embedding_neardup
-    # (similarity.py untouched, r03 green) ---------------------------
+    # (similarity.py untouched, r03 green), topk_longest -------------
+    "topk_longest": q_topk_longest,
     "embedding_neardup": q_embedding_neardup,
     "sessions_per_user": q_sessions_per_user,
     "first_event_per_day": q_first_event_per_day,
@@ -2990,6 +3036,7 @@ ORACLE_SQL: dict[str, str] = {
     "host_pagerank": SQL_HOST_PAGERANK,
     "robots_noindex": SQL_ROBOTS_NOINDEX,
     "robots_txt_filter": SQL_ROBOTS_TXT,
+    "robots_meta": SQL_ROBOTS_META,
     "asof_last_signup": SQL_ASOF_SIGNUP,
     "range_join_windows": SQL_RANGE_JOIN,
     "hypertable_rollup": SQL_HYPERTABLE,

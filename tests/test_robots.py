@@ -165,3 +165,34 @@ def test_wildcard_and_anchor(spark):
     kept = sorted(x["doc_id"] for x in
                   robots_filter(pages, parse_robots_rules(r)).collect())
     assert kept == [3, 5, 7, 8]
+
+
+def test_crawl_delay_and_sitemaps(spark):
+    """Crawl-delay follows group selection (min across applicable
+    groups, non-numeric dropped); Sitemap URLs are group-independent
+    and collected from the whole file."""
+    from document_text_extraction_spark.operators.robots import (
+        parse_robots_meta,
+    )
+    body_a = ("User-agent: mybot\nCrawl-delay: 2\n\n"
+              "User-agent: *\nCrawl-delay: 10\n"
+              "Sitemap: https://a.example/sm1.xml\n\n"
+              "User-agent: *\nCrawl-delay: 7\n"
+              "Sitemap: https://a.example/sm2.xml\n")
+    body_b = "User-agent: *\nCrawl-delay: soon\nDisallow: /x/\n"
+    body_c = "User-agent: *\nDisallow: /y/\n"
+    r = spark.createDataFrame(
+        [("a.example", body_a), ("b.example", body_b),
+         ("c.example", body_c)], ["host", "body"])
+    star = {x["host"]: (x["crawl_delay"], list(x["sitemaps"]))
+            for x in parse_robots_meta(r, "*").collect()}
+    # two '*' groups → min(10, 7); sitemaps from everywhere, sorted
+    assert star == {"a.example": (7.0, ["https://a.example/sm1.xml",
+                                        "https://a.example/sm2.xml"])}
+    mybot = {x["host"]: (x["crawl_delay"], list(x["sitemaps"]))
+             for x in parse_robots_meta(r, "mybot").collect()}
+    # mybot's own group wins (2), sitemaps still global
+    assert mybot["a.example"] == (2.0, ["https://a.example/sm1.xml",
+                                        "https://a.example/sm2.xml"])
+    # non-numeric delay → dropped; no sitemap → host absent
+    assert "b.example" not in star and "c.example" not in star
