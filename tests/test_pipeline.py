@@ -305,6 +305,31 @@ def test_expire_snapshots_and_vacuum(spark, pages, tmp_path):
     assert pipeline.read_snapshot(spark, out).count() == N_DOCS
 
 
+def test_read_incremental_change_feed(spark, pages, tmp_path):
+    """Incremental reads tile the table: consecutive (from, to] ranges
+    are disjoint, their union is the full table, and an empty range is
+    an empty frame — the exactly-once hand-off a downstream consumer
+    relies on."""
+    out = str(tmp_path / "inc")
+    pipeline.run_extraction(spark, pages, out, n_buckets=8,
+                            slice_buckets=2, salt=False)
+    n = len(pipeline.snapshots(out))
+    full = pipeline.read_snapshot(spark, out).count()
+    parts = [pipeline.read_incremental(spark, out, from_snapshot=k,
+                                       to_snapshot=k + 1)
+             for k in range(n)]
+    counts = [p.count() for p in parts]
+    assert sum(counts) == full == N_DOCS
+    urls = [set(r["url"] for r in p.select("url").collect())
+            for p in parts]
+    for i in range(n):
+        for j in range(i + 1, n):
+            assert not urls[i] & urls[j]
+    assert pipeline.read_incremental(spark, out, 2, 2).count() == 0
+    with pytest.raises(ValueError, match="out of"):
+        pipeline.read_incremental(spark, out, 3, 99)
+
+
 def test_out_dir_is_exclusive_to_one_run_id(spark, pages, tmp_path):
     """out_dir/data is shared storage: a second run_id in the same
     out_dir would wipe buckets the first run's manifest marks committed
