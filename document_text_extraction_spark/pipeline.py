@@ -387,6 +387,7 @@ def run_extraction(
     salt: bool = True,
     max_slices: int | None = None,
     parallel_slices: int = 1,
+    salt_threshold_bytes: int | None = None,
 ) -> dict:
     """Execute extraction slice-by-slice with commit-after-each-slice.
 
@@ -478,7 +479,14 @@ def run_extraction(
     # it feeds BOTH the salting plan and per-slice shuffle sizing, so
     # every slice's plan derives from the same single corpus scan.
     stats = bucket_byte_stats(pages, n_buckets)
-    salt_plan = plan_salting(pages, n_buckets, stats=stats) if salt else {}
+    # the salt grain (bytes of payload per placement sub-key) is a
+    # deployment knob — the 8MB default targets ~2 core-seconds per
+    # task of this extraction kernel; a heavier per-byte kernel or a
+    # smaller cluster wants a different grain
+    grain = (DEFAULT_SALT_THRESHOLD_BYTES if salt_threshold_bytes is None
+             else salt_threshold_bytes)
+    salt_plan = plan_salting(pages, n_buckets, threshold_bytes=grain,
+                             stats=stats) if salt else {}
     # per-slice shuffle grain: a slice covers only its buckets' bytes,
     # so sizing its shuffle by the SESSION width (the full-corpus
     # heuristic in extract_df) would schedule n_slices × 4·base mostly
@@ -497,7 +505,7 @@ def run_extraction(
 
     def _slice_partitions(buckets: list[int]) -> int:
         sz = sum(stats.get(b, 0) for b in buckets)
-        want = -(-sz // DEFAULT_SALT_THRESHOLD_BYTES) or 1
+        want = -(-sz // grain) or 1
         return max(floor, min(4 * base, want))
 
     os.makedirs(data_dir, exist_ok=True)
@@ -629,7 +637,12 @@ def vacuum(out_dir: str, run_id: str = "run1") -> dict:
     for s in manifest.get("slices", {}).values():
         if s.get("committed"):
             committed.update(s.get("buckets", []))
-    removed = {"staging_dirs": 0, "orphan_buckets": 0}
+    # a crashed compact_table swap parks the only copy of a bucket in
+    # a _stage_compact_old_* trash dir — restore before sweeping, or
+    # the sweep below would delete committed data
+    restored = recover_compaction(out_dir)
+    removed = {"staging_dirs": 0, "orphan_buckets": 0,
+               "restored_buckets": restored}
     for name in os.listdir(out_dir):
         if name.startswith("_stage_"):
             shutil.rmtree(os.path.join(out_dir, name),
@@ -649,6 +662,124 @@ def vacuum(out_dir: str, run_id: str = "run1") -> dict:
                               ignore_errors=True)
                 removed["orphan_buckets"] += 1
     return removed
+
+
+def compact_table(spark: SparkSession, out_dir: str,
+                  run_id: str = "run1",
+                  target_file_mb: int = 128,
+                  min_files: int = 2) -> dict:
+    """Iceberg ``rewrite_data_files`` (bin-pack) analogue for the
+    bucketed output table. Each committed slice write leaves up to
+    one parquet file per (write task × bucket); across many slices a
+    bucket directory accumulates small files, and at production scale
+    small files dominate scan cost (per-file open/footer overhead,
+    metadata pressure, under-filled row groups). This rewrites every
+    committed bucket whose file count exceeds both ``min_files`` and
+    its bin-packed target ``ceil(bytes / target_file_mb)`` into that
+    many files.
+
+    Shape: ONE Spark job over only the eligible bucket dirs (a
+    partition-pruned read — untouched buckets are never scanned), one
+    shuffle keyed on ``(part_bucket, deterministic url-hash salt)``
+    sized to the global target file count, then a staged
+    ``partitionBy(part_bucket)`` write and per-bucket atomic dir
+    renames — the same crash protocol as slice writes. Hash collisions
+    between (bucket, salt) groups can merge two target files into one
+    (fewer, larger files) — bin-packing is approximate, as in Iceberg.
+
+    Bucket membership never changes, so ``read_snapshot`` /
+    ``read_incremental`` (which resolve snapshots to bucket SETS) and
+    the manifest counters all see identical rows after compaction;
+    only the file layout changes. Like :func:`vacuum`, run it only
+    while no writer or reader is active on this ``out_dir``.
+
+    Crash recovery: a crash mid-swap leaves the bucket's OLD dir under
+    ``_stage_compact_old_*`` and possibly no live dir; the next call
+    (or :func:`recover_compaction`) restores the old dir before doing
+    anything else, so the table is never left without the bucket.
+    """
+    recovered = recover_compaction(out_dir)
+    manifest = _load_manifest(out_dir, run_id)
+    committed: set[int] = set()
+    for s in manifest.get("slices", {}).values():
+        if s.get("committed"):
+            committed.update(s.get("buckets", []))
+    data_dir = os.path.join(out_dir, "data")
+    target_bytes = target_file_mb << 20
+    plan: dict[int, int] = {}       # bucket -> n target files
+    files_before = 0
+    for b in sorted(committed):
+        d = os.path.join(data_dir, f"part_bucket={b}")
+        if not os.path.isdir(d):
+            continue
+        parts = [os.path.join(d, f) for f in os.listdir(d)
+                 if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(p) for p in parts)
+        want = max(1, -(-nbytes // target_bytes))
+        if len(parts) >= min_files and len(parts) > want:
+            plan[b] = want
+            files_before += len(parts)
+    if not plan:
+        return {"buckets_compacted": 0, "files_before": 0,
+                "files_after": 0, "recovered_buckets": recovered}
+
+    dirs = [os.path.join(data_dir, f"part_bucket={b}") for b in plan]
+    df = spark.read.option("basePath", data_dir).parquet(*dirs)
+    nf = F.lit(1)
+    for b, want in plan.items():
+        nf = F.when(F.col("part_bucket") == b, F.lit(want)).otherwise(nf)
+    salt = F.pmod(F.xxhash64("url"), nf)
+    stage = os.path.join(out_dir, f"_stage_compact_{run_id}")
+    shutil.rmtree(stage, ignore_errors=True)
+    (df.repartition(sum(plan.values()), F.col("part_bucket"), salt)
+       .write.mode("overwrite").partitionBy("part_bucket").parquet(stage))
+
+    trash = os.path.join(out_dir, f"_stage_compact_old_{run_id}")
+    shutil.rmtree(trash, ignore_errors=True)
+    os.makedirs(trash)
+    files_after = 0
+    for b in plan:
+        name = f"part_bucket={b}"
+        # atomic per-bucket swap: old -> trash, new -> live. A crash
+        # between the two renames leaves the bucket only in trash;
+        # recover_compaction restores it.
+        os.replace(os.path.join(data_dir, name),
+                   os.path.join(trash, name))
+        os.replace(os.path.join(stage, name),
+                   os.path.join(data_dir, name))
+        files_after += sum(
+            1 for f in os.listdir(os.path.join(data_dir, name))
+            if f.endswith(".parquet"))
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    manifest.setdefault("compactions", []).append({
+        "buckets": sorted(plan), "files_before": files_before,
+        "files_after": files_after, "target_file_mb": target_file_mb,
+    })
+    _commit_manifest(out_dir, run_id, manifest)
+    return {"buckets_compacted": len(plan), "files_before": files_before,
+            "files_after": files_after, "recovered_buckets": recovered}
+
+
+def recover_compaction(out_dir: str) -> int:
+    """Undo a crashed :func:`compact_table` swap: any bucket dir that
+    sits in a ``_stage_compact_old_*`` trash dir but not in ``data/``
+    is restored (the pre-compaction files are the committed truth
+    until the swap completes). Returns the number restored; leftover
+    trash/stage dirs are then removable by :func:`vacuum`."""
+    data_dir = os.path.join(out_dir, "data")
+    restored = 0
+    for name in os.listdir(out_dir):
+        if not name.startswith("_stage_compact_old_"):
+            continue
+        troot = os.path.join(out_dir, name)
+        for bname in os.listdir(troot):
+            live = os.path.join(data_dir, bname)
+            if bname.startswith("part_bucket=") and not os.path.isdir(live):
+                os.replace(os.path.join(troot, bname), live)
+                restored += 1
+        shutil.rmtree(troot, ignore_errors=True)
+    return restored
 
 
 def read_snapshot(spark: SparkSession, out_dir: str,

@@ -300,7 +300,8 @@ def test_expire_snapshots_and_vacuum(spark, pages, tmp_path):
     with open(_os.path.join(orphan, "part-000.parquet"), "wb") as f:
         f.write(b"junk")
     removed = pipeline.vacuum(out)
-    assert removed == {"staging_dirs": 1, "orphan_buckets": 1}
+    assert removed == {"staging_dirs": 1, "orphan_buckets": 1,
+                       "restored_buckets": 0}
     assert not _os.path.isdir(orphan)
     assert pipeline.read_snapshot(spark, out).count() == N_DOCS
 
@@ -328,6 +329,90 @@ def test_read_incremental_change_feed(spark, pages, tmp_path):
     assert pipeline.read_incremental(spark, out, 2, 2).count() == 0
     with pytest.raises(ValueError, match="out of"):
         pipeline.read_incremental(spark, out, 3, 99)
+
+
+def _bucket_files(out: str) -> dict[int, int]:
+    import os as _os
+    data = _os.path.join(out, "data")
+    return {
+        int(d.split("=")[1]): sum(
+            1 for f in _os.listdir(_os.path.join(data, d))
+            if f.endswith(".parquet"))
+        for d in _os.listdir(data) if d.startswith("part_bucket=")
+    }
+
+
+def test_compact_table_binpacks_without_changing_rows(spark, pages,
+                                                      tmp_path):
+    """compact_table rewrites multi-file bucket dirs down to their
+    bin-packed target while every read surface — full table, pinned
+    snapshots, incremental ranges, counters — returns identical rows;
+    a second call is a no-op (idempotent maintenance)."""
+    out = str(tmp_path / "cmp")
+    # a fine salt grain splits hot buckets across many write tasks —
+    # the production mechanism that accumulates small files per bucket
+    pipeline.run_extraction(spark, pages, out, n_buckets=4,
+                            slice_buckets=4, salt=True,
+                            salt_threshold_bytes=16 << 10)
+    before_files = _bucket_files(out)
+    before_rows = sorted(
+        (r["url"], r["extracted_text"]) for r in
+        pipeline.read_snapshot(spark, out)
+        .select("url", "extracted_text").collect())
+    snap1_rows = sorted(
+        r["url"] for r in
+        pipeline.read_snapshot(spark, out, snapshot_id=1)
+        .select("url").collect())
+    assert any(n >= 2 for n in before_files.values()), \
+        "fixture must produce multi-file buckets"
+    info = pipeline.compact_table(spark, out, target_file_mb=1024)
+    assert info["buckets_compacted"] >= 1
+    assert info["files_after"] < info["files_before"]
+    after_files = _bucket_files(out)
+    # 500 docs << 1 GiB: every compacted bucket bin-packs to one file
+    assert all(after_files[b] == 1 for b in before_files
+               if before_files[b] >= 2)
+    after_rows = sorted(
+        (r["url"], r["extracted_text"]) for r in
+        pipeline.read_snapshot(spark, out)
+        .select("url", "extracted_text").collect())
+    assert after_rows == before_rows
+    assert sorted(
+        r["url"] for r in
+        pipeline.read_snapshot(spark, out, snapshot_id=1)
+        .select("url").collect()) == snap1_rows
+    inc = pipeline.read_incremental(spark, out, 0, 1).count()
+    assert inc == len(snap1_rows)
+    assert pipeline.partition_metrics(spark, out).count() > 0
+    again = pipeline.compact_table(spark, out, target_file_mb=1024)
+    assert again["buckets_compacted"] == 0
+    audit = pipeline._load_manifest(out, "run1")["compactions"]
+    assert len(audit) == 1 and audit[0]["files_after"] < \
+        audit[0]["files_before"]
+
+
+def test_compact_crash_recovery_restores_bucket(spark, pages, tmp_path):
+    """A crash between the two swap renames leaves a bucket only in
+    the compaction trash dir; both recover paths (explicit recovery on
+    the next compact, and vacuum) must restore it rather than sweep
+    it."""
+    import os as _os
+    import shutil as _sh
+    out = str(tmp_path / "crash")
+    pipeline.run_extraction(spark, pages, out, n_buckets=4,
+                            slice_buckets=4, salt=False)
+    full = pipeline.read_snapshot(spark, out).count()
+    data = _os.path.join(out, "data")
+    victim = next(b for b, n in _bucket_files(out).items() if n >= 1)
+    trash = _os.path.join(out, "_stage_compact_old_run1")
+    _os.makedirs(trash)
+    _sh.move(_os.path.join(data, f"part_bucket={victim}"),
+             _os.path.join(trash, f"part_bucket={victim}"))
+    assert pipeline.read_snapshot(spark, out).count() < full
+    removed = pipeline.vacuum(out)
+    assert removed["restored_buckets"] == 1
+    assert not _os.path.isdir(trash)
+    assert pipeline.read_snapshot(spark, out).count() == full == N_DOCS
 
 
 def test_out_dir_is_exclusive_to_one_run_id(spark, pages, tmp_path):
