@@ -401,6 +401,35 @@ SQL_STREAMING_EXTRACT = (
 )
 
 
+def q_wet_roundtrip(spark, sf_dir):
+    """Publish/re-ingest identity through the WET sink (sinks/wet.py):
+    extraction output → Common-Crawl-style conversion records
+    (per-record-gzip WET files, written distributed with atomic task
+    renames) → binaryFile re-ingestion — text must equal the same
+    golden chunking the batch roundtrips check, for exactly the ok
+    rows (parse failures have nothing to publish)."""
+    import shutil
+    import tempfile
+    from .sinks import wet_text_df, write_wet
+    base = tempfile.mkdtemp(prefix="dte_q_wet_")
+    out = _extracted(spark, sf_dir)
+    # publish only ok rows — a parse_failure's empty text is a counted
+    # failure, not corpus content (the sink itself stays generic)
+    ok = out.filter(F.col("lineage.status") == "ok")
+    write_wet(ok, base, n_files=8).collect()  # the write job
+    back = wet_text_df(spark, base)
+    res = (back.select(
+        F.element_at(F.split("url", "/"), -1).cast("long")
+        .alias("doc_id"),
+        F.col("text").alias("extracted_text"),
+    ).localCheckpoint())  # sever lineage before the files are removed
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+SQL_WET_ROUNDTRIP = SQL_STREAMING_EXTRACT
+
+
 def q_extract_fail_reasons(spark, sf_dir):
     """O31 failure attribution: parse_failure counts by (route, reason) —
     unsupported filters (LZW), truncated structure, unroutable bytes each
@@ -2884,6 +2913,7 @@ SQL_MEDIA_SAMPLE_PLAN = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or changed in round 4 (multimodal driver rows; robots,
     # asof, range_join also changed and already sit in the window) ----
+    "wet_roundtrip": q_wet_roundtrip,
     "media_features": q_media_features,
     "media_sample_plan": q_media_sample_plan,
     "extract_charset_roundtrip": q_extract_charset_roundtrip,
@@ -2904,7 +2934,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-1 failures whose fixes were never driver-verified -------
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
-    "ann_lsh_topk": q_ann_lsh_topk,
     # -- round-2 driver ERRORs (array-column canonicalization) ---------
     "extract_pdf_links": q_extract_pdf_links,
     "extract_docx_links": q_extract_docx_links,
@@ -2958,6 +2987,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (similarity.py untouched, r03 green), topk_longest -------------
     "topk_longest": q_topk_longest,
     "embedding_neardup": q_embedding_neardup,
+    # ann_lsh_topk: r03 green, similarity.py untouched since — rotated
+    # out in favor of the new wet_roundtrip row
+    "ann_lsh_topk": q_ann_lsh_topk,
     "sessions_per_user": q_sessions_per_user,
     "first_event_per_day": q_first_event_per_day,
     "running_value": q_running_value,
@@ -2989,6 +3021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "wet_roundtrip": SQL_WET_ROUNDTRIP,
     "media_features": SQL_MEDIA_FEATURES,
     "media_sample_plan": SQL_MEDIA_SAMPLE_PLAN,
     "extract_charset_roundtrip": SQL_EXTRACT_CHARSET,

@@ -72,16 +72,21 @@ def make_warc(records: list[dict], per_record_gzip: bool = False) -> bytes:
                 )
             )
             block = http + r["payload"]
+            ctype = b""
         else:
+            # conversion (WET) and other non-response records carry
+            # their media type as a WARC header, not an HTTP block
             block = r["payload"]
+            ctype = b"Content-Type: %s\r\n" % r.get(
+                "content_type", "text/plain").encode()
         head = (
             b"WARC/1.0\r\n"
             b"WARC-Type: %s\r\n"
             b"WARC-Target-URI: %s\r\n"
-            b"WARC-Date: %s\r\n"
-            b"Content-Length: %d\r\n\r\n" % (
-                rtype.encode(), r["url"].encode(), ts.encode(), len(block),
-            )
+            b"WARC-Date: %s\r\n" % (
+                rtype.encode(), r["url"].encode(), ts.encode())
+            + ctype
+            + b"Content-Length: %d\r\n\r\n" % len(block)
         )
         rec = head + block + _CRLF + _CRLF
         if per_record_gzip:
@@ -120,9 +125,8 @@ def _http_status(body: bytes) -> int:
     return 0
 
 
-def parse_warc(data: bytes, ok_statuses_only: bool = True) -> list[dict]:
-    """WARC bytes → ``[{url, warc_ts, html, http_status}]`` for
-    ``response`` records.
+def _iter_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Walk WARC framing → ``(headers, body)`` per record.
 
     Framing is by the record header's ``Content-Length`` (mandatory per
     ISO 28500) — payload bytes are sliced exactly, so binary content
@@ -130,14 +134,9 @@ def parse_warc(data: bytes, ok_statuses_only: bool = True) -> list[dict]:
     or multi-member) is decompressed first. Damaged framing — a partial
     file tail, or a record whose declared length overruns the buffer —
     terminates the walk without emitting the broken record and never
-    raises. By default only 2xx responses surface (real crawls carry
-    404/redirect stub bodies in response records too; ingesting them
-    would pollute dedup and quality statistics — pass
-    ``ok_statuses_only=False`` to keep every response with its
-    ``http_status``)."""
+    raises."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)  # consumes ALL members
-    out: list[dict] = []
     i, n = 0, len(data)
     while i < n:
         if data.startswith(_CRLF, i):
@@ -155,24 +154,53 @@ def parse_warc(data: bytes, ok_statuses_only: bool = True) -> list[dict]:
             break
         if head_end + 4 + length > n:
             break  # declared length overruns the buffer: truncated tail
-        body = data[head_end + 4: head_end + 4 + length]
+        yield headers, data[head_end + 4: head_end + 4 + length]
         i = head_end + 4 + length
+
+
+def _warc_ts(headers: dict[str, str]) -> datetime | None:
+    try:
+        return datetime.strptime(
+            headers.get("warc-date", ""),
+            "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
+    except ValueError:
+        return None
+
+
+def parse_warc(data: bytes, ok_statuses_only: bool = True) -> list[dict]:
+    """WARC bytes → ``[{url, warc_ts, html, http_status}]`` for
+    ``response`` records (framing semantics: :func:`_iter_records`).
+
+    By default only 2xx responses surface (real crawls carry
+    404/redirect stub bodies in response records too; ingesting them
+    would pollute dedup and quality statistics — pass
+    ``ok_statuses_only=False`` to keep every response with its
+    ``http_status``)."""
+    out: list[dict] = []
+    for headers, body in _iter_records(data):
         if headers.get("warc-type") != "response":
             continue
         status = _http_status(body)
         if ok_statuses_only and not 200 <= status < 300:
             continue
-        url = headers.get("warc-target-uri", "")
-        ts_raw = headers.get("warc-date", "")
-        try:
-            ts = datetime.strptime(
-                ts_raw, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
-        except ValueError:
-            ts = None
         _, body_off = _split_headers(body)
-        out.append({"url": url, "warc_ts": ts, "html": body[body_off:],
+        out.append({"url": headers.get("warc-target-uri", ""),
+                    "warc_ts": _warc_ts(headers),
+                    "html": body[body_off:],
                     "http_status": status})
     return out
+
+
+def parse_wet(data: bytes) -> list[dict]:
+    """WET bytes → ``[{url, warc_ts, text}]`` for ``conversion``
+    records (the Common-Crawl extracted-text sidecar format; payload is
+    UTF-8 plain text, no embedded HTTP block). Same framing and
+    damage tolerance as :func:`parse_warc`."""
+    return [{"url": h.get("warc-target-uri", ""),
+             "warc_ts": _warc_ts(h),
+             "text": body.decode("utf-8", errors="replace")}
+            for h, body in _iter_records(data)
+            if h.get("warc-type") == "conversion"]
 
 
 def warc_pages_df(spark: SparkSession, path: str) -> DataFrame:
