@@ -62,7 +62,8 @@ def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
 
 def incremental_dedup(new_docs: DataFrame, existing: DataFrame,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      prune_prefix_len: int | None = None) -> DataFrame:
     """Dedup a NEW crawl increment against the already-ingested corpus:
     drop any new document whose content fingerprint already exists,
     then keep one copy per fingerprint within the increment itself
@@ -73,12 +74,34 @@ def incremental_dedup(new_docs: DataFrame, existing: DataFrame,
 
     Shuffle profile: one equi-join on the md5 fingerprint (increment ×
     fingerprint set, hash-partitioned) + the increment-local window —
-    both keyed on the fingerprint, so AQE can reuse one exchange."""
+    both keyed on the fingerprint, so AQE can reuse one exchange.
+
+    ``prune_prefix_len``: bloom-style join pruning for the daily-crawl
+    asymmetry (increment of ~10^6 docs vs an ingested set of ~10^10
+    fingerprints, where shuffling the big side dominates the job). The
+    DISTINCT set of ``k``-hex-char fingerprint prefixes present in the
+    increment (≤ min(\\|increment\\|, 16^k) rows — a few MB) is
+    broadcast, and the ingested set is semi-joined against it MAP-SIDE
+    before the anti-join — only fingerprints whose prefix collides
+    with some increment row are ever shuffled, pruning the big side by
+    ≈ \\|increment prefixes\\| / 16^k (k=6 on a 10^6-row increment:
+    ~94% pruned). Exactly a broadcast bloom filter with the identity
+    prefix as its hash; false positives (prefix collisions) are
+    removed by the exact anti-join, so the result is IDENTICAL for
+    every ``k`` — pick k so 16^k ≫ the expected increment size.
+    (Spark's runtime bloom pruning targets selective-filter equi-joins
+    and does not fire on this anti-join; the prefix set is the
+    declarative form of the same optimization.)"""
     fp_new = content_fingerprint_col(F.col(text_col))
     seen = existing.select(
         content_fingerprint_col(F.col(text_col)).alias("__fp"))
-    fresh = (new_docs.withColumn("__fp", fp_new)
-             .join(seen.dropDuplicates(["__fp"]), "__fp", "left_anti"))
+    inc = new_docs.withColumn("__fp", fp_new)
+    if prune_prefix_len is not None:
+        pfx = F.substring("__fp", 1, prune_prefix_len)
+        inc_pfx = inc.select(pfx.alias("__pfx")).distinct()
+        seen = seen.join(F.broadcast(inc_pfx),
+                         pfx == F.col("__pfx"), "left_semi")
+    fresh = inc.join(seen.dropDuplicates(["__fp"]), "__fp", "left_anti")
     from pyspark.sql import Window as W
     w = W.partitionBy("__fp").orderBy(F.col(id_col))
     return (fresh.withColumn("__rn", F.row_number().over(w))

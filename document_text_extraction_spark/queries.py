@@ -1730,7 +1730,9 @@ def q_incremental_dedup(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     recap, newer, inner_dup = _planted_increment(docs)
     increment = recap.unionAll(newer).unionAll(inner_dup)
-    return dedup.incremental_dedup(increment, docs)
+    # prefix pruning on: the driver verifies the PRUNED plan (identical
+    # result by construction; the 100 TB path is the one checked)
+    return dedup.incremental_dedup(increment, docs, prune_prefix_len=4)
 
 
 def q_streaming_incremental_dedup(spark, sf_dir):
@@ -2955,10 +2957,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_graph": q_link_graph,
     # -- unchecked in round 2 (pushed past the 50-query window) --------
     "incremental_dedup": q_incremental_dedup,
-    "skills_match": q_skills_match,
+    # dedup.py changed this round (prefix-pruned incremental dedup):
+    # every query referencing it re-enters the window
+    "dup_clusters": q_dup_clusters,
+    "cluster_dedup_count": q_cluster_dedup_count,
+    "canonical_text": q_canonical_text,
     "status_cube": q_status_cube,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
     # -- flagship extraction family (green r2; re-verified each round) -
     "streaming_extract_roundtrip": q_streaming_extract_roundtrip,
     "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -2996,8 +3000,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_avg": q_moving_avg,
     "user_event_types": q_user_event_types,
     "event_mode": q_event_mode,
-    "dup_clusters": q_dup_clusters,
-    "cluster_dedup_count": q_cluster_dedup_count,
+    # skills_match / ann_cosine_topk / ann_ivf_topk: modules untouched
+    # this round, r02/r03 green — rotated out for the dedup.py family
+    "skills_match": q_skills_match,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
     "emails_planted": q_emails_planted,
@@ -3007,7 +3014,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "positions_zip": q_positions_zip,
     "sections_planted": q_sections_planted,
     "span_merge_planted": q_span_merge_planted,
-    "canonical_text": q_canonical_text,
     "url_canonical": q_url_canonical,
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,

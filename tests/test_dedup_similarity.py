@@ -221,6 +221,36 @@ def test_incremental_dedup_planted(spark):
     assert kept == {11, 13}
 
 
+def test_incremental_dedup_prefix_pruning_identical_and_pruned(spark):
+    """The bloom-style prefix prune is RESULT-INVARIANT (false
+    positives are killed by the exact anti-join) for every prefix
+    length, and its plan broadcast-semi-joins the ingested fingerprint
+    scan — the big side never fully shuffles."""
+    from document_text_extraction_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    existing = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(200)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1000 + i, f"doc number {i}") for i in range(0, 40)]      # recaps
+        + [(2000 + i, f"fresh {i}") for i in range(30)]            # keep
+        + [(3000 + i, f"fresh {i}") for i in range(30)],           # in-dup
+        "doc_id long, text string")
+    base = {r.doc_id for r in incremental_dedup(new, existing).collect()}
+    assert base == {2000 + i for i in range(30)}
+    for k in (1, 4, 8):
+        pruned = {r.doc_id for r in
+                  incremental_dedup(new, existing,
+                                    prune_prefix_len=k).collect()}
+        assert pruned == base, f"prefix len {k} changed the result"
+    plan = incremental_dedup(
+        new, existing, prune_prefix_len=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LeftSemi, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftSemi" in plan), plan
+
+
 def test_winnow_guarantee_and_containment(spark):
     """Winnowing's core guarantee: any shared substring of length >=
     k + w - 1 yields >= 1 shared fingerprint — and containment (a
