@@ -24,7 +24,7 @@ corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -523,3 +523,108 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
+                      k: int) -> DataFrame:
+    """One row per token-k-gram occurrence: ``(id, pos, g)`` with
+    1-based token position and the md5 of the space-joined gram.
+
+    Map-only: the gram array is built with ``transform`` over a
+    ``sequence`` of start positions (guarded — Spark's ``sequence``
+    counts DOWN when stop < start, so docs shorter than ``k`` tokens
+    must yield an EMPTY array, not ``[1, 0, ...]``), then one
+    ``posexplode``. Hashing to md5 keeps shuffle rows at 32 bytes + id
+    instead of carrying k tokens of text."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.md5(F.encode(F.array_join(F.slice(toks, i, k), " "),
+                                 "UTF-8")),
+    )
+    return (df.select(F.col(id_col), F.posexplode(grams)
+                      .alias("p0", "g"))
+            .select(F.col(id_col), (F.col("p0") + 1).alias("pos"), "g"))
+
+
+def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 20) -> DataFrame:
+    """Maximal duplicated token spans per document — the ExactSubstr
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), token-granularity Spark form.
+
+    A token is *duplicated* iff it is covered by at least one k-gram
+    that occurs >= 2 times in the corpus (across documents or within
+    one — same rule as google-research/deduplicate-text-datasets, which
+    marks every occurrence, not all-but-one). Output is the maximal
+    runs of duplicated tokens: ``(id, span_start, span_end,
+    span_tokens)``, 1-based inclusive token positions.
+
+    Shape at scale: one gram explode (O(total tokens)), one groupBy on
+    the 128-bit gram hash (map-side combined counts) whose >=2 survivors
+    equi-join back against the same exploded occurrences — AQE reuses
+    the occurrence exchange for both sides, and a boilerplate gram that
+    appears in 10^9 docs is a *join* hot key, which AQE's skew-join
+    splits (unlike a window over the bare gram). Span assembly is one
+    window per document (gaps-and-islands on the running max end —
+    merges overlapping AND adjacent gram intervals).
+    """
+    occ = _gram_occurrences(df, id_col, text_col, k)
+    dup = (occ.groupBy("g").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= 2).select("g"))
+    hits = (occ.join(dup, "g")
+            .select(F.col(id_col), "pos",
+                    (F.col("pos") + (k - 1)).alias("e")))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = (run_end.isNull()
+                  | (F.col("pos") > run_end + 1)).cast("int")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (hits.withColumn("island", island)
+            .groupBy(id_col, "island")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("e").alias("span_end"))
+            .select(F.col(id_col), "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("span_tokens")))
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            k: int = 20) -> DataFrame:
+    """Scrub every duplicated span (:func:`duplicated_spans`) out of the
+    text. Returns ONLY the documents that changed: ``(id, dedup_text,
+    removed_tokens)`` — at corpus scale the unchanged majority should
+    not be rewritten, callers left-anti-join or coalesce against this
+    delta (the same delta-output contract as ``incremental_dedup``).
+
+    The cut itself is per-document JVM array work: spans collected to
+    an array (tiny — spans per doc, not tokens), tokens zipped with
+    their 1-based index, ``filter`` drops indices covered by any span.
+    O(tokens x spans) per document, no second corpus shuffle beyond the
+    span join (spans are grouped on the same ``id`` key)."""
+    spans = (duplicated_spans(df, id_col, text_col, k)
+             .groupBy(id_col)
+             .agg(F.collect_list(
+                 F.struct("span_start", "span_end")).alias("__spans")))
+    joined = df.join(spans, id_col)
+    toks = F.split(F.col(text_col), " ")
+    indexed = F.zip_with(
+        toks, F.sequence(F.lit(1), F.size(toks)),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda p: ~F.exists(
+            F.col("__spans"),
+            lambda s: (p["i"] >= s["span_start"])
+            & (p["i"] <= s["span_end"])))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda p: p["t"]), " ")
+        .alias("dedup_text"),
+        (F.size(toks) - F.size(kept)).alias("removed_tokens"))

@@ -923,6 +923,91 @@ SQL_DEDUP_EXACT = (
 )
 
 
+_EXSUB_K = 12
+
+
+def q_exact_substring_spans(spark, sf_dir):
+    """ExactSubstr dedup, report form (Lee et al. 2022 /
+    google-research/deduplicate-text-datasets): maximal runs of tokens
+    covered by a corpus-duplicated 12-gram, over the planted-dup corpus
+    (operators/dedup.duplicated_spans). Every exact-copy pair yields
+    whole-document spans in both copies; natural shared passages yield
+    partial spans."""
+    spans = dedup.duplicated_spans(
+        _dup_docs(spark, sf_dir), k=_EXSUB_K)
+    return spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"))
+
+
+def _exsub_spans_sql(k: int) -> str:
+    """Shared DuckDB replica of duplicated_spans at gram size ``k``
+    (names a CTE ``spans(doc_id, s, e)``)."""
+    return (
+        f"t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        f"FROM ({DUP_DOCS_SQL})), "
+        f"st AS (SELECT doc_id, toks, "
+        f"unnest(range(1, len(toks) - {k} + 2)) AS pos "
+        f"FROM t WHERE len(toks) >= {k}), "
+        f"g AS (SELECT doc_id, pos, "
+        f"md5(array_to_string(toks[pos:pos + {k - 1}], ' ')) AS g "
+        f"FROM st), "
+        "dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2), "
+        f"occ AS (SELECT doc_id, pos, pos + {k - 1} AS e "
+        "FROM g JOIN dup USING (g)), "
+        "mk AS (SELECT doc_id, pos, e, CASE WHEN pos > coalesce("
+        "max(e) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 "
+        "THEN 1 ELSE 0 END AS ni FROM occ), "
+        "isl AS (SELECT doc_id, pos, e, sum(ni) OVER ("
+        "PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+        "AS island FROM mk), "
+        "spans AS (SELECT doc_id, min(pos) AS s, max(e) AS e "
+        "FROM isl GROUP BY doc_id, island)"
+    )
+
+
+SQL_EXACT_SUBSTRING_SPANS = (
+    f"WITH {_exsub_spans_sql(_EXSUB_K)} "
+    "SELECT doc_id, CAST(s AS BIGINT) AS span_start, "
+    "CAST(e AS BIGINT) AS span_end, "
+    "CAST(e - s + 1 AS BIGINT) AS span_tokens FROM spans"
+)
+
+
+def q_exact_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup, transform form: scrub every duplicated span
+    and return the changed documents only (delta-output contract —
+    operators/dedup.remove_duplicated_spans). Exact copies collapse to
+    empty text in BOTH members (the published tool removes every
+    occurrence, not all-but-one)."""
+    out = dedup.remove_duplicated_spans(
+        _dup_docs(spark, sf_dir), k=_EXSUB_K)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "dedup_text",
+        F.col("removed_tokens").cast("long").alias("removed_tokens"))
+
+
+SQL_EXACT_SUBSTRING_DEDUP = (
+    f"WITH {_exsub_spans_sql(_EXSUB_K)}, "
+    "tokpos AS (SELECT doc_id, toks, "
+    "unnest(range(1, len(toks) + 1)) AS pos FROM t), "
+    "kept AS (SELECT doc_id, toks[pos] AS tok, pos FROM tokpos tp "
+    "WHERE NOT EXISTS (SELECT 1 FROM spans sp "
+    "WHERE sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.s AND sp.e)), "
+    "ka AS (SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') "
+    "AS dedup_text, count(*) AS n_kept FROM kept GROUP BY doc_id), "
+    "nt AS (SELECT doc_id, len(toks) AS n FROM t) "
+    "SELECT dw.doc_id, coalesce(ka.dedup_text, '') AS dedup_text, "
+    "CAST(nt.n - coalesce(ka.n_kept, 0) AS BIGINT) AS removed_tokens "
+    "FROM (SELECT DISTINCT doc_id FROM spans) dw "
+    "JOIN nt USING (doc_id) LEFT JOIN ka USING (doc_id)"
+)
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """The dedup TRANSFORM (lowest-id survivor per exact-dup group —
     'first capture wins'), not just the group report."""
@@ -2945,7 +3030,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
-    "cv_address_planted": q_cv_address_planted,
     "pdf_failure_budget": q_pdf_failure_budget,
     "extract_fail_reasons": q_extract_fail_reasons,
     "robots_noindex": q_robots_noindex,
@@ -2953,8 +3037,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_meta": q_robots_meta,
     "asof_last_signup": q_asof_last_signup,
     "range_join_windows": q_range_join_windows,
-    "hypertable_rollup": q_hypertable_rollup,
     "link_graph": q_link_graph,
+    # -- new this round: ExactSubstr dedup (Lee et al. 2022) -----------
+    "exact_substring_spans": q_exact_substring_spans,
+    "exact_substring_dedup": q_exact_substring_dedup,
     # -- unchecked in round 2 (pushed past the 50-query window) --------
     "incremental_dedup": q_incremental_dedup,
     # dedup.py changed this round (prefix-pruned incremental dedup):
@@ -2989,6 +3075,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # representative), the connected-components pair (components.py
     # untouched), gopher_quality, pack_sequences, embedding_neardup
     # (similarity.py untouched, r03 green), topk_longest -------------
+    # cv_address_planted / hypertable_rollup: r03 green, modules
+    # (fields/kernels address path, rollup.py) untouched since —
+    # rotated out for the two new ExactSubstr rows
+    "cv_address_planted": q_cv_address_planted,
+    "hypertable_rollup": q_hypertable_rollup,
     "topk_longest": q_topk_longest,
     "embedding_neardup": q_embedding_neardup,
     # ann_lsh_topk: r03 green, similarity.py untouched since — rotated
@@ -3062,6 +3153,8 @@ ORACLE_SQL: dict[str, str] = {
     "span_merge_planted": SQL_SPAN_MERGE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
+    "exact_substring_spans": SQL_EXACT_SUBSTRING_SPANS,
+    "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
     "canonical_text": SQL_CANONICAL_TEXT,
     "url_canonical": SQL_URL_CANONICAL,
     "token_stats": SQL_TOKEN_STATS,
