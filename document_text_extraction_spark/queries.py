@@ -2696,6 +2696,86 @@ SQL_LATEST_CAPTURE = (
 )
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX-style capture index over the crawl table — the cc-index /
+    wayback artifact: one row per resource keyed by the SURT ``urlkey``
+    (``functions.surt.surt_key_col`` — reversed-host sort key giving
+    per-domain range locality at 100 TB), with the latest capture
+    timestamp, capture count, and content digest. Re-crawls planted as
+    in ``latest_capture`` (every 13th doc, +1000 s). One groupBy on
+    url (map-side combined); urlkey is a pure projection on top."""
+    from .functions import surt as U
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = web_pages_from_documents(spark, sf_dir).select(
+        "url", "warc_ts", "text")
+    did = F.element_at(F.split("url", "/"), -1).cast("long")
+    recrawl = pages.filter(did % 13 == 0).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1000 SECONDS"))
+        .alias("warc_ts"), "text")
+    caps = pages.unionAll(recrawl)
+    return (
+        caps.groupBy("url")
+        .agg(F.max(F.unix_timestamp("warc_ts")).cast("long")
+             .alias("ts_epoch"),
+             F.count("*").cast("long").alias("n_captures"),
+             # captures of one url share the payload in this corpus;
+             # max() keeps the agg map-side combinable
+             F.max(F.md5(F.encode(F.col("text"), "UTF-8")))
+             .alias("digest"))
+        .select(U.surt_key_col(F.col("url")).alias("urlkey"), "url",
+                "ts_epoch", "n_captures", "digest"))
+
+
+def _cdx_sql() -> str:
+    from .functions.surt import SURT_KEY_SQL
+    return (
+        "WITH src AS (SELECT 'https://' || " + HOST_SQL
+        + " || '/' || source || '/' || CAST(doc_id AS VARCHAR) AS u, "
+        "1735689600 + doc_id + CASE WHEN doc_id % 13 = 0 THEN 1000 "
+        "ELSE 0 END AS ts_epoch, "
+        "CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 1 END AS n_captures, "
+        "md5(text) AS digest FROM documents) "
+        "SELECT " + SURT_KEY_SQL + " AS urlkey, u AS url, "
+        "CAST(ts_epoch AS BIGINT) AS ts_epoch, "
+        "CAST(n_captures AS BIGINT) AS n_captures, digest FROM src"
+    )
+
+
+SQL_CDX_INDEX = _cdx_sql()
+
+
+def q_train_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into training shards
+    (``functions.shuffling.shuffle_shards``): md5 sort key → shard by
+    range over its top hex digits, order within shard by the key.
+    Production writers stop there (external sortWithinPartitions, no
+    positions); this verification form derives ``pos_in_shard`` with a
+    per-shard window so DuckDB can replay the whole permutation
+    byte-for-byte."""
+    from pyspark.sql import Window as W
+    from .functions import shuffling
+    d = shuffling.shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", 8,
+        seed="shuf1")
+    pos = F.row_number().over(
+        W.partitionBy("shard").orderBy("shuffle_key", "doc_id"))
+    return d.select("doc_id", F.col("shard").cast("long").alias("shard"),
+                    pos.cast("long").alias("pos_in_shard"))
+
+
+SQL_TRAIN_SHUFFLE_SHARDS = (
+    "WITH h AS (SELECT doc_id, "
+    "md5('shuf1' || CAST(doc_id AS VARCHAR)) AS k FROM documents), "
+    "s AS (SELECT doc_id, k, "
+    "CAST('0x' || substr(k, 1, 8) AS BIGINT) * 8 // 4294967296 "
+    "AS shard FROM h) "
+    "SELECT doc_id, CAST(shard AS BIGINT) AS shard, "
+    "CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) "
+    "AS BIGINT) AS pos_in_shard FROM s"
+)
+
+
 def q_blocklist_filter(spark, sf_dir):
     """Domain-blocklist hygiene pass (C4/RefinedWeb-style): drop pages
     whose host is on an exact blocklist (broadcast anti-join — includes
@@ -3024,12 +3104,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-2 driver ERRORs (array-column canonicalization) ---------
     "extract_pdf_links": q_extract_pdf_links,
     "extract_docx_links": q_extract_docx_links,
-    "contamination": q_contamination,
     # -- new or changed this round -------------------------------------
     "ngram_jaccard": q_ngram_jaccard,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "pdf_failure_budget": q_pdf_failure_budget,
     "extract_fail_reasons": q_extract_fail_reasons,
     "robots_noindex": q_robots_noindex,
@@ -3041,6 +3119,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new this round: ExactSubstr dedup (Lee et al. 2022) -----------
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_dedup": q_exact_substring_dedup,
+    # -- new this round: CDX index + training-order shuffle ------------
+    "cdx_index": q_cdx_index,
+    "train_shuffle_shards": q_train_shuffle_shards,
     # -- unchecked in round 2 (pushed past the 50-query window) --------
     "incremental_dedup": q_incremental_dedup,
     # dedup.py changed this round (prefix-pruned incremental dedup):
@@ -3075,11 +3156,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # representative), the connected-components pair (components.py
     # untouched), gopher_quality, pack_sequences, embedding_neardup
     # (similarity.py untouched, r03 green), topk_longest -------------
-    # cv_address_planted / hypertable_rollup: r03 green, modules
-    # (fields/kernels address path, rollup.py) untouched since —
-    # rotated out for the two new ExactSubstr rows
+    # cv_address_planted / hypertable_rollup / contamination /
+    # streaming_incremental_dedup: r03 green, implementing modules
+    # untouched since — rotated out for the four new rows (ExactSubstr
+    # pair, cdx_index, train_shuffle_shards)
     "cv_address_planted": q_cv_address_planted,
     "hypertable_rollup": q_hypertable_rollup,
+    "contamination": q_contamination,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "topk_longest": q_topk_longest,
     "embedding_neardup": q_embedding_neardup,
     # ann_lsh_topk: r03 green, similarity.py untouched since — rotated
@@ -3155,6 +3239,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
     "exact_substring_spans": SQL_EXACT_SUBSTRING_SPANS,
     "exact_substring_dedup": SQL_EXACT_SUBSTRING_DEDUP,
+    "cdx_index": SQL_CDX_INDEX,
+    "train_shuffle_shards": SQL_TRAIN_SHUFFLE_SHARDS,
     "canonical_text": SQL_CANONICAL_TEXT,
     "url_canonical": SQL_URL_CANONICAL,
     "token_stats": SQL_TOKEN_STATS,
