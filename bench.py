@@ -294,6 +294,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     timed("minhash_neardup", Q.q_minhash_neardup)
+    timed("exact_substring_spans", Q.q_exact_substring_spans)
     timed("ngram_jaccard", Q.q_ngram_jaccard)
     timed("simhash_neardup", Q.q_simhash_neardup)
     timed("winnow_overlap", Q.q_winnow_overlap)
@@ -309,6 +310,8 @@ def main() -> None:
     timed("ann_cosine_topk", Q.q_ann_cosine_topk)
     timed("quality_scores", Q.q_quality_scores)
     timed("line_dedup", Q.q_line_dedup)
+    timed("cdx_index", Q.q_cdx_index)
+    timed("train_shuffle_shards", Q.q_train_shuffle_shards)
     timed("curate_corpus", Q.q_curate_corpus)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
