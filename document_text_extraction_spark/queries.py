@@ -3068,6 +3068,96 @@ SQL_MEDIA_SAMPLE_PLAN = (
 
 
 # ---------------------------------------------------------------------------
+# staged for the round-5 registry rotation. This round's driver window
+# (first 50 entries) is exactly saturated with dirty queries vs the
+# round-3 marker, so these CANNOT enter the registry yet without
+# pushing a dirty query out (tests/test_registry_rotation.py enforces
+# that). Until rotation, their Spark-vs-DuckDB parity runs in
+# tests/test_captures_frontier.py with the same rowset comparison the
+# driver uses.
+# ---------------------------------------------------------------------------
+
+def q_capture_diff(spark, sf_dir):
+    """Crawl revisit/change classification (operators/captures.py):
+    every capture tagged new / unchanged / changed by comparing its
+    content digest with the URL's previous capture (lag window — one
+    url shuffle, histories are short so no key can skew). Planted
+    history: every 13th doc re-crawled +1000 s byte-identical (the
+    warc/revisit case); every 26th doc re-crawled again +2000 s with
+    drifted content."""
+    from .operators import captures as C
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = web_pages_from_documents(spark, sf_dir).select(
+        "url", "warc_ts", "text")
+    did = F.element_at(F.split("url", "/"), -1).cast("long")
+    base = pages.select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest"),
+        did.alias("__did"))
+    revisit = base.filter(F.col("__did") % 13 == 0).select(
+        "url", (F.col("ts_epoch") + 1000).alias("ts_epoch"),
+        "digest", "__did")
+    drifted = base.filter(F.col("__did") % 26 == 0).select(
+        "url", (F.col("ts_epoch") + 2000).alias("ts_epoch"),
+        F.md5(F.concat(F.col("digest"), F.lit("v2"))).alias("digest"),
+        "__did")
+    caps = base.unionByName(revisit).unionByName(drifted).drop("__did")
+    return C.classify_captures(caps).select("url", "ts_epoch", "change")
+
+
+SQL_CAPTURE_DIFF = (
+    "WITH src AS (SELECT 'https://' || " + HOST_SQL
+    + " || '/' || source || '/' || CAST(doc_id AS VARCHAR) AS url, "
+    "1735689600 + doc_id AS ts0, md5(text) AS d, doc_id FROM documents), "
+    "caps AS (SELECT url, ts0 AS ts_epoch, d FROM src "
+    "UNION ALL SELECT url, ts0 + 1000, d FROM src WHERE doc_id % 13 = 0 "
+    "UNION ALL SELECT url, ts0 + 2000, md5(d || 'v2') FROM src "
+    "WHERE doc_id % 26 = 0) "
+    "SELECT url, CAST(ts_epoch AS BIGINT) AS ts_epoch, "
+    "CASE WHEN lag(d) OVER w IS NULL THEN 'new' "
+    "WHEN lag(d) OVER w = d THEN 'unchanged' "
+    "ELSE 'changed' END AS change "
+    "FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts_epoch, d)"
+)
+
+
+def q_frontier_plan(spark, sf_dir):
+    """Politeness-scheduled crawl frontier (operators/frontier.py):
+    per-host fetch slots in priority order × per-host Crawl-delay →
+    earliest start offset. Runs the BANDED anti-skew ranking
+    (skew_threshold=200, so the Zipf-hot host takes the two-phase
+    band plan at sf≥0.01) — the DuckDB oracle is the plain
+    ``row_number``, so a green row proves banded ≡ plain. Delays are
+    planted per host: 1 + (site number mod 5) seconds."""
+    from .operators import frontier as FR
+    pages = web_pages_from_documents(spark, sf_dir).select("url")
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    did = F.element_at(F.split("url", "/"), -1).cast("long")
+    nn = F.regexp_extract(host, r"site(\d+)\.", 1).cast("int")
+    cand = pages.select(
+        "url", host.alias("host"), did.alias("priority"),
+        (F.lit(1) + nn % 5).cast("double").alias("crawl_delay_s"))
+    plan = FR.frontier_plan(cand, "host", "priority",
+                            delay_col="crawl_delay_s",
+                            skew_threshold=200, n_bands=8)
+    return plan.select("url", "host", "fetch_seq",
+                       F.col("eta_s").cast("double").alias("eta_s"))
+
+
+SQL_FRONTIER_PLAN = (
+    "WITH src AS (SELECT 'https://' || " + HOST_SQL
+    + " || '/' || source || '/' || CAST(doc_id AS VARCHAR) AS url, "
+    + HOST_SQL + " AS host, doc_id AS pr FROM documents) "
+    "SELECT url, host, "
+    "CAST(row_number() OVER w - 1 AS BIGINT) AS fetch_seq, "
+    "CAST((row_number() OVER w - 1) * "
+    "(1 + CAST(substr(host, 5, 2) AS INT) % 5) AS DOUBLE) AS eta_s "
+    "FROM src WINDOW w AS (PARTITION BY host ORDER BY pr)"
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
