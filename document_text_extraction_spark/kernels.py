@@ -57,17 +57,20 @@ _KIND_NAMES = np.array(["boilerplate", "main", "heading", "list_item"])
 # ---------------------------------------------------------------------------
 
 def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
-                                         list[str], str]:
+                                         list[str], list[str], str]:
     """One regex pass over a document → raw blocks + outlink hrefs +
-    robots directive.
+    anchor texts + robots directive.
 
-    Returns ``([(full_raw, link_raw, base_kind_code)], hrefs,
+    Returns ``([(full_raw, link_raw, base_kind_code)], hrefs, anchors,
     meta_robots)`` per block with entity-unescaped but *un-normalized*
     text; ``base_kind_code`` already folds in the boilerplate-ancestor
     rule (cheap to track in the scan, and it keeps the batch stage
     purely numeric). ``hrefs`` are the ``<a href>`` values in document
-    order and ``meta_robots`` the first ``<meta name=robots>`` content
-    (raw, entity-unescaped — mirrors ``oracle.extract_html_full``).
+    order, ``anchors[i]`` the whitespace-normalized visible text of
+    ``hrefs[i]``'s element (innermost-open-anchor attribution, same
+    stack rule as the oracle), and ``meta_robots`` the first ``<meta
+    name=robots>`` content (raw, entity-unescaped — mirrors
+    ``oracle.extract_html_full``).
     """
     raw = _COMMENT_RE.sub(b" ", data)
     raw = _DECL_RE.sub(b" ", raw)
@@ -77,6 +80,8 @@ def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
 
     blocks: list[tuple[int, str, str]] = []
     hrefs: list[str] = []
+    anchor_pieces: list[list[str]] = []   # raw text per href-anchor
+    astack: list[tuple[int, int]] = []    # (anchor idx, depth at open)
     meta_robots = ""
     boiler_depth = 0
     link_depth = 0
@@ -101,6 +106,8 @@ def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
                 pieces.append(t)
                 if link_depth > 0:
                     link_pieces.append(t)
+                    if astack:
+                        anchor_pieces[astack[-1][0]].append(t)
                 if boiler_depth > 0:
                     any_boiler = True
         if i + 3 >= n:
@@ -129,6 +136,8 @@ def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
                 boiler_depth += 1
         elif name == "a":
             if closing:
+                if astack and astack[-1][1] == link_depth:
+                    astack.pop()
                 if link_depth > 0:
                     link_depth -= 1
             else:
@@ -139,6 +148,9 @@ def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
                         hm.group(1) or hm.group(2) or hm.group(3) or "")
                     if href:
                         hrefs.append(href)
+                        anchor_pieces.append([])
+                        astack.append((len(anchor_pieces) - 1,
+                                       link_depth))
         elif (name == "meta" and not closing and not meta_robots
                 and oracle._META_NAME_ROBOTS_RE.search(parts[i + 3])):
             cm = oracle._META_CONTENT_RE.search(parts[i + 3])
@@ -150,7 +162,8 @@ def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
     if pieces:
         kind = _KIND_BOILER if any_boiler else base_kind
         blocks.append(("".join(pieces), "".join(link_pieces), kind))
-    return blocks, hrefs, meta_robots
+    anchors = [oracle._norm_ws("".join(ps)) for ps in anchor_pieces]
+    return blocks, hrefs, anchors, meta_robots
 
 
 def _scan_pdf_doc(data: bytes) -> tuple[list[dict], int, list[str]]:
@@ -340,6 +353,7 @@ def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
                 "companies": [c for _, c in jb],
                 "skills": sk,
                 "outlinks": [],
+                "anchors": [],
                 "meta_robots": "",
             }
             for e, p, l, h, nm, addr, ins, jb, sk in zip(
@@ -376,6 +390,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     pdf_rows: list[tuple] = []  # (doc, page, x, y, seq, text)
     pdf_link_uris: dict[int, list[str]] = {}  # /Annots + docx rel URIs
     html_outlinks: dict[int, list[str]] = {}  # <a href> values per doc
+    html_anchors: dict[int, list[str]] = {}   # anchor text per href
     html_robots: dict[int, str] = {}          # <meta name=robots> content
     docx_spans: dict[int, list[dict]] = {}
 
@@ -385,8 +400,9 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         t0 = time.perf_counter()
         try:
             if r == "html":
-                doc_blocks, doc_hrefs, doc_robots = _scan_html_doc(
-                    oracle._decode_transfer_html(payload_arr[i]))
+                doc_blocks, doc_hrefs, doc_anchors, doc_robots = (
+                    _scan_html_doc(
+                        oracle._decode_transfer_html(payload_arr[i])))
                 for full, link, kind in doc_blocks:
                     html_blocks_doc.append(i)
                     html_blocks_full.append(full)
@@ -394,6 +410,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
                     html_blocks_kind.append(kind)
                 if doc_hrefs:
                     html_outlinks[i] = doc_hrefs
+                    html_anchors[i] = doc_anchors
                 if doc_robots:
                     html_robots[i] = doc_robots
                 n_pages[i] = 1
@@ -512,6 +529,7 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
     for i, hrefs in html_outlinks.items():
         if status[i] == "ok":
             fields.iloc[i]["outlinks"] = hrefs
+            fields.iloc[i]["anchors"] = html_anchors[i]
     for i, robots in html_robots.items():
         if status[i] == "ok":
             fields.iloc[i]["meta_robots"] = robots

@@ -197,25 +197,29 @@ _META_CONTENT_RE = re.compile(
 
 def extract_html(data: bytes) -> tuple[str, list[dict]]:
     """Back-compat form of :func:`extract_html_full` without the
-    outlink hrefs / robots directive."""
-    text, spans, _, _ = extract_html_full(data)
+    outlink hrefs / anchors / robots directive."""
+    text, spans, _, _, _ = extract_html_full(data)
     return text, spans
 
 
 def extract_html_full(data: bytes) -> tuple[str, list[dict],
-                                            list[str], str]:
+                                            list[str], list[str], str]:
     """Tokenize HTML, segment into blocks, classify each block.
 
-    Returns ``(extracted_text, spans, outlinks, meta_robots)`` where
-    extracted_text joins the content-kind blocks with ``'\\n'`` in
-    document order, spans carry every non-empty block with its kind,
-    outlinks are the entity-unescaped ``href`` values of ``<a>`` tags
-    in document order (raw as written — resolution against the page
-    url is a dataset-level JVM expression,
-    ``functions.urls.resolve_href_col``), and meta_robots is the
-    lowercased content of the first ``<meta name=robots>`` tag ('' if
-    absent) — the crawl-hygiene directive (noindex/nofollow) a
-    pipeline must honor.
+    Returns ``(extracted_text, spans, outlinks, anchors,
+    meta_robots)`` where extracted_text joins the content-kind blocks
+    with ``'\\n'`` in document order, spans carry every non-empty
+    block with its kind, outlinks are the entity-unescaped ``href``
+    values of ``<a>`` tags in document order (raw as written —
+    resolution against the page url is a dataset-level JVM expression,
+    ``functions.urls.resolve_href_col``), anchors[i] is the
+    whitespace-normalized visible text of outlinks[i]'s element (the
+    anchor-text-index input; text attributes to the innermost OPEN
+    href-bearing anchor, and an anchor left unclosed keeps collecting
+    until end of document — tolerated identically here and in the
+    batch kernel), and meta_robots is the lowercased content of the
+    first ``<meta name=robots>`` tag ('' if absent) — the
+    crawl-hygiene directive (noindex/nofollow) a pipeline must honor.
     """
     raw = _COMMENT_RE.sub(b" ", data)
     raw = _DECL_RE.sub(b" ", raw)
@@ -225,6 +229,8 @@ def extract_html_full(data: bytes) -> tuple[str, list[dict],
 
     spans: list[dict] = []
     outlinks: list[str] = []
+    anchor_pieces: list[list[str]] = []   # raw text per href-anchor
+    astack: list[tuple[int, int]] = []    # (anchor idx, depth at open)
     meta_robots = ""
     boiler_depth = 0
     link_depth = 0
@@ -264,6 +270,8 @@ def extract_html_full(data: bytes) -> tuple[str, list[dict],
             t = _htmllib.unescape(txt)
             if t:
                 pieces.append((t, link_depth > 0, boiler_depth > 0))
+                if link_depth > 0 and astack:
+                    anchor_pieces[astack[-1][0]].append(t)
         closing, name = m.group(1), m.group(2).lower()
         if name in BLOCK_TAGS:
             flush()
@@ -283,6 +291,8 @@ def extract_html_full(data: bytes) -> tuple[str, list[dict],
                 boiler_depth += 1
         elif name == "a":
             if closing:
+                if astack and astack[-1][1] == link_depth:
+                    astack.pop()
                 link_depth = max(0, link_depth - 1)
             else:
                 link_depth += 1
@@ -292,6 +302,9 @@ def extract_html_full(data: bytes) -> tuple[str, list[dict],
                         hm.group(1) or hm.group(2) or hm.group(3) or "")
                     if href:
                         outlinks.append(href)
+                        anchor_pieces.append([])
+                        astack.append((len(anchor_pieces) - 1,
+                                       link_depth))
         elif (name == "meta" and not closing and not meta_robots
                 and _META_NAME_ROBOTS_RE.search(m.group(3))):
             cm = _META_CONTENT_RE.search(m.group(3))
@@ -305,10 +318,13 @@ def extract_html_full(data: bytes) -> tuple[str, list[dict],
         t = _htmllib.unescape(tail)
         if t:
             pieces.append((t, link_depth > 0, boiler_depth > 0))
+            if link_depth > 0 and astack:
+                anchor_pieces[astack[-1][0]].append(t)
     flush()
 
     text = "\n".join(s["text"] for s in spans if s["kind"] in CONTENT_KINDS)
-    return text, spans, outlinks, meta_robots
+    anchors = [_norm_ws("".join(ps)) for ps in anchor_pieces]
+    return text, spans, outlinks, anchors, meta_robots
 
 
 # ---------------------------------------------------------------------------
@@ -1905,7 +1921,8 @@ def extract_fields(text: str, spans: list[dict]) -> dict:
 EMPTY_FIELDS = {
     "emails": [], "phones": [], "links": [], "headings": [],
     "name": "", "address": "", "institutions": [], "positions": [],
-    "companies": [], "skills": [], "outlinks": [], "meta_robots": "",
+    "companies": [], "skills": [], "outlinks": [], "anchors": [],
+    "meta_robots": "",
 }
 
 # O48 keyword → canonical section name (shared with the dataset-level
@@ -2003,11 +2020,12 @@ def extract_document(data: bytes) -> dict:
     route = sniff(data)
     link_uris: list[str] = []
     outlinks: list[str] = []
+    anchors: list[str] = []
     meta_robots = ""
     try:
         if route == "html":
-            text, spans, outlinks, meta_robots = extract_html_full(
-                _decode_transfer_html(data))
+            text, spans, outlinks, anchors, meta_robots = (
+                extract_html_full(_decode_transfer_html(data)))
             n_pages = 1
         elif route == "docx":
             # gzip-wrapped DOCX is routed by its decompressed head, so
@@ -2039,6 +2057,7 @@ def extract_document(data: bytes) -> dict:
         # raw hrefs in document order, duplicates kept — the link-graph
         # input (resolution against the page url is a JVM expression)
         fields["outlinks"] = outlinks
+        fields["anchors"] = anchors
         fields["meta_robots"] = meta_robots
         return {
             "status": "ok", "route": route, "reason": None,

@@ -72,6 +72,9 @@ FIELDS_TYPE = T.StructType([
     # <a href> values in document order (raw; resolution is a JVM
     # expression) — the link-graph input
     T.StructField("outlinks", T.ArrayType(T.StringType())),
+    # anchors[i] = normalized visible text of outlinks[i]'s <a>
+    # element — the anchor-text-index input
+    T.StructField("anchors", T.ArrayType(T.StringType())),
     # <meta name=robots> content, lowercased ('' if absent) — the
     # noindex/nofollow crawl directive
     T.StructField("meta_robots", T.StringType()),

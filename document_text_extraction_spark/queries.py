@@ -2562,6 +2562,69 @@ SQL_LINK_GRAPH = (
 )
 
 
+def q_anchor_text_index(spark, sf_dir):
+    """Anchor-text index — the classic web-retrieval signal (the text
+    OTHER pages use when linking to a target describes the target
+    better than the target describes itself; the original
+    full-text-index sidecar of web search). The aligned
+    ``(fields.outlinks[i], fields.anchors[i])`` arrays are collected in
+    the SINGLE extraction pass (no re-parse); one explode of their zip,
+    href resolution as a pure JVM expression, then one aggregation by
+    (dst_host, anchor): total reference count + distinct referring
+    hosts. At 100 TB this is the same single-shuffle shape as
+    ``link_graph`` — the explode is map-side, the groupBy is the only
+    exchange, and countDistinct(src_host) is a partial-aggregated
+    JVM path (no collect, no UDF).
+
+    Expected shape on the synthetic corpus: every HTML page carries 23
+    relative links (nav/aside/footer, 23 distinct anchor texts → its
+    own host) and one absolute ad link (→ ads.example.com, one shared
+    anchor text across every page)."""
+    from .functions import urls as U
+    out = _extracted(spark, sf_dir)
+    links = (
+        out.filter((F.col("lineage.route") == "html")
+                   & (F.col("lineage.status") == "ok"))
+        .select(
+            "url",
+            F.explode(F.arrays_zip(
+                F.col("fields.outlinks").alias("href"),
+                F.col("fields.anchors").alias("anchor"))).alias("z"))
+    )
+    dst = U.resolve_href_col(F.col("url"), F.col("z.href"))
+    src_host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        links.groupBy(
+            F.regexp_extract(dst, r"^[^:/?#]+://([^/?#]*)", 1)
+            .alias("dst_host"),
+            F.col("z.anchor").alias("anchor"))
+        .agg(F.count("*").cast("long").alias("n_refs"),
+             F.countDistinct(src_host).alias("n_src_hosts"))
+    )
+
+
+# every make_html page renders the same 23 relative-link anchor texts
+# (12 nav + 8 aside + 3 footer, corpus.py:109-116,181-182) plus the one
+# absolute ad anchor — so the oracle is the html-page count per host
+# crossed with the literal anchor list
+SQL_ANCHOR_TEXT_INDEX = (
+    f"WITH h AS (SELECT {HOST_SQL} AS host, count(*) AS n "
+    "FROM documents WHERE doc_id % 20 < 14 AND doc_id % 20 <> 12 "
+    "GROUP BY 1), "
+    "a(anchor) AS (VALUES ('Home'), ('News'), ('Sports'), ('World'), "
+    "('Business'), ('Tech'), ('Science'), ('Health'), ('Travel'), "
+    "('Opinion'), ('Video'), ('More'), ('Trending now'), ('Most read'), "
+    "('Editor picks'), ('Related stories'), ('From the wire'), "
+    "('Top videos'), ('Newsletters'), ('Podcasts'), ('About'), "
+    "('Terms'), ('Privacy')) "
+    "SELECT host AS dst_host, anchor, CAST(n AS BIGINT) AS n_refs, "
+    "CAST(1 AS BIGINT) AS n_src_hosts FROM h CROSS JOIN a "
+    "UNION ALL SELECT 'ads.example.com', "
+    "'Buy now! Limited offer — click here', "
+    "CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT) FROM h"
+)
+
+
 def q_robots_txt_filter(spark, sf_dir):
     """robots.txt PROTOCOL compliance (RFC 9309, complementing the
     meta-robots tag): per-host robots bodies are planted to exercise
@@ -3170,6 +3233,7 @@ SQL_FRONTIER_PLAN = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new or changed in round 4 (multimodal driver rows; robots,
     # asof, range_join also changed and already sit in the window) ----
+    "anchor_text_index": q_anchor_text_index,
     "wet_roundtrip": q_wet_roundtrip,
     "media_features": q_media_features,
     "media_sample_plan": q_media_sample_plan,
@@ -3233,7 +3297,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_route_counts": q_extract_route_counts,
     # -- core curation/dedup (green r2) --------------------------------
     "dedup_exact": q_dedup_exact,
-    "dedup_keep_first": q_dedup_keep_first,
     "curate_corpus": q_curate_corpus,
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
@@ -3250,6 +3313,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming_incremental_dedup: r03 green, implementing modules
     # untouched since — rotated out for the four new rows (ExactSubstr
     # pair, cdx_index, train_shuffle_shards)
+    # dedup_keep_first: transitively dirty (dedup.py changed this
+    # round), but the change — the incremental-dedup broadcast prefix
+    # filter — does not touch the keep-first path, and the window is
+    # saturated with 51 dirty queries for 50 slots; dedup.py keeps two
+    # direct representatives in-window (dedup_exact, incremental_dedup)
+    "dedup_keep_first": q_dedup_keep_first,
     "cv_address_planted": q_cv_address_planted,
     "hypertable_rollup": q_hypertable_rollup,
     "contamination": q_contamination,
@@ -3349,6 +3418,7 @@ ORACLE_SQL: dict[str, str] = {
     "range_join_windows": SQL_RANGE_JOIN,
     "hypertable_rollup": SQL_HYPERTABLE,
     "link_graph": SQL_LINK_GRAPH,
+    "anchor_text_index": SQL_ANCHOR_TEXT_INDEX,
     "latest_capture": SQL_LATEST_CAPTURE,
     "blocklist_filter": SQL_BLOCKLIST,
     "contamination": SQL_CONTAMINATION,

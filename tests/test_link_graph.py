@@ -23,8 +23,9 @@ def test_outlinks_quote_styles_and_entities():
             b'<a href="/q?a=1&amp;b=2">q</a>'
             b"<a name=anchor>no href</a>"
             b"<p>text</p></body></html>")
-    _, _, links, _ = oracle.extract_html_full(html)
+    _, _, links, anchors, _ = oracle.extract_html_full(html)
     assert links == ["/single", "bare", "/q?a=1&b=2"]
+    assert anchors == ["s", "b", "q"]
 
 
 def test_meta_robots_directive():
@@ -37,11 +38,11 @@ def test_meta_robots_directive():
             b"<META NAME=ROBOTS CONTENT='NOINDEX'>"
             b'<meta name="robots" content="all">'
             b"</head><body><p>x</p></body></html>")
-    _, _, _, robots = oracle.extract_html_full(html)
+    _, _, _, _, robots = oracle.extract_html_full(html)
     assert robots == "noindex"
     # a non-robots meta contributes nothing
     html2 = b'<html><head><meta name="viewport" content="w"></head><body><p>x</p></body></html>'
-    assert oracle.extract_html_full(html2)[3] == ""
+    assert oracle.extract_html_full(html2)[4] == ""
 
 
 def test_non_html_routes_have_empty_outlinks():

@@ -19,6 +19,14 @@ mechanical:
   pessimistic: false positives force extra re-verification, false
   negatives would hide a stale green;
 * every dirty query must be among the first 50 registry entries.
+
+When the dirty set itself exceeds the window (a core-extraction edit
+marks every pipeline consumer dirty — 50+ queries), the strict form is
+unsatisfiable; the discipline degrades to the strongest checkable
+claim: every DIRECTLY-edited query sits inside the window, and the
+window holds ONLY dirty queries (no slot is wasted re-verifying a
+stale-green while a changed query waits outside). Transitively-dirty
+overflow is allowed only in that saturated state.
 """
 
 from __future__ import annotations
@@ -107,27 +115,45 @@ def test_changed_queries_sit_inside_driver_window():
     direct = _attribute_lines_to_queries(_queries_py_changed_lines(base))
     core_changed = bool(stems & CORE_EXTRACTION)
     order = list(Q.QUERIES)
-    late = []
-    for pos, name in enumerate(order):
+    dirty_kind: dict[str, str] = {}
+    for name in order:
         fn = Q.QUERIES[name]
         src = inspect.getsource(fn)
-        dirty = name in direct
-        if not dirty:
+        if name in direct:
+            dirty_kind[name] = "direct"
+        elif any(
             # import lines or attribute use only — docstring prose
             # ("the corpus", "this pipeline") must not flag
-            dirty = any(
-                re.search(rf"(?m)^\s*(?:from|import)\b[^\n]*"
-                          rf"\b{re.escape(s)}\b|\b{re.escape(s)}\s*\.",
-                          src)
-                for s in stems)
-        if not dirty and core_changed and _RUNS_EXTRACTION.search(src):
-            dirty = True
-        if dirty and pos >= WINDOW:
-            late.append((pos, name))
-    assert not late, (
-        f"queries changed since {base[:9]} but OUTSIDE the driver's "
-        f"first-{WINDOW} window (move them to the registry front): "
-        f"{late}")
+            re.search(rf"(?m)^\s*(?:from|import)\b[^\n]*"
+                      rf"\b{re.escape(s)}\b|\b{re.escape(s)}\s*\.",
+                      src)
+            for s in stems
+        ):
+            dirty_kind[name] = "transitive"
+        elif core_changed and _RUNS_EXTRACTION.search(src):
+            dirty_kind[name] = "transitive"
+    late = [(p, n) for p, n in enumerate(order)
+            if p >= WINDOW and n in dirty_kind]
+    if len(dirty_kind) <= WINDOW:
+        assert not late, (
+            f"queries changed since {base[:9]} but OUTSIDE the driver's "
+            f"first-{WINDOW} window (move them to the registry front): "
+            f"{late}")
+    else:
+        # saturated: more dirty queries than window slots — enforce the
+        # strongest satisfiable form (see module docstring)
+        late_direct = [(p, n) for p, n in late
+                       if dirty_kind[n] == "direct"]
+        assert not late_direct, (
+            f"directly-edited queries OUTSIDE the first-{WINDOW} window "
+            f"while the dirty set ({len(dirty_kind)}) overflows it — "
+            f"direct edits take priority: {late_direct}")
+        wasted = [(p, n) for p, n in enumerate(order[:WINDOW])
+                  if n not in dirty_kind]
+        assert not wasted, (
+            f"dirty set ({len(dirty_kind)}) overflows the "
+            f"first-{WINDOW} window, yet these window slots hold "
+            f"unchanged (stale-green-safe) queries: {wasted}")
 
 
 def test_registry_monotone_invariants():
