@@ -53,3 +53,33 @@ def stratified_sample(df: DataFrame, rates_ppm: dict[str, int],
         F.lit(0),
     )
     return df.filter(hash_bucket_col(F.col(key_col), seed) < rate)
+
+
+def quota_cap(df: DataFrame, key_cols: list[str], order_col: str,
+              cap: int,
+              skew_threshold: int | None = None,
+              n_bands: int = 32) -> DataFrame:
+    """Keep at most ``cap`` rows per key, best-first by ``order_col``
+    ascending — the per-domain quota every curated web corpus applies
+    so no single host dominates the mixture (C4 and RefinedWeb cap
+    per-domain contributions; the reference's single-folder walks have
+    no analogue).
+
+    ``order_col`` must be unique within a key (compose a tiebreak —
+    e.g. first-seen doc_id — otherwise the surviving set is
+    row_number-arbitrary, per SQL semantics). The hosts a quota exists
+    FOR are exactly the Zipf-hot ones, so the plain
+    ``row_number OVER (PARTITION BY host)`` plan — whose hot-key
+    partition serializes into one task — is the wrong shape at 100 TB;
+    with ``skew_threshold`` set this delegates to
+    :func:`..operators.frontier.ranked_in_key`'s banded plan and
+    passes ``cap`` as its ``max_rank`` hint, so a hot host's rows
+    beyond the cap are dropped at band granularity BEFORE the rank
+    join-back (a 27%-of-corpus host capped at 1k ranks ~cap rows, not
+    its millions).
+    """
+    from ..operators.frontier import ranked_in_key
+    ranked = ranked_in_key(df, key_cols, order_col, out_col="__q_rk",
+                           skew_threshold=skew_threshold,
+                           n_bands=n_bands, max_rank=cap)
+    return ranked.filter(F.col("__q_rk") <= cap).drop("__q_rk")

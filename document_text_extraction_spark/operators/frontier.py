@@ -43,10 +43,21 @@ from pyspark.sql import functions as F
 def ranked_in_key(df: DataFrame, key_cols: list[str], sort_col: str,
                   out_col: str = "rank_in_key",
                   skew_threshold: int | None = None,
-                  n_bands: int = 32) -> DataFrame:
+                  n_bands: int = 32,
+                  max_rank: int | None = None) -> DataFrame:
     """1-based dense fetch order of each row within its key, ordered by
     ``sort_col`` ascending — ``row_number() OVER (PARTITION BY keys
-    ORDER BY sort_col)`` with an optional banded anti-skew plan."""
+    ORDER BY sort_col)`` with an optional banded anti-skew plan.
+
+    ``max_rank`` is a top-k hint for quota-style callers that will
+    filter ``out_col <= max_rank`` anyway: on the banded (hot-key)
+    path, whole bands whose exclusive prefix count already reaches
+    ``max_rank`` are dropped BEFORE the rank join-back — a hot key
+    capped at 1k keeps only the value bands holding its first 1k rows
+    instead of ranking all of them. Rows with rank > ``max_rank`` MAY
+    therefore be absent from the result (band granularity: some such
+    rows survive to the caller's filter); ranks <= ``max_rank`` are
+    complete and identical to the un-hinted output."""
     if skew_threshold is None:
         w = W.partitionBy(*key_cols).orderBy(F.col(sort_col).asc())
         return df.withColumn(out_col, F.row_number().over(w)
@@ -86,6 +97,11 @@ def ranked_in_key(df: DataFrame, key_cols: list[str], sort_col: str,
             .rowsBetween(W.unboundedPreceding, -1))
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__bn").over(woff), F.lit(0)))
+    if max_rank is not None:
+        # quota hint: a band whose exclusive prefix already holds
+        # max_rank rows cannot contribute any rank <= max_rank — the
+        # inner join-back below then drops its rows wholesale
+        offsets = offsets.filter(F.col("__off") < max_rank)
     hot = (hot.join(F.broadcast(offsets.select(*key_cols, "__band",
                                                "__off")),
                     [*key_cols, "__band"])

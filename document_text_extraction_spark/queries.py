@@ -3220,6 +3220,45 @@ SQL_FRONTIER_PLAN = (
 )
 
 
+def q_domain_quota(spark, sf_dir):
+    """Per-domain quota cap (fn/sampling.quota_cap): keep at most 25
+    first-seen docs per host — the C4/RefinedWeb guard against any one
+    domain dominating the training mixture. Runs the BANDED anti-skew
+    ranking with the band-prune quota hint (skew_threshold=100: the
+    Zipf-hot host exceeds it from sf0.001 up, so hot-host rows beyond
+    the cap drop at band granularity before the rank join-back); the
+    DuckDB oracle is the plain ``row_number() <= cap``, so a green row
+    proves banded+pruned ≡ plain. Output: per-host kept count and
+    kept-id checksums."""
+    from .functions import sampling as S
+    host = F.concat(
+        F.lit("site"),
+        F.lpad(F.least(
+            F.lit(49),
+            F.floor(50 * F.pow((F.col("doc_id") % 1000) / F.lit(1000.0),
+                               3))).cast("int").cast("string"), 2, "0"),
+        F.lit(".example.org"))
+    d = _docs(spark, sf_dir).select("doc_id", host.alias("host"))
+    capped = S.quota_cap(d, ["host"], "doc_id", cap=25,
+                         skew_threshold=100, n_bands=8)
+    return (capped.groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("sum_kept_ids"),
+                 F.max("doc_id").cast("long").alias("max_kept_id")))
+
+
+SQL_DOMAIN_QUOTA = (
+    f"WITH s AS (SELECT doc_id, {HOST_SQL} AS host FROM documents), "
+    "r AS (SELECT doc_id, host, "
+    "row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk "
+    "FROM s) "
+    "SELECT host, CAST(count(*) AS BIGINT) AS n_kept, "
+    "CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids, "
+    "CAST(max(doc_id) AS BIGINT) AS max_kept_id "
+    "FROM r WHERE rk <= 25 GROUP BY 1"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -46,3 +46,65 @@ def test_sample_is_pure_filter(spark, docs):
         docs, {"a": 10_000}, "stratum", "doc_id")
         ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# quota_cap — per-domain cap (C4/RefinedWeb mixture guard)
+# ---------------------------------------------------------------------------
+
+def _skewed_hosts(spark):
+    # one Zipf-hot host (400 rows) + many small ones; unique sort col
+    rows = [("hot", i) for i in range(400)]
+    for h in range(20):
+        rows += [(f"k{h:02d}", 1000 + h * 100 + j) for j in range(h % 7 + 1)]
+    return spark.createDataFrame(rows, "host string, doc_id long")
+
+
+def _brute_cap(rows, cap):
+    by = {}
+    for h, i in rows:
+        by.setdefault(h, []).append(i)
+    return {(h, i) for h, ids in by.items() for i in sorted(ids)[:cap]}
+
+
+@pytest.mark.parametrize("skew_threshold", [None, 50])
+def test_quota_cap_matches_brute(spark, skew_threshold):
+    df = _skewed_hosts(spark)
+    rows = [(r.host, r.doc_id) for r in df.collect()]
+    got = {(r.host, r.doc_id)
+           for r in sampling.quota_cap(
+               df, ["host"], "doc_id", cap=5,
+               skew_threshold=skew_threshold, n_bands=8).collect()}
+    assert got == _brute_cap(rows, 5)
+
+
+def test_quota_cap_larger_than_group(spark):
+    df = _skewed_hosts(spark)
+    n = df.count()
+    kept = sampling.quota_cap(df, ["host"], "doc_id", cap=10_000,
+                              skew_threshold=50, n_bands=8)
+    assert kept.count() == n
+
+
+def test_ranked_max_rank_hint_contract(spark):
+    """With max_rank, ranks <= max_rank are complete and identical to
+    the un-hinted output; rows beyond MAY be dropped (band
+    granularity) — and on a banded hot key, SOME actually are (the
+    prune is observable, not vacuous)."""
+    from document_text_extraction_spark.operators import frontier as FR
+    df = _skewed_hosts(spark)
+    full = {(r.host, r.doc_id): r.rank_in_key
+            for r in FR.ranked_in_key(
+                df, ["host"], "doc_id",
+                skew_threshold=50, n_bands=8).collect()}
+    hinted = {(r.host, r.doc_id): r.rank_in_key
+              for r in FR.ranked_in_key(
+                  df, ["host"], "doc_id", skew_threshold=50,
+                  n_bands=8, max_rank=5).collect()}
+    for k, rk in full.items():
+        if rk <= 5:
+            assert hinted.get(k) == rk
+    for k, rk in hinted.items():
+        assert full[k] == rk
+    # 400 hot rows / 8 bands → bands past the first are pruned
+    assert len(hinted) < len(full)
