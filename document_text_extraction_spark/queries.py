@@ -3259,6 +3259,51 @@ SQL_DOMAIN_QUOTA = (
 )
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (operators/perplexity.py):
+    per-language unigram LM over the corpus, per-doc token-mean
+    surprisal, head/middle/tail split on fixed thresholds (3.394 /
+    3.408 ≈ the sf0.001 quartiles — CCNet derives thresholds from a
+    held-out distribution; they enter as constants). Output: per
+    (lang, bucket) doc count, token volume, and the summed doc-mean
+    surprisal rounded to 6dp (both engines compute ln() in IEEE
+    double; the round absorbs last-ulp drift)."""
+    from .operators import perplexity as P
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    model = P.unigram_model(d, group_cols=("lang",))
+    scored = P.surprisal_scores(d, model, id_cols=("doc_id",),
+                                group_cols=("lang",))
+    b = P.perplexity_buckets(scored, head_below=3.394, tail_from=3.408)
+    return (b.groupBy("lang", "ppl_bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.round(F.sum("mean_surprisal"), 6)
+                 .alias("sum_mean_surprisal")))
+
+
+SQL_PERPLEXITY_BUCKETS = (
+    "WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) "
+    "AS word FROM documents), "
+    "w2 AS (SELECT * FROM w WHERE word <> ''), "
+    "dw AS (SELECT doc_id, lang, word, count(*) AS k "
+    "FROM w2 GROUP BY 1, 2, 3), "
+    "m AS (SELECT lang, word, count(*) AS n FROM w2 GROUP BY 1, 2), "
+    "t AS (SELECT lang, sum(n) AS total FROM m GROUP BY 1), "
+    "lp AS (SELECT m.lang, m.word, ln(m.n / t.total) AS logp "
+    "FROM m JOIN t USING (lang)), "
+    "s AS (SELECT dw.doc_id, dw.lang, "
+    "sum(dw.k * -lp.logp) / sum(dw.k) AS ms, sum(dw.k) AS nt "
+    "FROM dw JOIN lp ON dw.lang = lp.lang AND dw.word = lp.word "
+    "GROUP BY 1, 2) "
+    "SELECT lang, CASE WHEN ms < 3.394 THEN 'head' "
+    "WHEN ms < 3.408 THEN 'middle' ELSE 'tail' END AS ppl_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(nt) AS BIGINT) AS n_tokens, "
+    "round(sum(ms), 6) AS sum_mean_surprisal "
+    "FROM s GROUP BY 1, 2"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
