@@ -65,7 +65,11 @@ def unigram_model(docs: DataFrame, text_col: str = "text",
         F.count("*").alias("n"))
     totals = counts.groupBy(*group_cols).agg(
         F.sum("n").alias("__total"))
-    return (counts.join(F.broadcast(totals), list(group_cols))
+    if group_cols:
+        joined = counts.join(F.broadcast(totals), list(group_cols))
+    else:  # global model: totals is one row
+        joined = counts.crossJoin(F.broadcast(totals))
+    return (joined
             .withColumn("logp", F.log(F.col("n") / F.col("__total")))
             .drop("__total"))
 
@@ -120,3 +124,62 @@ def perplexity_buckets(scored: DataFrame, head_below: float,
          .when(s < tail_from, "middle")
          .otherwise("tail"))
     return scored.withColumn(out_col, b)
+
+
+def importance_weights(docs: DataFrame, target_model: DataFrame,
+                       raw_model: DataFrame,
+                       id_cols: Sequence[str] = ("doc_id",),
+                       text_col: str = "text",
+                       group_cols: Sequence[str] = (),
+                       oov_logp: float = -20.0,
+                       broadcast_model: bool = True) -> DataFrame:
+    """DSIR importance weight (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    token-mean ``log p_target(w) − log p_raw(w)`` under two bag-of-words
+    models — positive = the document looks more like the target domain
+    than the raw crawl. Same scale shape as
+    :func:`surprisal_scores` (per-(doc, word) pre-count, two model
+    joins on ``word``); both models take the ``oov_logp`` floor so a
+    word absent from either vocabulary contributes a bounded ratio.
+    Output: ``(id…, group…, log_importance, n_tokens)``."""
+    w = _words(docs, text_col, [*id_cols, *group_cols])
+    dw = w.groupBy(*id_cols, *group_cols, "word").agg(
+        F.count("*").alias("__k"))
+    on = [*group_cols, "word"]
+    t = target_model.select(*on, F.col("logp").alias("__lpt"))
+    r = raw_model.select(*on, F.col("logp").alias("__lpr"))
+    if broadcast_model:
+        t, r = F.broadcast(t), F.broadcast(r)
+    j = dw.join(t, on, "left").join(r, on, "left")
+    floor = F.lit(float(oov_logp))
+    ratio = (F.coalesce(F.col("__lpt"), floor)
+             - F.coalesce(F.col("__lpr"), floor))
+    return (j.groupBy(*id_cols, *group_cols)
+            .agg((F.sum(F.col("__k") * ratio) / F.sum("__k"))
+                 .alias("log_importance"),
+                 F.sum("__k").cast("long").alias("n_tokens")))
+
+
+def dsir_sample(weights: DataFrame, k: int,
+                weight_col: str = "log_importance",
+                key_col: str = "doc_id",
+                seed: str = "") -> DataFrame:
+    """DSIR's importance RESAMPLING step, deterministically: Gumbel
+    top-k (keep the k largest ``weight + g``, ``g ~ Gumbel(0,1)``)
+    samples without replacement with probability ∝ exp(weight) — here
+    the Gumbel noise is derived from the row's md5 hash bucket
+    (``g = −ln(−ln((bucket + 0.5) / BUCKETS))``), so a re-run, a
+    resumed slice, and the DuckDB oracle all select the same rows, the
+    same property as every sampler in :mod:`..functions.sampling`.
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject — each
+    partition keeps its top k and only k·n_partitions rows reach the
+    driver-side merge, no global sort."""
+    from ..functions.sampling import BUCKETS, hash_bucket_col
+    u = ((hash_bucket_col(F.col(key_col), seed) + F.lit(0.5))
+         / F.lit(float(BUCKETS)))
+    g = -F.log(-F.log(u))
+    scored = weights.withColumn("__gumbel_score",
+                                F.col(weight_col) + g)
+    return (scored.orderBy(F.col("__gumbel_score").desc(),
+                           F.col(key_col).asc())
+            .limit(k).drop("__gumbel_score"))

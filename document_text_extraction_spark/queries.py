@@ -3304,6 +3304,61 @@ SQL_PERPLEXITY_BUCKETS = (
 )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/perplexity.py): importance
+    weight = token-mean log p_target/p_raw under two corpus unigram
+    models (target = the 'en' slice standing in for the domain corpus,
+    raw = everything), then deterministic Gumbel top-50 resampling
+    (noise from the md5 hash bucket, so Spark, a re-run, and the
+    DuckDB oracle select the same rows). orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort."""
+    from .operators import perplexity as P
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    target = P.unigram_model(d.filter(F.col("lang") == "en"),
+                             group_cols=())
+    raw = P.unigram_model(d, group_cols=())
+    wts = P.importance_weights(d, target, raw, id_cols=("doc_id",),
+                               group_cols=())
+    sel = P.dsir_sample(wts, k=50)
+    return sel.select(
+        "doc_id",
+        F.round("log_importance", 6).alias("log_importance"),
+        "n_tokens")
+
+
+SQL_DSIR_SELECT = (
+    "WITH tw AS (SELECT unnest(string_split(text, ' ')) AS word "
+    "FROM documents WHERE lang = 'en'), "
+    "tm AS (SELECT word, count(*) AS n FROM tw WHERE word <> '' "
+    "GROUP BY 1), "
+    "tt AS (SELECT sum(n) AS total FROM tm), "
+    "tl AS (SELECT word, ln(n / (SELECT total FROM tt)) AS lpt "
+    "FROM tm), "
+    "rw AS (SELECT unnest(string_split(text, ' ')) AS word "
+    "FROM documents), "
+    "rm AS (SELECT word, count(*) AS n FROM rw WHERE word <> '' "
+    "GROUP BY 1), "
+    "rt AS (SELECT sum(n) AS total FROM rm), "
+    "rl AS (SELECT word, ln(n / (SELECT total FROM rt)) AS lpr "
+    "FROM rm), "
+    "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    "FROM documents), "
+    "dw AS (SELECT doc_id, word, count(*) AS k FROM w "
+    "WHERE word <> '' GROUP BY 1, 2), "
+    "s AS (SELECT dw.doc_id, "
+    "sum(dw.k * (coalesce(tl.lpt, -20.0) - coalesce(rl.lpr, -20.0)))"
+    " / sum(dw.k) AS li, sum(dw.k) AS nt "
+    "FROM dw LEFT JOIN tl USING (word) LEFT JOIN rl USING (word) "
+    "GROUP BY 1), "
+    "g AS (SELECT doc_id, li, nt, li + -ln(-ln((("
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 1000000) + 0.5) / 1000000.0)) AS score FROM s) "
+    "SELECT doc_id, round(li, 6) AS log_importance, "
+    "CAST(nt AS BIGINT) AS n_tokens "
+    "FROM g ORDER BY score DESC, doc_id LIMIT 50"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -176,6 +176,7 @@ def _rowset(cols, rows):
     (Q.q_frontier_plan, Q.SQL_FRONTIER_PLAN),
     (Q.q_domain_quota, Q.SQL_DOMAIN_QUOTA),
     (Q.q_perplexity_buckets, Q.SQL_PERPLEXITY_BUCKETS),
+    (Q.q_dsir_select, Q.SQL_DSIR_SELECT),
 ])
 def test_staged_query_vs_oracle(spark, qfn, sql):
     df = qfn(spark, SF_DIR)

@@ -72,3 +72,43 @@ def test_model_groups_are_independent(spark):
     assert m[("en", "x")] == pytest.approx(1.0)
     assert m[("fr", "x")] == pytest.approx(0.25)
     assert m[("fr", "y")] == pytest.approx(0.75)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting + deterministic Gumbel resampling
+# ---------------------------------------------------------------------------
+
+def test_importance_weights_hand_computed(spark):
+    # target corpus: "a a"  -> p(a)=1; raw corpus: "a b b b" -> p(a)=.25
+    target = spark.createDataFrame(
+        pd.DataFrame([(1, "a a")], columns=["doc_id", "text"]))
+    raw = spark.createDataFrame(
+        pd.DataFrame([(1, "a b b b")], columns=["doc_id", "text"]))
+    tm = P.unigram_model(target, group_cols=())
+    rm = P.unigram_model(raw, group_cols=())
+    probe = spark.createDataFrame(
+        pd.DataFrame([(9, "a"), (10, "b"), (11, "zzz")],
+                     columns=["doc_id", "text"]))
+    got = {r.doc_id: r.log_importance for r in P.importance_weights(
+        probe, tm, rm, group_cols=(), oov_logp=-20.0).collect()}
+    # a: ln(1) - ln(0.25) = ln 4 (target-like, positive)
+    assert got[9] == pytest.approx(math.log(4))
+    # b: floor(-20) - ln(0.75) (absent from target -> strongly negative)
+    assert got[10] == pytest.approx(-20.0 - math.log(0.75))
+    # zzz: both floored -> 0 (unknown everywhere is neutral)
+    assert got[11] == pytest.approx(0.0)
+
+
+def test_dsir_sample_deterministic_and_weight_biased(spark):
+    rows = [(i, 5.0 if i < 20 else -5.0) for i in range(200)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "log_importance"]))
+    a = sorted(r.doc_id for r in P.dsir_sample(df, 30).collect())
+    b = sorted(r.doc_id for r in P.dsir_sample(df, 30).collect())
+    assert a == b  # rerun-stable
+    # weight gap of 10 nats dwarfs Gumbel noise: all 20 heavy rows in
+    assert set(range(20)) <= set(a)
+    # different seed reshuffles the light tail
+    c = sorted(r.doc_id for r in P.dsir_sample(df, 30, seed="s2").collect())
+    assert set(range(20)) <= set(c)
+    assert a != c
