@@ -186,3 +186,47 @@ def test_curate_corpus_plan_shape(spark):
     assert not rep["has_cartesian"], rep["plan"]
     assert "LeftAnti" in rep["plan"], rep["plan"]
     assert "WindowGroupLimit" in rep["plan"], rep["plan"]
+
+
+def test_perplexity_model_join_is_broadcast(spark):
+    """The per-doc surprisal join against the vocab-sized model must be
+    a broadcast (no shuffle of the (doc, word) side by word — the
+    stopword keys would skew it), and bucketed counting stays
+    cartesian-free."""
+    from document_text_extraction_spark.queries import (
+        q_perplexity_buckets,
+    )
+    rep = plan_report(q_perplexity_buckets(spark, "/root/testdata/sf0.001"))
+    assert not rep["has_cartesian"], rep["plan"]
+    assert "BroadcastHashJoin" in rep["plan"], rep["plan"]
+    # the documents scan feeds word counts: only lang+text+doc_id read
+    joined = " ".join(rep["read_schemas"])
+    for col in ("source", "n_chars"):
+        assert col not in joined, f"scan reads unused column {col}"
+
+
+def test_dsir_select_is_take_ordered(spark):
+    """DSIR's top-k resample must compile to TakeOrderedAndProject
+    (per-partition top-k + driver merge), never a global Sort
+    exchange; both model joins broadcast."""
+    from document_text_extraction_spark.queries import q_dsir_select
+    rep = plan_report(q_dsir_select(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in rep["plan"], rep["plan"]
+    assert not rep["has_cartesian"], rep["plan"]
+    assert "BroadcastHashJoin" in rep["plan"], rep["plan"]
+
+
+def test_domain_quota_no_window_over_bare_hot_key(spark):
+    """The banded quota plan must not contain a window partitioned by
+    the bare host (that serializes the hot host into one task): every
+    Window node over host alone belongs to the tiny per-band offset
+    table, whose input is ≤ n_bands rows per key (fed by a groupBy of
+    (host, band) — HashAggregate upstream), not the raw rowset."""
+    from document_text_extraction_spark.queries import q_domain_quota
+    rep = plan_report(q_domain_quota(spark, "/root/testdata/sf0.001"))
+    assert not rep["has_cartesian"], rep["plan"]
+    plan = rep["plan"]
+    # hot-path structure exists: a band column and a broadcast of the
+    # offsets table back onto the hot rows
+    assert "__band" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
