@@ -2625,6 +2625,41 @@ SQL_ANCHOR_TEXT_INDEX = (
 )
 
 
+def q_wat_roundtrip(spark, sf_dir):
+    """Publish/re-ingest identity through the WAT sink (sinks/wat.py):
+    extraction output → Common-Crawl-style metadata records (JSON
+    envelope with Links carrying href+anchor, per-record-gzip WAT
+    files, atomic task renames) → binaryFile re-ingestion → the SAME
+    (dst_host, anchor) aggregation as ``anchor_text_index``. A green
+    row proves the anchor-text index computed from re-read WAT equals
+    the one computed live — the interop contract WAT consumers rely
+    on. Oracle: SQL_ANCHOR_TEXT_INDEX verbatim."""
+    import shutil
+    import tempfile
+    from .functions import urls as U
+    from .sinks import wat_links_df, write_wat
+    base = tempfile.mkdtemp(prefix="dte_q_wat_")
+    out = _extracted(spark, sf_dir)
+    ok = out.filter((F.col("lineage.route") == "html")
+                    & (F.col("lineage.status") == "ok"))
+    write_wat(ok, base, n_files=8).collect()  # the write job
+    back = wat_links_df(spark, base)
+    dst = U.resolve_href_col(F.col("url"), F.col("href"))
+    src_host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    res = (back.groupBy(
+        F.regexp_extract(dst, r"^[^:/?#]+://([^/?#]*)", 1)
+        .alias("dst_host"),
+        F.col("anchor"))
+        .agg(F.count("*").cast("long").alias("n_refs"),
+             F.countDistinct(src_host).alias("n_src_hosts"))
+        .localCheckpoint())  # sever lineage before the files go away
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+SQL_WAT_ROUNDTRIP = SQL_ANCHOR_TEXT_INDEX
+
+
 def q_robots_txt_filter(spark, sf_dir):
     """robots.txt PROTOCOL compliance (RFC 9309, complementing the
     meta-robots tag): per-host robots bodies are planted to exercise

@@ -203,6 +203,19 @@ def parse_wet(data: bytes) -> list[dict]:
             if h.get("warc-type") == "conversion"]
 
 
+def parse_wat(data: bytes) -> list[dict]:
+    """WAT bytes → ``[{url, warc_ts, json}]`` for ``metadata``
+    records (the Common-Crawl per-record metadata sidecar; payload is
+    a JSON envelope). The JSON stays a STRING here — field extraction
+    is a dataset-level ``from_json`` (JVM-side, schema-pruned), not a
+    per-record Python parse."""
+    return [{"url": h.get("warc-target-uri", ""),
+             "warc_ts": _warc_ts(h),
+             "json": body.decode("utf-8", errors="replace")}
+            for h, body in _iter_records(data)
+            if h.get("warc-type") == "metadata"]
+
+
 def warc_pages_df(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC ingestion: ``binaryFile`` scan over a
     file/glob/directory → per-file record parse → web-pages rows.

@@ -177,6 +177,7 @@ def _rowset(cols, rows):
     (Q.q_domain_quota, Q.SQL_DOMAIN_QUOTA),
     (Q.q_perplexity_buckets, Q.SQL_PERPLEXITY_BUCKETS),
     (Q.q_dsir_select, Q.SQL_DSIR_SELECT),
+    (Q.q_wat_roundtrip, Q.SQL_WAT_ROUNDTRIP),
 ])
 def test_staged_query_vs_oracle(spark, qfn, sql):
     df = qfn(spark, SF_DIR)
