@@ -2660,6 +2660,95 @@ def q_wat_roundtrip(spark, sf_dir):
 SQL_WAT_ROUNDTRIP = SQL_ANCHOR_TEXT_INDEX
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap protocol parsing (operators/sitemaps.py): per-host
+    sitemap bodies are planted deterministically — every 5th host
+    serves a ``<sitemapindex>`` with two child refs, the rest a
+    ``<urlset>`` of ``num%4+2`` url entries with entity-escaped locs
+    (``&amp;`` must decode), lastmod dates, alternating
+    daily/weekly changefreq, and ascending priorities. Both parsers
+    run over the SAME body table (the block regexes distinguish
+    ``<url>`` from ``<urlset>`` and ``<sitemap>`` from
+    ``<sitemapindex>`` by word boundary); output is one row per host
+    with parsed aggregates, which the oracle reconstructs
+    arithmetically from the planted policy."""
+    from .operators import sitemaps as SM
+    pages = web_pages_from_documents(spark, sf_dir).select("url")
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    hosts = pages.select(host.alias("host")).distinct()
+    num = F.substring("host", 5, 2).cast("int")
+    n = (num % 4 + 2)
+    day = F.lpad((num % 27 + 1).cast("string"), 2, "0")
+    url_block = lambda i: F.concat(  # noqa: E731
+        F.lit("<url><loc> https://"), F.col("host"), F.lit("/sm/"),
+        i.cast("string"), F.lit("?a=1&amp;b=2 </loc><lastmod>2024-01-"),
+        day, F.lit("T08:00:00Z</lastmod><changefreq>"),
+        F.when(i % 2 == 0, "daily").otherwise("weekly"),
+        F.lit("</changefreq><priority>0."),
+        (i % 5 + 5).cast("string"), F.lit("</priority></url>"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.array_join(F.transform(F.sequence(F.lit(0), n - 1),
+                                 url_block), ""),
+        F.lit("</urlset>"))
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        F.array_join(F.transform(
+            F.sequence(F.lit(0), F.lit(1)),
+            lambda j: F.concat(
+                F.lit("<sitemap><loc>https://"), F.col("host"),
+                F.lit("/sitemap-"), j.cast("string"),
+                F.lit(".xml</loc><lastmod>2024-02-0"),
+                (j + 1).cast("string"),
+                F.lit("</lastmod></sitemap>"))), ""),
+        F.lit("</sitemapindex>"))
+    tbl = hosts.select(
+        "host", F.when(num % 5 == 4, index).otherwise(urlset)
+        .alias("body"))
+    entries = SM.parse_sitemap_entries(tbl)
+    children = SM.parse_sitemap_index(tbl)
+    u = (entries.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum((F.col("changefreq") == "daily").cast("long"))
+        .alias("n_daily"),
+        F.max("priority").alias("max_priority"),
+        F.max("lastmod").alias("latest_lastmod"),
+        # entity unescape proof: every loc decoded '&amp;' -> '&'
+        F.sum(F.col("loc").contains("?a=1&b=2").cast("long"))
+        .alias("n_unescaped"))
+        .withColumn("kind", F.lit("urlset")))
+    ix = (children.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.lit(None).cast("long").alias("n_daily"),
+        F.lit(None).cast("double").alias("max_priority"),
+        F.max("lastmod").alias("latest_lastmod"),
+        F.lit(None).cast("long").alias("n_unescaped"))
+        .withColumn("kind", F.lit("index")))
+    return u.unionByName(ix)
+
+
+_SITEMAP_NUM_SQL = (
+    "CAST(substr(host, 5, 2) AS INT)"
+)
+SQL_SITEMAP_ENTRIES = (
+    f"WITH hosts AS (SELECT DISTINCT {HOST_SQL} AS host "
+    "FROM documents), "
+    f"h AS (SELECT host, {_SITEMAP_NUM_SQL} AS num FROM hosts), "
+    "u AS (SELECT host, num % 4 + 2 AS n, num FROM h "
+    "WHERE num % 5 <> 4) "
+    "SELECT host, CAST(n AS BIGINT) AS n_items, "
+    "CAST(ceil(n / 2.0) AS BIGINT) AS n_daily, "
+    "CAST('0.' || CAST(4 + n AS VARCHAR) AS DOUBLE) AS max_priority, "
+    "CAST('2024-01-' || lpad(CAST(num % 27 + 1 AS VARCHAR), 2, '0') "
+    "AS DATE) AS latest_lastmod, "
+    "CAST(n AS BIGINT) AS n_unescaped, 'urlset' AS kind FROM u "
+    "UNION ALL "
+    "SELECT host, CAST(2 AS BIGINT), NULL, NULL, DATE '2024-02-02', "
+    "NULL, 'index' FROM h WHERE num % 5 = 4"
+)
+
+
 def q_robots_txt_filter(spark, sf_dir):
     """robots.txt PROTOCOL compliance (RFC 9309, complementing the
     meta-robots tag): per-host robots bodies are planted to exercise

@@ -178,6 +178,7 @@ def _rowset(cols, rows):
     (Q.q_perplexity_buckets, Q.SQL_PERPLEXITY_BUCKETS),
     (Q.q_dsir_select, Q.SQL_DSIR_SELECT),
     (Q.q_wat_roundtrip, Q.SQL_WAT_ROUNDTRIP),
+    (Q.q_sitemap_entries, Q.SQL_SITEMAP_ENTRIES),
 ])
 def test_staged_query_vs_oracle(spark, qfn, sql):
     df = qfn(spark, SF_DIR)
