@@ -87,3 +87,70 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     dangling.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def hits(edges: DataFrame, iterations: int = 5,
+         src: str = "src", dst: str = "dst",
+         weight: str | None = None,
+         work_dir: str | None = None) -> DataFrame:
+    """(node, hub, authority) after ``iterations`` HITS rounds
+    (Kleinberg 1999): authority[d] = Σ w·hub[s] over in-edges, then
+    hub[s] = Σ w·authority[d] over out-edges, each half-step
+    L2-normalized. The complement of :func:`pagerank` for crawl
+    seeding — hubs are the directory/list pages whose OUTLINKS are
+    worth frontier priority, authorities the pages worth keeping.
+
+    Same scale contract as :func:`pagerank`: per half-step one
+    node-keyed equi-join + one map-side-combined sum (shuffle O(|E|)),
+    the L2 norm is a driver-side scalar aggregate, and state
+    checkpoints to parquet each round to cap plan growth."""
+    import tempfile
+
+    spark = edges.sparkSession
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="dte_hits_")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      w.alias("w"))).persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .distinct()).persist()
+    if nodes.count() == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame(
+            [], "node string, hub double, authority double")
+    scores = nodes.select("node", F.lit(1.0).alias("hub"),
+                          F.lit(1.0).alias("authority"))
+
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        norm = (raw.agg(F.sqrt(F.sum(F.col(col) * F.col(col))))
+                .collect()[0][0]) or 1.0
+        return raw.withColumn(col, F.col(col) / F.lit(norm))
+
+    for r in range(iterations):
+        araw = (e.join(scores.select(F.col("node").alias("src"),
+                                     "hub"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("w") * F.col("hub"))
+                     .alias("authority")))
+        araw = nodes.join(araw, "node", "left").select(
+            "node", F.coalesce("authority", F.lit(0.0))
+            .alias("authority"))
+        auth = _normalized(araw, "authority")
+        hraw = (e.join(auth.select(F.col("node").alias("dst"),
+                                   "authority"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum(F.col("w") * F.col("authority"))
+                     .alias("hub")))
+        hraw = nodes.join(hraw, "node", "left").select(
+            "node", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+        hub = _normalized(hraw, "hub")
+        stepped = (nodes.join(hub, "node").join(auth, "node")
+                   .select("node", "hub", "authority"))
+        path = f"{work_dir}/hits_{r % 2}"
+        stepped.write.mode("overwrite").parquet(path)
+        scores = spark.read.parquet(path)
+    e.unpersist()
+    nodes.unpersist()
+    return scores

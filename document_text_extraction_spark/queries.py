@@ -2495,6 +2495,77 @@ def _pagerank_sql() -> str:
 
 SQL_HOST_PAGERANK = _pagerank_sql()
 
+_HITS_ITERS = 5
+
+
+def q_host_hits(spark, sf_dir):
+    """HITS hubs/authorities over the same deterministic host graph as
+    ``host_pagerank`` (src = doc's host, dst = host of doc_id*31+7),
+    5 mutual-update rounds with L2 normalization per half-step
+    (operators/graphrank.hits) — the crawl-seeding complement of
+    PageRank: hubs rank pages whose OUTLINKS deserve frontier
+    priority. Scores floor-scale to 6 decimals (module convention:
+    cross-engine float-sum noise cannot flip a round-half rule)."""
+    from .operators.graphrank import hits
+    d = _docs(spark, sf_dir)
+    edges = (
+        d.select(
+            _host_col_of(F.col("doc_id")).alias("src"),
+            _host_col_of(F.col("doc_id") * 31 + 7).alias("dst"))
+        .groupBy("src", "dst").agg(F.count("*").alias("w"))
+    )
+    hs = hits(edges, iterations=_HITS_ITERS, weight="w")
+    return hs.select(
+        "node",
+        (F.floor(F.col("hub") * 1e6) / 1e6).alias("hub"),
+        (F.floor(F.col("authority") * 1e6) / 1e6).alias("authority"))
+
+
+def _hits_sql() -> str:
+    hs_src = _host_sql_of("doc_id")
+    hs_dst = _host_sql_of("doc_id * 31 + 7")
+    # MATERIALIZED for the same reason as _pagerank_sql: each round
+    # references the previous twice — plain CTE inlining would blow up
+    # exponentially
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT {hs_src} AS src, "
+        f"{hs_dst} AS dst, "
+        "CAST(count(*) AS DOUBLE) AS w FROM documents GROUP BY 1, 2), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)), "
+        "s0 AS MATERIALIZED "
+        "(SELECT node, 1.0 AS hub, 1.0 AS authority FROM nodes)"
+    ]
+    for k in range(_HITS_ITERS):
+        parts.append(
+            f", ar{k} AS MATERIALIZED (SELECT nodes.node, "
+            "coalesce(c.a, 0) AS a FROM nodes LEFT JOIN "
+            f"(SELECT e0.dst AS node, sum(e0.w * s.hub) AS a "
+            f"FROM e0 JOIN s{k} s ON e0.src = s.node GROUP BY 1) c "
+            "ON nodes.node = c.node)"
+            f", an{k} AS MATERIALIZED "
+            f"(SELECT sqrt(sum(a * a)) AS nv FROM ar{k})"
+            f", au{k} AS MATERIALIZED (SELECT node, "
+            f"a / (SELECT nv FROM an{k}) AS authority FROM ar{k})"
+            f", hr{k} AS MATERIALIZED (SELECT nodes.node, "
+            "coalesce(c.h, 0) AS h FROM nodes LEFT JOIN "
+            f"(SELECT e0.src AS node, sum(e0.w * au.authority) AS h "
+            f"FROM e0 JOIN au{k} au ON e0.dst = au.node GROUP BY 1) c "
+            "ON nodes.node = c.node)"
+            f", hn{k} AS MATERIALIZED "
+            f"(SELECT sqrt(sum(h * h)) AS nv FROM hr{k})"
+            f", s{k + 1} AS MATERIALIZED (SELECT hr.node, "
+            f"hr.h / (SELECT nv FROM hn{k}) AS hub, au.authority "
+            f"FROM hr{k} hr JOIN au{k} au ON hr.node = au.node)"
+        )
+    parts.append(
+        " SELECT node, floor(hub * 1e6) / 1e6 AS hub, "
+        f"floor(authority * 1e6) / 1e6 AS authority FROM s{_HITS_ITERS}")
+    return "".join(parts)
+
+
+SQL_HOST_HITS = _hits_sql()
+
 
 def q_robots_noindex(spark, sf_dir):
     """Crawl-directive hygiene: documents whose <meta name=robots>
