@@ -105,3 +105,62 @@ CANONICAL_URL_SQL = (
     "regexp_extract(u, '^[^:/?#]+://[^/?#]*([^#]*)', 1), '?')[-1], "
     "'&')), 'string_agg', '&') ELSE '' END"
 )
+
+
+# two-level public suffixes this pipeline recognizes — a documented
+# SUBSET of the Mozilla Public Suffix List covering the highest-volume
+# country registries (the PSL itself is public; swap in the full list
+# by extending this tuple — both the Spark expression and the DuckDB
+# mirror are generated from it, so they cannot drift)
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "co.in", "co.za",
+    "com.sg", "com.hk", "co.kr", "or.kr", "com.tw",
+)
+
+_IPV4_RE = r"^\d+\.\d+\.\d+\.\d+$"
+
+
+def registrable_domain_col(host: Column) -> Column:
+    """The registrable (pay-level) domain of a hostname — the
+    granularity domain quotas, blocklists, and per-site dedup SHOULD
+    key on (``news.bbc.co.uk`` and ``www.bbc.co.uk`` are one
+    publisher, ``bbc.co.uk``): last two labels, or last three when the
+    final two form a recognized two-level public suffix
+    (:data:`TWO_LEVEL_SUFFIXES`). IPv4 literals and single-label
+    hosts pass through unchanged. Pure JVM expression (split +
+    element_at + one IN over a literal set) — usable under a groupBy
+    at corpus width."""
+    h = F.lower(F.trim(F.regexp_replace(host, r"\.$", "")))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
+    return (
+        F.when(h.rlike(_IPV4_RE), h)
+        .when(n < 2, h)
+        .when((n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+# the DuckDB mirror over a column named ``host`` (kept adjacent and
+# generated from the same tuple so the two cannot drift); ``_H``/_L``
+# expand the normalized host / its label list textually — DuckDB
+# evaluates the repeated subexpression once via CSE
+_H = "regexp_replace(lower(trim(host)), '\.$', '')"
+_L = f"string_split({_H}, '.')"
+REGISTRABLE_DOMAIN_SQL = (
+    f"CASE WHEN regexp_matches({_H}, '^\\d+\\.\\d+\\.\\d+\\.\\d+$') THEN {_H} "
+    f"WHEN len({_L}) < 2 THEN {_H} "
+    f"WHEN len({_L}) >= 3 AND ({_L}[-2] || '.' || {_L}[-1]) IN ("
+    + ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES) + ") "
+    f"THEN {_L}[-3] || '.' || {_L}[-2] || '.' || {_L}[-1] "
+    f"ELSE {_L}[-2] || '.' || {_L}[-1] END"
+)

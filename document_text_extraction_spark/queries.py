@@ -2566,6 +2566,53 @@ def _hits_sql() -> str:
 
 SQL_HOST_HITS = _hits_sql()
 
+# exotic hosts planted alongside the corpus hosts to exercise every
+# registrable-domain branch: two-level public suffix (+case, trailing
+# dot), deep subdomain, IPv4 literal, single label, suffix-domain
+# sibling subdomains that must COLLAPSE to one registrable domain
+_PLD_PROBES = (
+    "www.BBC.co.uk.", "news.bbc.co.uk", "a.b.example.com",
+    "1.2.3.4.", "localhost", "x.com.au", "static.x.com.au",
+    "images.x.com.au",
+)
+
+
+def q_registrable_domains(spark, sf_dir):
+    """Registrable-domain (pay-level-domain) grouping
+    (fn/urls.registrable_domain_col): the granularity quotas,
+    blocklists, and per-site dedup should key on — subdomains of one
+    publisher collapse (news.bbc.co.uk + www.bbc.co.uk → bbc.co.uk)
+    while a two-level public suffix is never itself a domain. Corpus
+    hosts plus planted exotic probes, grouped by domain with row and
+    distinct-host counts; the oracle uses the SQL mirror generated
+    from the same suffix tuple."""
+    from .functions import urls as U
+    hosts = _docs(spark, sf_dir).select(
+        _host_col_of(F.col("doc_id")).alias("host"))
+    extra = spark.createDataFrame([(h,) for h in _PLD_PROBES],
+                                  "host string")
+    allh = hosts.unionAll(extra)
+    return (allh.groupBy(
+        U.registrable_domain_col(F.col("host")).alias("domain"))
+        .agg(F.count("*").cast("long").alias("n_rows"),
+             F.countDistinct("host").alias("n_hosts")))
+
+
+def _pld_sql() -> str:
+    from .functions.urls import REGISTRABLE_DOMAIN_SQL
+    probes = ", ".join(f"('{h}')" for h in _PLD_PROBES)
+    return (
+        f"WITH hosts AS (SELECT {HOST_SQL} AS host FROM documents "
+        f"UNION ALL SELECT host FROM (VALUES {probes}) t(host)) "
+        f"SELECT {REGISTRABLE_DOMAIN_SQL} AS domain, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts "
+        "FROM hosts GROUP BY 1"
+    )
+
+
+SQL_REGISTRABLE_DOMAINS = _pld_sql()
+
 
 def q_robots_noindex(spark, sf_dir):
     """Crawl-directive hygiene: documents whose <meta name=robots>

@@ -180,6 +180,7 @@ def _rowset(cols, rows):
     (Q.q_wat_roundtrip, Q.SQL_WAT_ROUNDTRIP),
     (Q.q_sitemap_entries, Q.SQL_SITEMAP_ENTRIES),
     (Q.q_host_hits, Q.SQL_HOST_HITS),
+    (Q.q_registrable_domains, Q.SQL_REGISTRABLE_DOMAINS),
 ])
 def test_staged_query_vs_oracle(spark, qfn, sql):
     df = qfn(spark, SF_DIR)

@@ -137,3 +137,28 @@ def test_cv_field_regexes(spark):
                                   "Master of Engineering"]
     assert rows[0]["exp"] == 12
     assert rows[1]["gpa"] == "" and rows[1]["exp"] == -1
+
+
+def test_registrable_domain_branches(spark):
+    """Every branch of the PLD rule: two-level suffix (case + trailing
+    dot), plain domain, deep subdomain, IPv4, single label, suffix
+    sibling collapse."""
+    from document_text_extraction_spark.functions.urls import (
+        registrable_domain_col,
+    )
+    cases = {
+        "www.BBC.co.uk.": "bbc.co.uk",
+        "news.bbc.co.uk": "bbc.co.uk",
+        "a.b.example.com": "example.com",
+        "example.com": "example.com",
+        "1.2.3.4.": "1.2.3.4",
+        "localhost": "localhost",
+        "x.com.au": "x.com.au",
+        "static.x.com.au": "x.com.au",
+        "site00.example.org": "example.org",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {r.host: r.pld for r in df.select(
+        "host", registrable_domain_col(F.col("host")).alias("pld")
+    ).collect()}
+    assert got == cases
