@@ -154,7 +154,7 @@ def registrable_domain_col(host: Column) -> Column:
 # generated from the same tuple so the two cannot drift); ``_H``/_L``
 # expand the normalized host / its label list textually — DuckDB
 # evaluates the repeated subexpression once via CSE
-_H = "regexp_replace(lower(trim(host)), '\.$', '')"
+_H = r"regexp_replace(lower(trim(host)), '\.$', '')"
 _L = f"string_split({_H}, '.')"
 REGISTRABLE_DOMAIN_SQL = (
     f"CASE WHEN regexp_matches({_H}, '^\\d+\\.\\d+\\.\\d+\\.\\d+$') THEN {_H} "

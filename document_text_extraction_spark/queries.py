@@ -3612,6 +3612,16 @@ SQL_DSIR_SELECT = (
 # green r1 and/or r2 + pytest) fill the tail. Append new queries to the
 # FRONT group, not mid-dict.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- newest in round 4: crawl-interop + curation-sampling family ----
+    "wat_roundtrip": q_wat_roundtrip,
+    "sitemap_entries": q_sitemap_entries,
+    "host_hits": q_host_hits,
+    "registrable_domains": q_registrable_domains,
+    "capture_diff": q_capture_diff,
+    "frontier_plan": q_frontier_plan,
+    "domain_quota": q_domain_quota,
+    "perplexity_buckets": q_perplexity_buckets,
+    "dsir_select": q_dsir_select,
     # -- new or changed in round 4 (multimodal driver rows; robots,
     # asof, range_join also changed and already sit in the window) ----
     "anchor_text_index": q_anchor_text_index,
@@ -3665,6 +3675,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_dedup_count": q_cluster_dedup_count,
     "canonical_text": q_canonical_text,
     "status_cube": q_status_cube,
+    # -- directly-edited this round: must precede the transitively-
+    # dirty roundtrips so they stay inside the first-50 window ---------
+    "dedup_exact": q_dedup_exact,
+    "curate_corpus": q_curate_corpus,
     # -- flagship extraction family (green r2; re-verified each round) -
     "streaming_extract_roundtrip": q_streaming_extract_roundtrip,
     "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3677,8 +3691,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
     "extract_route_counts": q_extract_route_counts,
     # -- core curation/dedup (green r2) --------------------------------
-    "dedup_exact": q_dedup_exact,
-    "curate_corpus": q_curate_corpus,
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
     "quality_scores": q_quality_scores,
@@ -3742,6 +3754,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "wat_roundtrip": SQL_WAT_ROUNDTRIP,
+    "sitemap_entries": SQL_SITEMAP_ENTRIES,
+    "host_hits": SQL_HOST_HITS,
+    "registrable_domains": SQL_REGISTRABLE_DOMAINS,
+    "capture_diff": SQL_CAPTURE_DIFF,
+    "frontier_plan": SQL_FRONTIER_PLAN,
+    "domain_quota": SQL_DOMAIN_QUOTA,
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "dsir_select": SQL_DSIR_SELECT,
     "wet_roundtrip": SQL_WET_ROUNDTRIP,
     "media_features": SQL_MEDIA_FEATURES,
     "media_sample_plan": SQL_MEDIA_SAMPLE_PLAN,
