@@ -68,14 +68,23 @@ def ranked_in_key(df: DataFrame, key_cols: list[str], sort_col: str,
                   F.min(sort_col).alias("__smin"),
                   F.max(sort_col).alias("__smax"))
              .filter((F.col("__n") > skew_threshold)
-                     & (F.col("__smax") > F.col("__smin")))
+                     # strictly-wider-than-one-ULP in DOUBLE too: the
+                     # band math below runs in double, so a range that
+                     # collapses under double rounding stays cold
+                     & (F.col("__smax").cast("double")
+                        > F.col("__smin").cast("double")))
              .select(*key_cols, "__smin", "__smax"))
     tagged = df.join(F.broadcast(stats), key_cols, "left")
     is_hot = F.col("__smin").isNotNull()
+    # band math in DOUBLE: 64-bit sort keys (e.g. the 60-bit KMV
+    # hashes) overflow a long under `* n_bands`, and banding only
+    # needs a MONOTONE bucketing — floor of the affine map stays
+    # monotone under double rounding, and ranks are band-invariant
+    s_d = F.col(sort_col).cast("double")
+    lo_d, hi_d = F.col("__smin").cast("double"), F.col("__smax").cast("double")
     band: Column = F.least(
         F.lit(n_bands - 1),
-        F.floor(((F.col(sort_col) - F.col("__smin")) * n_bands)
-                / (F.col("__smax") - F.col("__smin"))),
+        F.floor((s_d - lo_d) * float(n_bands) / (hi_d - lo_d)),
     ).cast("int")
 
     cold = (tagged.filter(~is_hot).drop("__smin", "__smax")

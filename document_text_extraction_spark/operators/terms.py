@@ -61,3 +61,49 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
             ).alias("score"),
         )
     )
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """BM25 ranked retrieval for a LITERAL query term set — the
+    classic probabilistic ranking (Robertson & Walker 1994; the Lucene
+    ``1 + ln`` idf form, always positive).
+
+    Scale shape: the posting list is ``term IN (query)`` — a pushed-down
+    filter on the exploded terms, never a join against the corpus; the
+    per-term document frequencies are a query-sized aggregate joined
+    back with an explicit broadcast; document lengths join the
+    postings on the doc key (postings << corpus after the filter).
+    Corpus-level constants (N, avgdl) are two bounded driver scalars —
+    the "index statistics" a real engine stores in its segment header.
+    Top-k is TakeOrderedAndProject, no global sort.
+
+    Ordering is on the 1e-4-FLOORED score (then id) in both this plan
+    and the DuckDB oracle, so libm-vs-DuckDB ``ln`` ULP differences
+    cannot reorder the cutoff."""
+    n_docs = docs.count()
+    avgdl = docs.select(
+        F.avg(F.size(F.split(F.col(text_col), " ")))).first()[0]
+    tf = term_frequencies(docs, id_col, text_col)
+    post = tf.filter(F.col("term").isin([str(t) for t in query_terms]))
+    dft = post.groupBy("term").agg(
+        F.countDistinct(id_col).cast("long").alias("df"))
+    dl = docs.select(F.col(id_col),
+                     F.size(F.split(F.col(text_col), " "))
+                     .cast("double").alias("dl"))
+    idf = F.log(F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    scored = (post.join(F.broadcast(dft), "term")
+              .join(dl, id_col)
+              .groupBy(id_col)
+              .agg(F.sum(idf * tf_part).alias("__s"),
+                   F.count("*").cast("long").alias("n_terms_hit")))
+    floored = (F.floor(F.col("__s") * 1e4) / 1e4).alias("bm25")
+    return (scored.select(id_col, floored, "n_terms_hit")
+            .orderBy(F.col("bm25").desc(), F.col(id_col))
+            .limit(k))

@@ -3601,6 +3601,219 @@ SQL_DSIR_SELECT = (
 )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): cluster embeddings (deterministic
+    fixed codebook, vec_id<16 as centroids — the same quantizer as
+    ann_ivf_topk), then drop every vector within 0.95 cosine of a
+    lower-id vector IN ITS CLUSTER. Planted dups (every 13th vector
+    re-scaled by 1.001, id+100000) must all be dropped: same direction
+    ⇒ cosine 1.0, and the original id is lower. Oracle replicates the
+    assignment argmin, the within-cluster triangle join, and the
+    id-greedy drop policy exactly."""
+    from .operators import semdedup as sd
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    extra = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias(
+            "embedding"),
+    )
+    allv = emb.unionAll(extra)
+    cb = sd.fixed_codebook(allv, n_clusters=16)
+    return sd.semdedup(allv, cb, threshold=0.95)
+
+
+SQL_SEMDEDUP = (
+    "WITH all_vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings UNION ALL SELECT vec_id + 100000 AS vec_id, "
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) AS e "
+    "FROM embeddings WHERE vec_id % 13 = 0), "
+    "c AS (SELECT vec_id AS cluster_id, e AS ce, "
+    "list_dot_product(e, e) AS cn2 FROM all_vecs WHERE vec_id < 16), "
+    "a AS (SELECT v.vec_id, c.cluster_id, row_number() OVER "
+    "(PARTITION BY v.vec_id ORDER BY c.cn2 - 2 * "
+    "list_dot_product(v.e, c.ce), c.cluster_id) AS rn "
+    "FROM all_vecs v CROSS JOIN c), "
+    "ass AS (SELECT v.vec_id, a.cluster_id, v.e, "
+    "sqrt(list_dot_product(v.e, v.e)) AS nrm FROM all_vecs v "
+    "JOIN a ON a.vec_id = v.vec_id AND a.rn = 1), "
+    "dropped AS (SELECT DISTINCT y.vec_id FROM ass x JOIN ass y "
+    "ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id "
+    "WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= 0.95) "
+    "SELECT s.vec_id, CAST(s.cluster_id AS INT) AS cluster_id "
+    "FROM ass s WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)"
+)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Mergeable KMV distinct-count sketch: per-(source, lang) sketches
+    of the distinct 10-word lines (k=64 minima of the engine's 60-bit
+    md5 hash), MERGED down to per-source — never re-touching raw data —
+    and compared against the exact distinct count. The merge is the
+    point: per-slice sketch rows pre-aggregate like sums, which exact
+    count-distinct cannot. Oracle replicates hash, minima, merge, and
+    the (k-1)/h_k estimator bit-for-bit."""
+    from .operators import sketches as sk
+    d = _docs(spark, sf_dir).select(
+        "source", "lang",
+        F.explode(chunk_lines_col()).alias("line"))
+    sketches = sk.kmv_sketch(d, ["source", "lang"], "line", k=64)
+    merged = sk.kmv_merge(sketches, ["source"], k=64)
+    exact = d.groupBy("source").agg(
+        F.countDistinct("line").cast("long").alias("n_distinct_exact"))
+    return (merged.join(exact, "source")
+            .select("source", "n_distinct_est", "n_distinct_exact"))
+
+
+SQL_KMV_DISTINCT = (
+    f"WITH d AS (SELECT source, lang, unnest(string_split({CHUNK_SQL}, "
+    "chr(10))) AS line FROM documents), "
+    "h AS (SELECT DISTINCT source, lang, "
+    "CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS hv FROM d), "
+    "r AS (SELECT source, lang, hv, row_number() OVER "
+    "(PARTITION BY source, lang ORDER BY hv) AS rn FROM h), "
+    "m AS (SELECT DISTINCT source, hv FROM r WHERE rn <= 64), "
+    "r2 AS (SELECT source, hv, row_number() OVER "
+    "(PARTITION BY source ORDER BY hv) AS rn FROM m), "
+    "agg AS (SELECT source, count(*) AS n, "
+    "max(CASE WHEN rn = 64 THEN hv END) AS h64 "
+    "FROM r2 WHERE rn <= 64 GROUP BY source), "
+    "ex AS (SELECT source, count(DISTINCT line) AS nx FROM d "
+    "GROUP BY source) "
+    "SELECT agg.source, CAST(CASE WHEN n < 64 THEN n ELSE "
+    "CAST(round(63 * pow(2.0, 60) / h64) AS BIGINT) END AS BIGINT) "
+    "AS n_distinct_est, CAST(nx AS BIGINT) AS n_distinct_exact "
+    "FROM agg JOIN ex USING (source)"
+)
+
+
+BM25_QUERY_TERMS = ["spark", "hash", "window"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-20 for the literal query [spark, hash, window] over the
+    documents table (k1=1.2, b=0.75, Lucene 1+ln idf). Postings come
+    from a pushed-down ``term IN (query)`` filter — the corpus is never
+    joined; ordering is on the 1e-4-floored score in both engines so
+    libm-vs-DuckDB ``ln`` ULPs cannot reorder the cutoff."""
+    from .operators.terms import bm25_topk
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=20)
+
+
+SQL_BM25_TOPK = (
+    "WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf "
+    "WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2), "
+    "dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc "
+    "GROUP BY 1), "
+    "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) "
+    "AS dl FROM documents), "
+    "st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) "
+    "AS n, (SELECT avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) "
+    "FROM documents) AS avgdl), "
+    "s AS (SELECT tfc.doc_id, sum(ln(1 + (st.n - dft.df + 0.5) / "
+    "(dft.df + 0.5)) * (tfc.tf * 2.2) / (tfc.tf + 1.2 * "
+    "(1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS sc, "
+    "count(*) AS nh FROM tfc JOIN dft USING (term) "
+    "JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1) "
+    "SELECT doc_id, floor(sc * 1e4) / 1e4 AS bm25, "
+    "CAST(nh AS BIGINT) AS n_terms_hit "
+    "FROM s ORDER BY bm25 DESC, doc_id LIMIT 20"
+)
+
+
+_BANNER_PREFIX = "cookie notice this site"
+_BANNER_SUFFIX = "uses tracking pixels consent required"
+
+
+def _templated_docs(spark, sf_dir):
+    """documents with a host-specific 10-word cookie-banner line
+    prepended to 2/3 of each host's pages (doc_id % 3 != 2) — the
+    planted site template. Exactly 10 words, so the golden 10-word
+    chunking yields the banner as its own line and leaves every
+    following line identical to the unplanted text's."""
+    d = _docs(spark, sf_dir)
+    host = _host_col_of(F.col("doc_id"))
+    banner = F.concat_ws(" ", F.lit(_BANNER_PREFIX), host,
+                         F.lit(_BANNER_SUFFIX))
+    return d.select(
+        host.alias("host"), "doc_id",
+        F.when(F.col("doc_id") % 3 != 2,
+               F.concat_ws(" ", banner, F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+
+
+_TPL_D0_SQL = (
+    f"SELECT doc_id, {HOST_SQL} AS host, "
+    f"CASE WHEN doc_id % 3 <> 2 THEN '{_BANNER_PREFIX} ' || {HOST_SQL} "
+    f"|| ' {_BANNER_SUFFIX} ' || text ELSE text END AS t FROM documents"
+)
+_TPL_LINES_SQL = (
+    "SELECT host, doc_id, unnest(l) AS line, "
+    "unnest(generate_series(1, len(l))) AS pos FROM "
+    "(SELECT host, doc_id, string_split("
+    + CHUNK_SQL.replace("(text,", "(t,") + ", chr(10)) AS l FROM d0)"
+)
+
+
+def q_template_lines(spark, sf_dir):
+    """Host-template (boilerplate) line detection: lines present in
+    >= 50% of a host's documents (hosts with >= 3 docs). The planted
+    banner covers 2/3 of each host's pages, so it — and in this random
+    corpus essentially only it — crosses the threshold per host."""
+    from .operators import boilerplate as bp
+    td = _templated_docs(spark, sf_dir)
+    lines = bp.doc_lines(td, chunk_lines_col(), host_col="host")
+    return bp.host_template_lines(lines, min_frac=0.5, min_docs=3)
+
+
+SQL_TEMPLATE_LINES = (
+    f"WITH d0 AS ({_TPL_D0_SQL}), "
+    f"lines AS ({_TPL_LINES_SQL}), "
+    "pl AS (SELECT host, line, count(DISTINCT doc_id) AS n_docs "
+    "FROM lines GROUP BY 1, 2), "
+    "ph AS (SELECT host, count(DISTINCT doc_id) AS host_docs "
+    "FROM lines GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3) "
+    "SELECT pl.host, pl.line, CAST(pl.n_docs AS BIGINT) AS n_docs, "
+    "CAST(ph.host_docs AS BIGINT) AS host_docs "
+    "FROM pl JOIN ph USING (host) "
+    "WHERE pl.n_docs * 1.0 >= 0.5 * ph.host_docs"
+)
+
+
+def q_template_scrub(spark, sf_dir):
+    """Documents reassembled with their host's template lines stripped
+    (detector feeding scrubber end-to-end): planted banner pages lose
+    exactly the banner line; every other line — and every page of a
+    sub-threshold host — survives byte-identical."""
+    from .operators import boilerplate as bp
+    td = _templated_docs(spark, sf_dir)
+    lines = bp.doc_lines(td, chunk_lines_col(), host_col="host")
+    tpl = bp.host_template_lines(lines, min_frac=0.5, min_docs=3)
+    return bp.scrub_template_lines(lines, tpl)
+
+
+SQL_TEMPLATE_SCRUB = (
+    f"WITH d0 AS ({_TPL_D0_SQL}), "
+    f"lines AS ({_TPL_LINES_SQL}), "
+    "pl AS (SELECT host, line, count(DISTINCT doc_id) AS n_docs "
+    "FROM lines GROUP BY 1, 2), "
+    "ph AS (SELECT host, count(DISTINCT doc_id) AS host_docs "
+    "FROM lines GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3), "
+    "tpl AS (SELECT pl.host, pl.line FROM pl JOIN ph USING (host) "
+    "WHERE pl.n_docs * 1.0 >= 0.5 * ph.host_docs), "
+    "j AS (SELECT lines.host, lines.doc_id, lines.pos, lines.line, "
+    "tpl.line IS NOT NULL AS is_tpl FROM lines "
+    "LEFT JOIN tpl ON lines.host = tpl.host AND lines.line = tpl.line) "
+    "SELECT host, doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(CASE WHEN is_tpl THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_template_lines, "
+    "coalesce(string_agg(CASE WHEN NOT is_tpl THEN line END, chr(10) "
+    "ORDER BY pos), '') AS cleaned_text "
+    "FROM j GROUP BY host, doc_id"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3612,7 +3825,18 @@ SQL_DSIR_SELECT = (
 # green r1 and/or r2 + pytest) fill the tail. Append new queries to the
 # FRONT group, not mid-dict.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- newest in round 4: crawl-interop + curation-sampling family ----
+    # -- newest in round 4: semantic dedup, sketches, retrieval,
+    # host-template scrubbing ------------------------------------------
+    "semdedup": q_semdedup,
+    "kmv_distinct": q_kmv_distinct,
+    "bm25_topk": q_bm25_topk,
+    "template_lines": q_template_lines,
+    "template_scrub": q_template_scrub,
+    # -- directly-edited this round: must precede the transitively-
+    # dirty roundtrips so they stay inside the first-50 window ---------
+    "dedup_exact": q_dedup_exact,
+    "curate_corpus": q_curate_corpus,
+    # -- round 4: crawl-interop + curation-sampling family -------------
     "wat_roundtrip": q_wat_roundtrip,
     "sitemap_entries": q_sitemap_entries,
     "host_hits": q_host_hits,
@@ -3675,10 +3899,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_dedup_count": q_cluster_dedup_count,
     "canonical_text": q_canonical_text,
     "status_cube": q_status_cube,
-    # -- directly-edited this round: must precede the transitively-
-    # dirty roundtrips so they stay inside the first-50 window ---------
-    "dedup_exact": q_dedup_exact,
-    "curate_corpus": q_curate_corpus,
     # -- flagship extraction family (green r2; re-verified each round) -
     "streaming_extract_roundtrip": q_streaming_extract_roundtrip,
     "extract_html_roundtrip": q_extract_html_roundtrip,
@@ -3754,6 +3974,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "semdedup": SQL_SEMDEDUP,
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "bm25_topk": SQL_BM25_TOPK,
+    "template_lines": SQL_TEMPLATE_LINES,
+    "template_scrub": SQL_TEMPLATE_SCRUB,
     "wat_roundtrip": SQL_WAT_ROUNDTRIP,
     "sitemap_entries": SQL_SITEMAP_ENTRIES,
     "host_hits": SQL_HOST_HITS,

@@ -327,3 +327,81 @@ def test_winnow_matches_python_reference(spark, texts):
     got = {r["doc_id"]: list(r["fps"]) for r in
            winnow_fingerprints_df(df, token_hash=md5_token_hash).collect()}
     assert got == {i: py_winnow(t) for i, t in enumerate(texts)}
+
+
+# ---------------------------------------------------------------------------
+# SemDedup (operators/semdedup.py)
+# ---------------------------------------------------------------------------
+
+def test_semdedup_drops_planted_scaled_dups(spark):
+    """Re-scaled copies (same direction, cosine 1.0) of every 13th
+    vector must all be dropped; every original survives."""
+    from document_text_extraction_spark.operators import semdedup as sd
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    extra = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001))
+        .alias("embedding"))
+    allv = emb.unionAll(extra)
+    cb = sd.fixed_codebook(allv, n_clusters=16)
+    kept = {r.vec_id for r in sd.semdedup(allv, cb, threshold=0.95)
+            .collect()}
+    n = emb.count()
+    assert kept == set(range(n))  # originals kept, all plants dropped
+
+
+def test_semdedup_matches_bruteforce_policy(spark):
+    """Id-greedy keep policy vs a pure-python reference on a tiny set:
+    drop x iff some lower-id y in the SAME cluster has cos >= tau."""
+    import math
+
+    from document_text_extraction_spark.operators import semdedup as sd
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding").filter(F.col("vec_id") < 60).collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    # plant guaranteed collisions: scaled copies of ids 0..4 (cosine
+    # 1.0 with their originals, higher ids -> must be the dropped side)
+    for j in range(5):
+        vecs[200 + j] = [1.1 * x for x in vecs[j]]
+    cb = [vecs[i] for i in range(8)]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cluster(v):
+        return min(range(8),
+                   key=lambda i: (dot(cb[i], cb[i]) - 2 * dot(v, cb[i]), i))
+
+    tau = 0.6  # low threshold so random vectors do collide
+    by_cl = {}
+    expect_drop = set()
+    for vid in sorted(vecs):
+        c = cluster(vecs[vid])
+        for prev in by_cl.get(c, []):
+            a, b = vecs[prev], vecs[vid]
+            cos = dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+            if cos >= tau:
+                expect_drop.add(vid)
+                break
+        by_cl.setdefault(c, []).append(vid)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>")
+    kept = {r.vec_id for r in
+            sd.semdedup(df, [list(map(float, c)) for c in cb],
+                        threshold=tau).collect()}
+    assert kept == set(vecs) - expect_drop
+    assert expect_drop  # the threshold actually exercised drops
+
+
+def test_semdedup_plan_is_cluster_equijoin(spark):
+    """Scale shape: the pair comparison must key on cluster_id (hash
+    join), never a cartesian/nested-loop over the corpus."""
+    from document_text_extraction_spark.operators import semdedup as sd
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    cb = sd.fixed_codebook(emb, n_clusters=16)
+    plan = (sd.semdedup(emb, cb)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan

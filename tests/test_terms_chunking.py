@@ -62,3 +62,50 @@ def test_tfidf_df_join_is_broadcast(spark):
     plan = (tfidf_top_terms(docs)._jdf.queryExecution().executedPlan()
             .toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_matches_bruteforce(spark):
+    """bm25_topk vs a pure-python BM25 on a tiny corpus (Lucene 1+ln
+    idf, k1=1.2, b=0.75); ranking and floored scores must agree."""
+    import math
+    texts = ["spark hash join spark", "window sort hash",
+             "merge scan filter", "spark window window hash spark spark"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    from document_text_extraction_spark.operators.terms import bm25_topk
+    got = [(r.doc_id, r.bm25, r.n_terms_hit)
+           for r in bm25_topk(docs, ["spark", "hash", "window"],
+                              k=10).collect()]
+    n = len(texts)
+    avgdl = sum(len(t.split(" ")) for t in texts) / n
+    dfs = {}
+    for t in ["spark", "hash", "window"]:
+        dfs[t] = sum(1 for x in texts if t in x.split(" "))
+    exp = []
+    for i, x in enumerate(texts):
+        toks = x.split(" ")
+        s, hit = 0.0, 0
+        for t in ["spark", "hash", "window"]:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            hit += 1
+            idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+        if hit:
+            exp.append((i, math.floor(s * 1e4) / 1e4, hit))
+    exp.sort(key=lambda r: (-r[1], r[0]))
+    assert got == exp
+
+
+def test_bm25_postings_filter_pushed_down(spark):
+    """Scale shape: the query-term restriction must appear as a filter
+    over the exploded terms (IN-list), not a join against the corpus;
+    the df table joins back broadcast."""
+    docs = spark.createDataFrame(
+        [(0, "spark hash"), (1, "window scan")], "doc_id long, text string")
+    from document_text_extraction_spark.operators.terms import bm25_topk
+    plan = (bm25_topk(docs, ["spark", "hash", "window"], k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
