@@ -312,6 +312,10 @@ def main() -> None:
     timed("line_dedup", Q.q_line_dedup)
     timed("cdx_index", Q.q_cdx_index)
     timed("train_shuffle_shards", Q.q_train_shuffle_shards)
+    timed("semdedup", Q.q_semdedup)
+    timed("kmv_distinct", Q.q_kmv_distinct)
+    timed("bm25_topk", Q.q_bm25_topk)
+    timed("template_scrub", Q.q_template_scrub)
     timed("curate_corpus", Q.q_curate_corpus)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")

@@ -191,7 +191,14 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     base = np.frombuffer(seed, dtype=np.uint8)
     n = max(1, width) * max(1, height) * 3
     reps = -(-n // len(base))
-    return np.tile(base, reps)[:n].reshape(max(1, height), max(1, width), 3)
+    tiled = np.tile(base, reps)[:n]
+    # mix the byte position into the tiled digest: a bare 16-byte tile
+    # makes downstream perceptual features degenerate (repeated
+    # sampling offsets -> constant-gray planes and colliding aHashes);
+    # the xor keeps the array a pure deterministic function of payload
+    mixed = tiled ^ ((np.arange(n, dtype=np.int64) * 131) % 251
+                     ).astype(np.uint8)
+    return mixed.reshape(max(1, height), max(1, width), 3)
 
 
 RESIZED_SCHEMA = T.StructType([
@@ -283,4 +290,97 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                            F.lit(every_ms))
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("ahash", T.LongType()),
+    T.StructField("status", T.StringType()),
+])
+
+
+def _ahash_of(px: np.ndarray, side: int = 8) -> int:
+    """Average hash (aHash) of an (h, w, 3) uint8 image: nearest-
+    neighbor downsample to side x side, channel-mean grayscale, then
+    one bit per cell (1 = above the 64-cell mean). Bit order: row-major
+    from the MSB — bit (side*side - 1 - (y*side + x)). Pure numpy."""
+    ys = (np.arange(side) * px.shape[0]) // side
+    xs = (np.arange(side) * px.shape[1]) // side
+    gray = px[ys][:, xs].astype(np.float64).mean(axis=2)
+    bits = (gray > gray.mean()).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def ahash_images(media: DataFrame,
+                 partitions: int | None = None) -> DataFrame:
+    """Perceptual hash (aHash) per image as an Arrow-batched map — the
+    image-side fingerprint feeding near-dup detection, same role as
+    ``dedup.fingerprint_col`` for text. Decode is the deployment hook
+    (deterministic fake here, like ``resize_images``); everything
+    after the decode — downsample, grayscale, threshold, bit-pack —
+    is the real kernel a deployment keeps."""
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload, w, h in zip(
+                b["media_id"], b["payload"], b["width"], b["height"]
+            ):
+                w = int(w) if w and w > 0 else 16
+                h = int(h) if h and h > 0 else 16
+                try:
+                    px = _decode_pixels(bytes(payload or b""))
+                except NotImplementedError:
+                    px = _fake_pixels(bytes(payload or b""), w, h)
+                out.append((int(mid), _ahash_of(px), "ok"))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             AHASH_SCHEMA.fields])
+
+    imgs = media.filter(F.col("kind") == "image")
+    keyed = imgs.repartition(partitions or 64, F.xxhash64("media_id"))
+    return keyed.mapInPandas(batch, schema=AHASH_SCHEMA)
+
+
+def phash_near_duplicates(hashes: DataFrame, max_hamming: int = 3,
+                          n_bands: int = 4,
+                          id_col: str = "media_id",
+                          hash_col: str = "ahash") -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(hash) <= max_hamming —
+    the image near-dup join. Pigeonhole banding (the simhash scheme,
+    ``dedup.simhash_near_duplicates``): the 64-bit hash splits into
+    ``n_bands`` contiguous 16-bit bands; any pair within
+    ``max_hamming <= n_bands - 1`` bit flips shares at least one
+    UNCHANGED band, so a band equi-join generates every true pair and
+    the exact popcount filter removes false candidates. Never an
+    all-pairs join; at 10^12 images the band value is the cluster key."""
+    if max_hamming > n_bands - 1:
+        raise ValueError("pigeonhole guarantee needs "
+                         "max_hamming <= n_bands - 1")
+    width = 64 // n_bands
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col(hash_col), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+        ) for i in range(n_bands)
+    ])
+    b = (hashes.select(F.col(id_col), F.col(hash_col),
+                       F.explode(bands).alias("b"))
+         .select(id_col, hash_col, F.col("b.band").alias("band"),
+                 F.col("b.val").alias("val")))
+    l, r = b.alias("l"), b.alias("r")
+    ham = F.bit_count(F.col(f"l.{hash_col}")
+                      .bitwiseXOR(F.col(f"r.{hash_col}")))
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.val") == F.col("r.val"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -3814,6 +3814,46 @@ SQL_TEMPLATE_SCRUB = (
 )
 
 
+def q_media_phash(spark, sf_dir):
+    """Image near-dup via perceptual hash: aHash per image (Arrow-batch
+    kernel — decode hook + 8x8 downsample + mean threshold + bit-pack)
+    then Hamming<=3 pairs via pigeonhole 16-bit band join (the simhash
+    scheme on the image side). Payload copies of every 6th id are
+    planted at media_id+10000: identical payload => identical fake
+    decode => Hamming 0. The oracle enumerates the planted pair set
+    from the generator formulas — exact because the mixed fake decode
+    leaves zero accidental Hamming<=3 pairs among the 100 distinct
+    images (verified property, pinned in test_modules); the hash
+    arithmetic itself is pytest-checked against a numpy reference."""
+    import pandas as pd
+
+    from .multimodal import media as M
+    ids = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 300)
+
+    def gen(batches):
+        cols = [f.name for f in M.MEDIA_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for i in b["doc_id"]:
+                rows.append(M.synth_media_row(int(i)))
+                if int(i) % 6 == 0:  # planted byte-identical copy
+                    r = M.synth_media_row(int(i))
+                    rows.append((int(i) + 10000,) + r[1:])
+            yield pd.DataFrame(rows, columns=cols)
+
+    media = ids.mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    hashes = M.ahash_images(media, partitions=8)
+    return M.phash_near_duplicates(hashes, max_hamming=3, n_bands=4)
+
+
+SQL_MEDIA_PHASH = (
+    "SELECT doc_id AS id_a, doc_id + 10000 AS id_b, "
+    "CAST(0 AS INT) AS hamming "
+    "FROM documents WHERE doc_id < 300 AND doc_id % 6 = 0"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3828,6 +3868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- newest in round 4: semantic dedup, sketches, retrieval,
     # host-template scrubbing ------------------------------------------
     "semdedup": q_semdedup,
+    "media_phash": q_media_phash,
     "kmv_distinct": q_kmv_distinct,
     "bm25_topk": q_bm25_topk,
     "template_lines": q_template_lines,
@@ -3836,6 +3877,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dirty roundtrips so they stay inside the first-50 window ---------
     "dedup_exact": q_dedup_exact,
     "curate_corpus": q_curate_corpus,
+    "incremental_dedup": q_incremental_dedup,
+    "train_shuffle_shards": q_train_shuffle_shards,
+    "cdx_index": q_cdx_index,
+    "exact_substring_spans": q_exact_substring_spans,
+    "exact_substring_dedup": q_exact_substring_dedup,
     # -- round 4: crawl-interop + curation-sampling family -------------
     "wat_roundtrip": q_wat_roundtrip,
     "sitemap_entries": q_sitemap_entries,
@@ -3886,13 +3932,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_windows": q_range_join_windows,
     "link_graph": q_link_graph,
     # -- new this round: ExactSubstr dedup (Lee et al. 2022) -----------
-    "exact_substring_spans": q_exact_substring_spans,
-    "exact_substring_dedup": q_exact_substring_dedup,
     # -- new this round: CDX index + training-order shuffle ------------
-    "cdx_index": q_cdx_index,
-    "train_shuffle_shards": q_train_shuffle_shards,
     # -- unchecked in round 2 (pushed past the 50-query window) --------
-    "incremental_dedup": q_incremental_dedup,
     # dedup.py changed this round (prefix-pruned incremental dedup):
     # every query referencing it re-enters the window
     "dup_clusters": q_dup_clusters,
@@ -3975,6 +4016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "semdedup": SQL_SEMDEDUP,
+    "media_phash": SQL_MEDIA_PHASH,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "bm25_topk": SQL_BM25_TOPK,
     "template_lines": SQL_TEMPLATE_LINES,

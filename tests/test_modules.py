@@ -592,3 +592,106 @@ def test_asof_and_range_join_match_python_reference(spark, rows):
                   for rid, rk, rt in right
                   if rk == k and rt <= t < rt + 137.0}
     assert pairs == want_pairs
+
+
+# ---------------------------------------------------------------------------
+# image perceptual hash (multimodal/media.ahash_images + near-dup join)
+# ---------------------------------------------------------------------------
+
+def _ref_ahash(px):
+    """Independent aHash reference: loops, no numpy vector tricks."""
+    h, w = px.shape[0], px.shape[1]
+    cells = []
+    for j in range(8):
+        for i in range(8):
+            y, x = (j * h) // 8, (i * w) // 8
+            cells.append(sum(int(c) for c in px[y][x]) / 3.0)
+    mean = sum(cells) / 64.0
+    out = 0
+    for c in cells:
+        out = (out << 1) | (1 if c > mean else 0)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_ahash_matches_reference():
+    from document_text_extraction_spark.multimodal.media import (
+        _ahash_of,
+        _fake_pixels,
+        synth_media_row,
+    )
+    for i in (0, 6, 30, 144, 297):
+        row = synth_media_row(i - i % 3)  # force image ids
+        px = _fake_pixels(row[2], row[4], row[5])
+        assert _ahash_of(px) == _ref_ahash(px)
+
+
+def test_ahash_no_accidental_near_pairs():
+    """Pins the property the media_phash oracle depends on: among the
+    300-row synthetic table's 100 images, NO two distinct payloads come
+    within Hamming 3 (the planted byte-identical copies are the only
+    near-dups)."""
+    import itertools
+
+    from document_text_extraction_spark.multimodal.media import (
+        _ahash_of,
+        _fake_pixels,
+        synth_media_row,
+    )
+    hs = []
+    for i in range(0, 300, 3):
+        row = synth_media_row(i)
+        hs.append(_ahash_of(_fake_pixels(row[2], row[4], row[5])))
+    assert len(set(hs)) == 100
+    for a, b in itertools.combinations(hs, 2):
+        assert bin((a ^ b) & ((1 << 64) - 1)).count("1") > 3
+
+
+def test_phash_banding_pigeonhole(spark):
+    """Any <=3-bit corruption is found regardless of WHICH bits flip
+    (one flip per band is the worst case for 4 bands)."""
+    from document_text_extraction_spark.multimodal.media import (
+        phash_near_duplicates,
+    )
+    base = 0x0123456789ABCDEF
+    rows = [(0, base)]
+    flips = {1: [0], 2: [5, 63], 3: [3, 20, 40],      # within reach
+             4: [8, 24, 40]}                           # 3 bands touched
+    for vid, bits in flips.items():
+        v = base
+        for bb in bits:
+            v ^= 1 << bb
+        rows.append((vid, v - (1 << 64) if v >= (1 << 63) else v))
+    df = spark.createDataFrame(rows, "media_id long, ahash long")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in phash_near_duplicates(df, max_hamming=3,
+                                            n_bands=4).collect()}
+    assert pairs[(0, 1)] == 1 and pairs[(0, 2)] == 2 and \
+        pairs[(0, 3)] == 3 and pairs[(0, 4)] == 3
+    # hamming > max is filtered even when a band matches
+    far = base ^ 0xFFFF  # 16 flips inside band 0, others equal
+    df2 = spark.createDataFrame(
+        [(0, base), (1, far - (1 << 64) if far >= (1 << 63) else far)],
+        "media_id long, ahash long")
+    assert phash_near_duplicates(df2, max_hamming=3).count() == 0
+
+
+def test_phash_join_is_banded_not_cartesian(spark):
+    from document_text_extraction_spark.multimodal.media import (
+        phash_near_duplicates,
+    )
+    df = spark.createDataFrame([(i, i * 7919) for i in range(50)],
+                               "media_id long, ahash long")
+    plan = (phash_near_duplicates(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_phash_guard_rejects_unsound_params():
+    import pytest as _pt
+
+    from document_text_extraction_spark.multimodal.media import (
+        phash_near_duplicates,
+    )
+    with _pt.raises(ValueError):
+        phash_near_duplicates(None, max_hamming=4, n_bands=4)
