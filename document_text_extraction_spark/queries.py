@@ -3854,6 +3854,44 @@ SQL_MEDIA_PHASH = (
 )
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Document-length percentiles (p50/p90/p99 of n_chars per lang)
+    from the MERGEABLE digit-histogram sketch: per-(lang, source)
+    sketch rows rolled up to lang by plain SUM — the metrics-cube path
+    that never re-scans raw data — then quantile estimates as exact
+    integer bin-edge arithmetic (no percentile_approx, no log10 ULP
+    hazards; the oracle replicates binning, merge, and estimator)."""
+    from .operators import sketches as sk
+    d = _docs(spark, sf_dir)
+    per_src = sk.digit_histogram_sketch(d, ["lang", "source"], "n_chars")
+    merged = sk.digit_histogram_merge(per_src, ["lang"])
+    return sk.digit_histogram_quantiles(merged, ["lang"],
+                                        [0.5, 0.9, 0.99])
+
+
+SQL_LENGTH_QUANTILES = (
+    "WITH s AS (SELECT lang, source, "
+    "CAST(length(CAST(n_chars AS VARCHAR)) AS INT) AS bin_digits, "
+    "CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS INT) AS bin_lead, "
+    "count(*) AS n FROM documents WHERE n_chars > 0 "
+    "GROUP BY 1, 2, 3, 4), "
+    "m AS (SELECT lang, bin_digits, bin_lead, CAST(sum(n) AS BIGINT) "
+    "AS n FROM s GROUP BY 1, 2, 3), "
+    "c AS (SELECT lang, bin_digits, bin_lead, n, "
+    "sum(n) OVER (PARTITION BY lang ORDER BY bin_digits, bin_lead "
+    "ROWS UNBOUNDED PRECEDING) AS cum, "
+    "sum(n) OVER (PARTITION BY lang) AS tot FROM m), "
+    "q AS (SELECT * FROM (VALUES (500), (900), (990)) AS t(ppm)), "
+    "hit AS (SELECT c.lang, q.ppm, c.bin_digits, c.bin_lead, "
+    "row_number() OVER (PARTITION BY c.lang, q.ppm "
+    "ORDER BY c.bin_digits, c.bin_lead) AS rn "
+    "FROM c CROSS JOIN q WHERE c.cum >= ceil(c.tot * q.ppm / 1000.0)) "
+    "SELECT lang, CAST(ppm AS INT) AS q_permille, "
+    "CAST((bin_lead + 1) * pow(10.0, bin_digits - 1) AS BIGINT) "
+    "AS quantile_est FROM hit WHERE rn = 1"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3870,6 +3908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "media_phash": q_media_phash,
     "kmv_distinct": q_kmv_distinct,
+    "length_quantiles": q_length_quantiles,
     "bm25_topk": q_bm25_topk,
     "template_lines": q_template_lines,
     "template_scrub": q_template_scrub,
@@ -4018,6 +4057,7 @@ ORACLE_SQL: dict[str, str] = {
     "semdedup": SQL_SEMDEDUP,
     "media_phash": SQL_MEDIA_PHASH,
     "kmv_distinct": SQL_KMV_DISTINCT,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
     "bm25_topk": SQL_BM25_TOPK,
     "template_lines": SQL_TEMPLATE_LINES,
     "template_scrub": SQL_TEMPLATE_SCRUB,

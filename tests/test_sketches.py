@@ -63,3 +63,52 @@ def test_sketch_rows_are_bounded(spark, vals):
     for r in sk.kmv_sketch(vals, ["g"], "v", k=64).collect():
         assert len(r.kmv_hashes) <= 64
         assert r.kmv_hashes == sorted(r.kmv_hashes)
+
+
+# ---------------------------------------------------------------------------
+# digit-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def _brute_quantile(values, q):
+    vs = sorted(values)
+    import math
+    return vs[max(0, math.ceil(q * len(vs)) - 1)]
+
+
+def test_digit_histogram_quantiles_bound_truth(spark):
+    """The estimate is the upper edge of the true quantile's bin:
+    est >= true value, and est < 2x the bin's lower edge scale
+    (one leading-digit step)."""
+    import random
+    rnd = random.Random(7)
+    values = [rnd.randrange(1, 100000) for _ in range(5000)]
+    df = spark.createDataFrame([(v, "g") for v in values],
+                               "v long, g string")
+    sk_ = sk.digit_histogram_sketch(df, ["g"], "v")
+    out = {r.q_permille: r.quantile_est for r in
+           sk.digit_histogram_quantiles(sk_, ["g"],
+                                        [0.5, 0.9, 0.99]).collect()}
+    for ppm, q in ((500, 0.5), (900, 0.9), (990, 0.99)):
+        true = _brute_quantile(values, q)
+        est = out[ppm]
+        assert est >= true
+        # upper edge of the bin holding `true`: (lead+1)*10^(digits-1)
+        s = str(true)
+        assert est <= (int(s[0]) + 1) * 10 ** (len(s) - 1)
+
+
+def test_digit_histogram_merge_equals_direct(spark):
+    rows = [(i % 977 + 1, "g", f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "v long, g string, s string")
+    per = sk.digit_histogram_sketch(df, ["g", "s"], "v")
+    merged = sk.digit_histogram_merge(per, ["g"])
+    direct = sk.digit_histogram_sketch(df, ["g"], "v")
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
+
+
+def test_digit_histogram_nonpositive_excluded(spark):
+    df = spark.createDataFrame([(0, "g"), (-5, "g"), (7, "g")],
+                               "v long, g string")
+    out = sk.digit_histogram_sketch(df, ["g"], "v").collect()
+    assert [(r.bin_digits, r.bin_lead, r.n) for r in out] == [(1, 7, 1)]
