@@ -107,3 +107,63 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
     return (scored.select(id_col, floored, "n_terms_hit")
             .orderBy(F.col("bm25").desc(), F.col(id_col))
             .limit(k))
+
+
+def cooccurrence_pmi(docs: DataFrame, window: int = 2, k: int = 30,
+                     min_pair_count: int = 2,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Top-k word pairs by co-occurrence count with pointwise mutual
+    information — the association statistic behind collocation mining
+    and embedding-training diagnostics (Church & Hanks 1990).
+
+    A pair is one (w_i, w_j) occurrence with j - i in [1, window],
+    ordered alphabetically so (a,b) and (b,a) pool. Scale shape:
+
+    * pair generation is MAP-ONLY — a ``flatten(transform(...))`` over
+      each document's token array enumerates the window offsets
+      in-place (the k-gram trick of ``dedup.char_kgram_hashes_col``);
+      no positions self-join ever touches the corpus;
+    * pair counts and unigram counts are two map-side-combined
+      groupBys whose key spaces are vocab-bounded; the unigram table
+      joins back with explicit broadcasts;
+    * ranking is by the INTEGER key (pair count desc, w1, w2) with the
+      float PMI emitted rounded — cross-engine ``ln`` ULPs cannot
+      reorder (the ``tfidf_top_terms`` convention).
+
+    PMI here uses token-occurrence probabilities: p(w) = c_w / N_tok,
+    p(a,b) = c_ab / N_pairs. Returns (w1, w2, pair_count, pmi)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    pair_arrays = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.lit(window)),
+        lambda d: F.zip_with(
+            F.slice(toks, 1, F.greatest(n - d, F.lit(0))),
+            F.slice(toks, d + 1, F.greatest(n - d, F.lit(0))),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("w1"), F.greatest(a, b).alias("w2")),
+        ),
+    ))
+    pairs = (docs.select(F.explode(pair_arrays).alias("p"))
+             .select("p.w1", "p.w2")
+             .groupBy("w1", "w2")
+             .agg(F.count("*").cast("long").alias("pair_count")))
+    uni = (docs.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count("*").cast("long").alias("cw")))
+    n_tok = docs.select(F.sum(F.size(toks))).first()[0]
+    # the actual emitted pair count (NOT a closed form, which under-
+    # counts docs shorter than the window) — a bounded driver scalar,
+    # same "index statistics" role as N/avgdl in bm25_topk
+    n_pairs = pairs.select(F.sum("pair_count")).first()[0]
+    j = (pairs.filter(F.col("pair_count") >= min_pair_count)
+         .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                           .withColumnRenamed("cw", "c1")), "w1")
+         .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                           .withColumnRenamed("cw", "c2")), "w2"))
+    pmi = F.log((F.col("pair_count") / F.lit(float(n_pairs)))
+                / ((F.col("c1") / F.lit(float(n_tok)))
+                   * (F.col("c2") / F.lit(float(n_tok)))))
+    return (j.select("w1", "w2", "pair_count",
+                     F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.col("pair_count").desc(), "w1", "w2")
+            .limit(k))

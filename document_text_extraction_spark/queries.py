@@ -3686,6 +3686,43 @@ SQL_KMV_DISTINCT = (
 )
 
 
+def q_cooccurrence_pmi(spark, sf_dir):
+    """Top-30 co-occurring word pairs (window 2, alphabetically
+    pooled) with PMI — collocation mining over the corpus. Pair
+    generation is map-only (flatten/zip_with over each token array, no
+    positions self-join); counts are two vocab-bounded groupBys; the
+    oracle replicates with a positions self-join (fine at oracle
+    scale) and the identical integer ranking key."""
+    from .operators.terms import cooccurrence_pmi
+    return cooccurrence_pmi(_docs(spark, sf_dir), window=2, k=30,
+                            min_pair_count=2)
+
+
+SQL_COOCCURRENCE_PMI = (
+    "WITH s AS (SELECT doc_id, string_split(text, ' ') AS l "
+    "FROM documents), "
+    "t AS (SELECT doc_id, unnest(l) AS w, "
+    "unnest(generate_series(1, len(l))) AS pos FROM s), "
+    "p0 AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2 "
+    "FROM t a JOIN t b ON a.doc_id = b.doc_id "
+    "AND b.pos - a.pos BETWEEN 1 AND 2), "
+    "pairs AS (SELECT w1, w2, count(*) AS pair_count FROM p0 "
+    "GROUP BY 1, 2), "
+    "uni AS (SELECT w, count(*) AS cw FROM t GROUP BY 1), "
+    "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM t), "
+    "np AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS n_pairs "
+    "FROM pairs) "
+    "SELECT pairs.w1, pairs.w2, "
+    "CAST(pairs.pair_count AS BIGINT) AS pair_count, "
+    "round(ln((pairs.pair_count / np.n_pairs) / "
+    "((c1.cw / nt.n_tok) * (c2.cw / nt.n_tok))), 6) AS pmi "
+    "FROM pairs JOIN uni c1 ON c1.w = pairs.w1 "
+    "JOIN uni c2 ON c2.w = pairs.w2 CROSS JOIN nt CROSS JOIN np "
+    "WHERE pairs.pair_count >= 2 "
+    "ORDER BY pairs.pair_count DESC, pairs.w1, pairs.w2 LIMIT 30"
+)
+
+
 BM25_QUERY_TERMS = ["spark", "hash", "window"]
 
 
@@ -3910,6 +3947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "length_quantiles": q_length_quantiles,
     "bm25_topk": q_bm25_topk,
+    "cooccurrence_pmi": q_cooccurrence_pmi,
     "template_lines": q_template_lines,
     "template_scrub": q_template_scrub,
     # -- directly-edited this round: must precede the transitively-
@@ -4059,6 +4097,7 @@ ORACLE_SQL: dict[str, str] = {
     "kmv_distinct": SQL_KMV_DISTINCT,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "bm25_topk": SQL_BM25_TOPK,
+    "cooccurrence_pmi": SQL_COOCCURRENCE_PMI,
     "template_lines": SQL_TEMPLATE_LINES,
     "template_scrub": SQL_TEMPLATE_SCRUB,
     "wat_roundtrip": SQL_WAT_ROUNDTRIP,

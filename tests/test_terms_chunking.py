@@ -109,3 +109,52 @@ def test_bm25_postings_filter_pushed_down(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_cooccurrence_pmi_matches_bruteforce(spark):
+    """Map-only pair generation vs a positions-loop reference."""
+    import math
+    texts = ["a b c a b", "b c d", "a b a b a b"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    from document_text_extraction_spark.operators.terms import (
+        cooccurrence_pmi,
+    )
+    got = [(r.w1, r.w2, r.pair_count, r.pmi)
+           for r in cooccurrence_pmi(docs, window=2, k=100,
+                                     min_pair_count=2).collect()]
+    from collections import Counter
+    pc, uc, n_tok, n_pairs = Counter(), Counter(), 0, 0
+    for t in texts:
+        ws = t.split(" ")
+        n_tok += len(ws)
+        uc.update(ws)
+        for i, a in enumerate(ws):
+            for d in (1, 2):
+                if i + d < len(ws):
+                    b = ws[i + d]
+                    pc[(min(a, b), max(a, b))] += 1
+                    n_pairs += 1
+    exp = sorted(
+        ((w1, w2, c, round(math.log((c / n_pairs)
+                                    / ((uc[w1] / n_tok)
+                                       * (uc[w2] / n_tok))), 6))
+         for (w1, w2), c in pc.items() if c >= 2),
+        key=lambda r: (-r[2], r[0], r[1]))
+    assert got == exp
+
+
+def test_cooccurrence_pair_generation_is_map_only(spark):
+    """Scale shape: no join/exchange before the pair-count aggregate —
+    the only Exchanges in the plan belong to the two groupBys and the
+    final top-k, and there is no SortMergeJoin of the corpus with
+    itself."""
+    docs = spark.createDataFrame([(0, "a b c d e")],
+                                 "doc_id long, text string")
+    from document_text_extraction_spark.operators.terms import (
+        cooccurrence_pmi,
+    )
+    plan = (cooccurrence_pmi(docs, window=2, k=5, min_pair_count=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
