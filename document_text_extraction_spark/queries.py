@@ -3723,6 +3723,45 @@ SQL_COOCCURRENCE_PMI = (
 )
 
 
+def q_zorder_locality(spark, sf_dir):
+    """Z-order layout key over events (user dimension x id/time
+    dimension): Morton-interleave both ids, bucket by the top z-bits,
+    and report each bucket's row count and per-dimension min/max — the
+    bounded-rectangle property that makes parquet min/max stats prune
+    on EITHER predicate after an OPTIMIZE ZORDER-style rewrite. Key
+    and bucketing are pure integer expressions, mirrored exactly in
+    the oracle (generated from the same bit-placement scheme)."""
+    from .functions.layout import zorder_key_col
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    z = zorder_key_col(F.col("user_id"), F.col("event_id"))
+    return (ev.select(F.shiftrightunsigned(z, 22).alias("zbucket"),
+                      "user_id", "event_id")
+            .groupBy("zbucket")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min("user_id").alias("user_min"),
+                 F.max("user_id").alias("user_max"),
+                 F.min("event_id").alias("event_min"),
+                 F.max("event_id").alias("event_max")))
+
+
+def _sql_zorder_locality() -> str:
+    from .functions.layout import zorder_key_sql
+    zv = zorder_key_sql("user_id", "event_id")
+    return (
+        # list_sum yields HUGEINT — cast down or the bucket surfaces
+        # as float through Arrow/pandas and the value-hash mismatches
+        f"WITH z AS (SELECT user_id, event_id, "
+        f"CAST(({zv}) >> 22 AS BIGINT) AS zbucket FROM events) "
+        "SELECT zbucket, CAST(count(*) AS BIGINT) AS n_events, "
+        "min(user_id) AS user_min, max(user_id) AS user_max, "
+        "min(event_id) AS event_min, max(event_id) AS event_max "
+        "FROM z GROUP BY zbucket"
+    )
+
+
+SQL_ZORDER_LOCALITY = _sql_zorder_locality()
+
+
 BM25_QUERY_TERMS = ["spark", "hash", "window"]
 
 
@@ -3948,6 +3987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quantiles": q_length_quantiles,
     "bm25_topk": q_bm25_topk,
     "cooccurrence_pmi": q_cooccurrence_pmi,
+    "zorder_locality": q_zorder_locality,
     "template_lines": q_template_lines,
     "template_scrub": q_template_scrub,
     # -- directly-edited this round: must precede the transitively-
@@ -3959,6 +3999,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_index": q_cdx_index,
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_dedup": q_exact_substring_dedup,
+    "robots_txt_filter": q_robots_txt_filter,
+    "robots_meta": q_robots_meta,
     # -- round 4: crawl-interop + curation-sampling family -------------
     "wat_roundtrip": q_wat_roundtrip,
     "sitemap_entries": q_sitemap_entries,
@@ -4003,8 +4045,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_failure_budget": q_pdf_failure_budget,
     "extract_fail_reasons": q_extract_fail_reasons,
     "robots_noindex": q_robots_noindex,
-    "robots_txt_filter": q_robots_txt_filter,
-    "robots_meta": q_robots_meta,
     "asof_last_signup": q_asof_last_signup,
     "range_join_windows": q_range_join_windows,
     "link_graph": q_link_graph,
@@ -4098,6 +4138,7 @@ ORACLE_SQL: dict[str, str] = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "bm25_topk": SQL_BM25_TOPK,
     "cooccurrence_pmi": SQL_COOCCURRENCE_PMI,
+    "zorder_locality": SQL_ZORDER_LOCALITY,
     "template_lines": SQL_TEMPLATE_LINES,
     "template_scrub": SQL_TEMPLATE_SCRUB,
     "wat_roundtrip": SQL_WAT_ROUNDTRIP,

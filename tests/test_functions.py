@@ -162,3 +162,89 @@ def test_registrable_domain_branches(spark):
         "host", registrable_domain_col(F.col("host")).alias("pld")
     ).collect()}
     assert got == cases
+
+
+# ---------------------------------------------------------------------------
+# z-order layout keys (functions/layout.py)
+# ---------------------------------------------------------------------------
+
+def _ref_morton(a, b, bits=21):
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zorder_key_matches_reference(spark):
+    from document_text_extraction_spark.functions.layout import (
+        zorder_key_col,
+    )
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (2**21 - 1, 2**21 - 1),
+            (123456, 654321), (2**21 + 7, 9)]  # masks overflow bits
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r.a, r.b): r.z for r in df.select(
+        "a", "b", zorder_key_col(F.col("a"), F.col("b")).alias("z")
+    ).collect()}
+    for a, b in rows:
+        assert got[(a, b)] == _ref_morton(a & (2**21 - 1),
+                                          b & (2**21 - 1))
+
+
+def test_zorder_bucket_bounds_both_dimensions(spark):
+    """Locality contract: a bucket of the top z-bits (dropping 22 low
+    bits = 11 per dimension) covers at most a 2^11-wide range in EACH
+    dimension — the reason min/max stats stay tight on both columns."""
+    import random
+    rnd = random.Random(3)
+    rows = [(rnd.randrange(2**21), rnd.randrange(2**21))
+            for _ in range(4000)]
+    from document_text_extraction_spark.functions.layout import (
+        zorder_key_col,
+    )
+    df = spark.createDataFrame(rows, "a long, b long")
+    z = zorder_key_col(F.col("a"), F.col("b"))
+    agg = df.select(F.shiftrightunsigned(z, 22).alias("zb"), "a", "b") \
+        .groupBy("zb").agg(F.min("a").alias("a0"), F.max("a").alias("a1"),
+                           F.min("b").alias("b0"), F.max("b").alias("b1")) \
+        .collect()
+    assert agg
+    for r in agg:
+        assert r.a1 - r.a0 < 2**11
+        assert r.b1 - r.b0 < 2**11
+
+
+def test_zorder_sql_mirror_matches(spark):
+    """The DuckDB mirror is generated from the same scheme — check a
+    sample cross-engine."""
+    import duckdb
+
+    from document_text_extraction_spark.functions.layout import (
+        zorder_key_col,
+        zorder_key_sql,
+    )
+    rows = [(i * 977 % (2**21), i * 131071 % (2**21)) for i in range(200)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = sorted(r.z for r in df.select(
+        zorder_key_col(F.col("a"), F.col("b")).alias("z")).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(x[0] for x in con.execute(
+        f"SELECT {zorder_key_sql('a', 'b')} FROM t").fetchall())
+    assert got == want
+
+
+def test_cluster_by_zorder_is_one_range_exchange(spark):
+    from document_text_extraction_spark.functions.layout import (
+        cluster_by_zorder,
+        zorder_key_col,
+    )
+    df = spark.createDataFrame([(i, i * 7 % 100) for i in range(100)],
+                               "a long, b long")
+    plan = (cluster_by_zorder(df, zorder_key_col(F.col("a"), F.col("b")),
+                              n_files=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("rangepartitioning") + plan.count(
+        "RangePartitioning") >= 1
+    assert "SortMergeJoin" not in plan
