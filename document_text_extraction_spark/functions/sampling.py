@@ -83,3 +83,44 @@ def quota_cap(df: DataFrame, key_cols: list[str], order_col: str,
                            skew_threshold=skew_threshold,
                            n_bands=n_bands, max_rank=cap)
     return ranked.filter(F.col("__q_rk") <= cap).drop("__q_rk")
+
+
+def temperature_rates_ppm(counts: dict[str, int],
+                          alpha: float = 0.5) -> dict[str, int]:
+    """Language-mixture temperature rates (mT5 / multilingual-sampling
+    convention): make the KEPT shares proportional to p_l^alpha by
+    keeping stratum l at rate r_l ∝ p_l^(alpha-1), normalized so the
+    rarest stratum keeps everything. Rates return as floor-ed ppm for
+    :func:`stratified_sample`.
+
+    Cross-engine exactness at the default alpha=0.5: r_l =
+    sqrt(n_min / n_l) uses only correctly-rounded IEEE-754 ops
+    (division, sqrt, multiply, floor), so a SQL oracle deriving the
+    rates from the same counts lands on the identical ppm integers.
+    Other alphas go through pow(), which carries no such guarantee —
+    fine for production, not for a bit-exact replica."""
+    import math
+    n_min = min(counts.values())
+    out = {}
+    for k, n in counts.items():
+        if alpha == 0.5:
+            r = math.sqrt(n_min / n)
+        else:
+            r = (n_min / n) ** (1.0 - alpha)
+        out[k] = int(math.floor(BUCKETS * r))
+    return out
+
+
+def temperature_sample(df: DataFrame, stratum_col: str, key_col: str,
+                       alpha: float = 0.5,
+                       seed: str = "") -> DataFrame:
+    """Temperature-sample a corpus by stratum: one tiny stratum-count
+    aggregate (bounded collect — the "mixture stats" a production job
+    would read from its metrics cube), then the deterministic
+    hash-bucket filter. The data pass is a pure map-side filter — same
+    no-shuffle contract as :func:`stratified_sample` (plan-asserted
+    there)."""
+    counts = {r[0]: r[1] for r in
+              df.groupBy(stratum_col).count().collect()}
+    rates = temperature_rates_ppm(counts, alpha)
+    return stratified_sample(df, rates, stratum_col, key_col, seed)

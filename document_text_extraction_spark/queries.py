@@ -1575,6 +1575,31 @@ SQL_MIXTURE_SAMPLE = (
 )
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature sampling (the mT5 multilingual mixture rule): kept
+    shares proportional to sqrt(p_lang) — rare languages keep all
+    their pages, the English head downsamples. Rates derive from the
+    corpus's own lang counts (one bounded aggregate) via correctly-
+    rounded ops only (divide/sqrt/floor), so the oracle re-derives the
+    identical ppm integers from the same counts; row selection is the
+    engine's deterministic md5-bucket filter."""
+    d = _docs(spark, sf_dir)
+    kept = sampling.temperature_sample(d, "lang", "doc_id",
+                                       alpha=0.5, seed="temp1")
+    return kept.select("doc_id", "lang")
+
+
+SQL_TEMPERATURE_SAMPLE = (
+    "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), "
+    "mn AS (SELECT min(n) AS n_min FROM c), "
+    "r AS (SELECT c.lang, CAST(floor(1000000 * sqrt(mn.n_min / c.n)) "
+    "AS BIGINT) AS ppm FROM c CROSS JOIN mn) "
+    "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+    "WHERE CAST('0x' || substr(md5('temp1' || CAST(doc_id AS VARCHAR)), "
+    "1, 8) AS BIGINT) % 1000000 < r.ppm"
+)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID heuristic."""
     d = _docs(spark, sf_dir)
@@ -3988,6 +4013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "zorder_locality": q_zorder_locality,
+    "temperature_sample": q_temperature_sample,
     "template_lines": q_template_lines,
     "template_scrub": q_template_scrub,
     # -- directly-edited this round: must precede the transitively-
@@ -4145,6 +4171,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "cooccurrence_pmi": SQL_COOCCURRENCE_PMI,
     "zorder_locality": SQL_ZORDER_LOCALITY,
+    "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "template_lines": SQL_TEMPLATE_LINES,
     "template_scrub": SQL_TEMPLATE_SCRUB,
     "wat_roundtrip": SQL_WAT_ROUNDTRIP,

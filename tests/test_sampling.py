@@ -108,3 +108,38 @@ def test_ranked_max_rank_hint_contract(spark):
         assert full[k] == rk
     # 400 hot rows / 8 bands → bands past the first are pruned
     assert len(hinted) < len(full)
+
+
+def test_temperature_rates_exact_values():
+    """alpha=0.5 on hand counts: rarest keeps 1.0; others sqrt-scaled."""
+    import math
+    rates = sampling.temperature_rates_ppm(
+        {"en": 400, "de": 100, "si": 25})
+    assert rates["si"] == 1_000_000
+    assert rates["de"] == math.floor(1e6 * math.sqrt(25 / 100))  # 500000
+    assert rates["en"] == math.floor(1e6 * math.sqrt(25 / 400))  # 250000
+
+
+def test_temperature_sample_rebalances(spark):
+    """Kept shares move toward sqrt(p): the head stratum's keep RATE
+    is ~sqrt(n_min/n_head), rare strata keep everything."""
+    rows = [(i, "head" if i % 10 else "tail") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    kept = sampling.temperature_sample(df, "stratum", "doc_id",
+                                       alpha=0.5, seed="t")
+    by = {r.stratum: r.n for r in
+          kept.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert by["tail"] == 500                      # rarest keeps all
+    import math
+    expect_head = 4500 * math.sqrt(500 / 4500)    # ~1500
+    assert abs(by["head"] - expect_head) < 0.1 * expect_head
+
+
+def test_temperature_sample_deterministic(spark):
+    rows = [(i, ["a", "b"][i % 2]) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+
+    def ids():
+        return {r.doc_id for r in sampling.temperature_sample(
+            df, "stratum", "doc_id", seed="s").collect()}
+    assert ids() == ids()
