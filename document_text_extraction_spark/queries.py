@@ -1896,6 +1896,58 @@ SQL_INCREMENTAL_DEDUP = (
 )
 
 
+def q_streaming_neardup_dedup(spark, sf_dir):
+    """Streaming NEAR-dup dedup on real Structured-Streaming machinery
+    (streaming/neardup.py): MinHash/LSH band state seeded from the
+    corpus, then two real availableNow arrivals — (1) exact
+    re-captures (rejected via the band store), word-REVERSED fresh
+    docs (novel shingle sets — admitted) and same-batch copies of them
+    (rejected by the within-batch greedy), (2) more copies of the
+    fresh content, dropped via the STORE across a checkpoint-resumed
+    run. The oracle enumerates the expected admitted set from the
+    plant formulas — exact-copy plants make the greedy semantics
+    SQL-derivable (equality is transitive); genuinely-near behavior is
+    property-tested in pytest. Spurious LSH rejections would surface
+    as missing rows here."""
+    import shutil
+    import tempfile
+
+    from .streaming.neardup import (
+        run_neardup_dedup_stream,
+        seed_band_store,
+    )
+    base = tempfile.mkdtemp(prefix="dte_q_sneardup_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seed_band_store(docs, f"{base}/bs")
+    rev = F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
+    recap = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text")
+    fresh = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), rev.alias("text"))
+    inner = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), rev.alias("text"))
+    recap.unionAll(fresh).unionAll(inner).write.mode(
+        "overwrite").parquet(f"{base}/in")
+    run_neardup_dedup_stream(
+        spark, f"{base}/in", f"{base}/bs", f"{base}/out", f"{base}/ck")
+    late = docs.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), rev.alias("text"))
+    late.write.mode("append").parquet(f"{base}/in")
+    run_neardup_dedup_stream(
+        spark, f"{base}/in", f"{base}/bs", f"{base}/out", f"{base}/ck")
+    # out/ BACKS the returned (lazy) DataFrame and must outlive it
+    shutil.rmtree(f"{base}/in", ignore_errors=True)
+    shutil.rmtree(f"{base}/ck", ignore_errors=True)
+    return spark.read.parquet(f"{base}/out").select("doc_id", "text")
+
+
+SQL_STREAMING_NEARDUP = (
+    "SELECT doc_id + 300000 AS doc_id, "
+    "array_to_string(list_reverse(string_split(text, ' ')), ' ') "
+    "AS text FROM documents WHERE doc_id % 9 = 1"
+)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Connected components over the exact near-dup pair graph:
     (doc_id, cluster_id=min reachable id) for every doc in some pair —
@@ -4014,6 +4066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "zorder_locality": q_zorder_locality,
     "temperature_sample": q_temperature_sample,
+    "streaming_neardup_dedup": q_streaming_neardup_dedup,
     "template_lines": q_template_lines,
     "template_scrub": q_template_scrub,
     # -- directly-edited this round: must precede the transitively-
@@ -4172,6 +4225,7 @@ ORACLE_SQL: dict[str, str] = {
     "cooccurrence_pmi": SQL_COOCCURRENCE_PMI,
     "zorder_locality": SQL_ZORDER_LOCALITY,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
+    "streaming_neardup_dedup": SQL_STREAMING_NEARDUP,
     "template_lines": SQL_TEMPLATE_LINES,
     "template_scrub": SQL_TEMPLATE_SCRUB,
     "wat_roundtrip": SQL_WAT_ROUNDTRIP,

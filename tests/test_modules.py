@@ -695,3 +695,124 @@ def test_phash_guard_rejects_unsound_params():
     )
     with _pt.raises(ValueError):
         phash_near_duplicates(None, max_hamming=4, n_bands=4)
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup dedup (streaming/neardup.py)
+# ---------------------------------------------------------------------------
+
+def _snd_docs(spark):
+    # disjoint per-doc vocabularies: docs share NO shingles (a rotated
+    # common word ring would make every doc a near-dup of every other).
+    # 60 words, so a one-word swap keeps shingle-jaccard ~0.9 — far
+    # enough above the 0.7 threshold that the (deterministic) 16-hash
+    # signature and 4-band probe reliably catch it.
+    rows = []
+    for i in range(6):
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(60))))
+    return rows
+
+
+def test_streaming_neardup_rejects_near_and_exact(spark, tmp_path):
+    """Seeded doc 0; arrivals: exact copy of 0 (reject via store),
+    near-copy of 0 with one word swapped (reject via store — sig
+    agreement >> 0.7), a novel doc (admit), and a same-batch near-copy
+    of the novel doc with a higher id (reject within batch)."""
+    from document_text_extraction_spark.streaming.neardup import (
+        run_neardup_dedup_stream,
+        seed_band_store,
+    )
+    rows = dict(_snd_docs(spark))
+    seeded = spark.createDataFrame([(0, rows[0])], "doc_id long, text string")
+    bs, out, ck = (str(tmp_path / d) for d in ("bs", "out", "ck"))
+    in_d = str(tmp_path / "in")
+    seed_band_store(seeded, bs)
+    near0 = rows[0].replace("w0x7", "hostel")
+    near1 = rows[1].replace("w1x10", "kilos")
+    batch = [(10, rows[0]), (11, near0), (12, rows[1]), (13, near1)]
+    spark.createDataFrame(batch, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(in_d)
+    run_neardup_dedup_stream(spark, in_d, bs, out, ck)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {12}
+
+
+def test_streaming_neardup_store_state_across_runs(spark, tmp_path):
+    """The band store carries rejections across checkpoint-resumed
+    runs: a near-copy is rejected in run 1 via the SEED entry, and an
+    exact copy of that same near-copy delivered in run 2 is rejected
+    again through the store (the seed content, not the rejected doc,
+    is what the store holds — admitted-only semantics, documented in
+    the module docstring)."""
+    from document_text_extraction_spark.streaming.neardup import (
+        run_neardup_dedup_stream,
+        seed_band_store,
+    )
+    rows = dict(_snd_docs(spark))
+    seeded = spark.createDataFrame([(0, rows[0])], "doc_id long, text string")
+    bs, out, ck = (str(tmp_path / d) for d in ("bs", "out", "ck"))
+    in_d = str(tmp_path / "in")
+    seed_band_store(seeded, bs)
+    x = rows[0].replace("w0x7", "hostel")
+    spark.createDataFrame([(20, x)], "doc_id long, text string") \
+        .write.mode("overwrite").parquet(in_d)
+    run_neardup_dedup_stream(spark, in_d, bs, out, ck)
+    assert spark.read.parquet(out).count() == 0  # X rejected vs seed
+    spark.createDataFrame([(30, x)], "doc_id long, text string") \
+        .write.mode("append").parquet(in_d)
+    run_neardup_dedup_stream(spark, in_d, bs, out, ck)
+    assert spark.read.parquet(out).count() == 0  # copy also rejected
+    # genuinely novel content still flows: pair admitted/greedy-rejected
+    novel = rows[4]
+    novel_near = novel.replace("w4x15", "papas")
+    spark.createDataFrame([(40, novel), (41, novel_near)],
+                          "doc_id long, text string") \
+        .write.mode("append").parquet(in_d)
+    run_neardup_dedup_stream(spark, in_d, bs, out, ck)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {40}  # 41 rejected within batch against 40
+
+
+def test_streaming_neardup_matches_greedy_bruteforce(spark, tmp_path):
+    """One batch of arrivals vs a pure-python greedy using the SAME
+    estimated-Jaccard rule (signature agreement via banding)."""
+    from document_text_extraction_spark.streaming.neardup import (
+        BANDS,
+        NUM_HASHES,
+        band_rows_df,
+        minhash_sig_df,
+        run_neardup_dedup_stream,
+        seed_band_store,
+    )
+    rows = _snd_docs(spark)
+    variants = []
+    vid = 100
+    for i, t in rows:
+        variants.append((vid, t)); vid += 1
+        variants.append((vid, t.replace(f"w{i}x0", "alpine"))); vid += 1
+    df = spark.createDataFrame(variants, "doc_id long, text string")
+    sigs = {r.doc_id: list(r.sig)
+            for r in minhash_sig_df(df).collect()}
+    rws = NUM_HASHES // BANDS
+
+    def near(a, b):
+        sa, sb = sigs[a], sigs[b]
+        shares_band = any(sa[bb * rws:(bb + 1) * rws]
+                          == sb[bb * rws:(bb + 1) * rws]
+                          for bb in range(BANDS))
+        agree = sum(x == y for x, y in zip(sa, sb)) / NUM_HASHES
+        return shares_band and agree >= 0.7
+
+    expect = set()
+    for d, _ in sorted(variants):
+        if not any(d2 < d and near(d2, d) for d2, _ in variants):
+            expect.add(d)
+    bs, out, ck = (str(tmp_path / d) for d in ("bs", "out", "ck"))
+    in_d = str(tmp_path / "in")
+    seed_band_store(spark.createDataFrame([], "doc_id long, text string"),
+                    bs)
+    df.write.mode("overwrite").parquet(in_d)
+    run_neardup_dedup_stream(spark, in_d, bs, out, ck)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == expect
+    assert expect != {v for v, _ in variants}  # rejections happened
