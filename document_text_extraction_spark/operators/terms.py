@@ -167,3 +167,37 @@ def cooccurrence_pmi(docs: DataFrame, window: int = 2, k: int = 30,
                      F.round(pmi, 6).alias("pmi"))
             .orderBy(F.col("pair_count").desc(), "w1", "w2")
             .limit(k))
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 64,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Tokenizer-prep vocabulary + per-document coverage: build the
+    top-``vocab_size`` word vocabulary (count desc, word asc — integer
+    ranking, no float) and report each document's in-vocab token
+    fraction and OOV type count — the coverage audit run before
+    committing a tokenizer vocab.
+
+    Scale shape: corpus word counts are one map-side-combined groupBy
+    (vocab-bounded keys); the top-V cut is TakeOrderedAndProject; the
+    per-doc pass joins exploded tokens against the BROADCAST vocab —
+    the corpus never shuffles. Returns (doc_id, n_tokens,
+    n_oov_tokens, n_oov_types, coverage_pct)."""
+    toks = docs.select(F.col(id_col),
+                       F.explode(F.split(F.col(text_col), " "))
+                       .alias("w"))
+    vocab = (toks.groupBy("w").agg(F.count("*").alias("c"))
+             .orderBy(F.col("c").desc(), F.col("w"))
+             .limit(vocab_size)
+             .select("w", F.lit(True).alias("__in_vocab")))
+    j = toks.join(F.broadcast(vocab), "w", "left")
+    oov = F.col("__in_vocab").isNull()
+    return j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(oov.cast("int")).cast("long").alias("n_oov_tokens"),
+        F.countDistinct(F.when(oov, F.col("w"))).cast("long")
+        .alias("n_oov_types"),
+        # integer percent (floor) — no float rounding to drift on
+        (F.floor(F.sum((~oov).cast("int")) * 100 / F.count("*")))
+        .cast("int").alias("coverage_pct"),
+    )

@@ -3839,6 +3839,34 @@ def _sql_zorder_locality() -> str:
 SQL_ZORDER_LOCALITY = _sql_zorder_locality()
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-prep vocabulary audit: build the top-64 word vocab
+    (integer ranking: count desc, word asc) and report each document's
+    token coverage and OOV type count — the go/no-go check before
+    committing a tokenizer vocabulary. Corpus tokens join the
+    broadcast vocab; the corpus never shuffles."""
+    from .operators.terms import vocab_coverage
+    return vocab_coverage(_docs(spark, sf_dir), vocab_size=64)
+
+
+SQL_VOCAB_COVERAGE = (
+    "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    "FROM documents), "
+    "v AS (SELECT w FROM (SELECT w, count(*) AS c FROM t GROUP BY 1 "
+    "ORDER BY c DESC, w LIMIT 64)), "
+    "j AS (SELECT t.doc_id, t.w, v.w IS NOT NULL AS iv FROM t "
+    "LEFT JOIN v ON t.w = v.w) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_oov_tokens, "
+    "CAST(count(DISTINCT CASE WHEN NOT iv THEN w END) AS BIGINT) "
+    "AS n_oov_types, "
+    "CAST(floor(sum(CASE WHEN iv THEN 1 ELSE 0 END) * 100 / count(*)) "
+    "AS INT) AS coverage_pct "
+    "FROM j GROUP BY doc_id"
+)
+
+
 BM25_QUERY_TERMS = ["spark", "hash", "window"]
 
 
@@ -4063,6 +4091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "length_quantiles": q_length_quantiles,
     "bm25_topk": q_bm25_topk,
+    "vocab_coverage": q_vocab_coverage,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "zorder_locality": q_zorder_locality,
     "temperature_sample": q_temperature_sample,
@@ -4222,6 +4251,7 @@ ORACLE_SQL: dict[str, str] = {
     "kmv_distinct": SQL_KMV_DISTINCT,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "bm25_topk": SQL_BM25_TOPK,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
     "cooccurrence_pmi": SQL_COOCCURRENCE_PMI,
     "zorder_locality": SQL_ZORDER_LOCALITY,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,

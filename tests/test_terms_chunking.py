@@ -158,3 +158,19 @@ def test_cooccurrence_pair_generation_is_map_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "SortMergeJoin" not in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_vocab_coverage_bruteforce(spark):
+    from document_text_extraction_spark.operators.terms import (
+        vocab_coverage,
+    )
+    texts = ["a a b c", "a b b zz", "qq ww a"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    # vocab_size=2: counts a=4, b=3, c=1, zz=1, qq=1, ww=1 -> {a, b}
+    got = {r.doc_id: (r.n_tokens, r.n_oov_tokens, r.n_oov_types,
+                      r.coverage_pct)
+           for r in vocab_coverage(docs, vocab_size=2).collect()}
+    assert got[0] == (4, 1, 1, 75)       # c is OOV
+    assert got[1] == (4, 1, 1, 75)       # zz
+    assert got[2] == (3, 2, 2, 33)       # qq, ww
