@@ -155,3 +155,14 @@ def md5_fingerprint_col(text: Column) -> Column:
     """Portable fingerprint (md5 hex) — identical function exists in
     DuckDB, so this one is oracle-checkable."""
     return F.md5(F.encode(text, "UTF-8"))
+
+
+def contains_terms_col(text: Column, terms: list[str]) -> Column:
+    """True iff any whitespace token of ``text`` matches the literal
+    term list case-insensitively — the C4 "bad words" gate (Raffel et
+    al. 2020 filter a document containing any blocklist term). One
+    ``arrays_overlap`` against a broadcast-literal array: pure JVM,
+    pushes down as a plain filter, no join, no regex backtracking."""
+    toks = F.split(F.lower(text), " ")
+    lit_terms = F.array(*[F.lit(t.lower()) for t in terms])
+    return F.arrays_overlap(toks, lit_terms)

@@ -1600,6 +1600,69 @@ SQL_TEMPERATURE_SAMPLE = (
 )
 
 
+BADWORD_TERMS = ["slow", "noise", "junk"]
+
+
+def q_badwords_filter(spark, sf_dir):
+    """C4-style term-blocklist gate: drop any document whose tokens
+    include a blocklist term (case-insensitive whole-token match — the
+    published C4 rule, not substring). One arrays_overlap against a
+    broadcast-literal array; compiles to a plain pushed-down filter.
+    The demo terms are corpus vocabulary words so the gate provably
+    fires; production swaps in the real list."""
+    d = _docs(spark, sf_dir)
+    return (d.filter(~ts.contains_terms_col(F.col("text"),
+                                            BADWORD_TERMS))
+            .select("doc_id", "lang"))
+
+
+SQL_BADWORDS_FILTER = (
+    "SELECT doc_id, lang FROM documents WHERE NOT EXISTS ("
+    "SELECT 1 FROM unnest(string_split(lower(text), ' ')) AS t(w) "
+    "WHERE w IN ('slow', 'noise', 'junk'))"
+)
+
+
+def q_intradoc_line_dedup(spark, sf_dir):
+    """Intra-document repeated-line removal (the RefinedWeb in-page
+    repetition trim): within EACH document keep only the first
+    occurrence of every 10-word line, reassembling in order. The
+    window partitions on (doc, line) — per-document keys, never a
+    corpus-wide hot key; complements corpus-wide q_line_dedup."""
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir)
+    lines = d.select(
+        "doc_id", F.posexplode(chunk_lines_col()).alias("pos", "line"))
+    w = W.partitionBy("doc_id", "line").orderBy("pos")
+    first = lines.withColumn("__rn", F.row_number().over(w))
+    keep = F.col("__rn") == 1
+    return first.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((~keep).cast("int")).cast("long")
+        .alias("n_repeated_lines"),
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(
+                F.when(keep, F.struct("pos", "line")))),
+            lambda s: s["line"])).alias("cleaned_text"),
+    )
+
+
+SQL_INTRADOC_LINE_DEDUP = (
+    f"WITH d AS (SELECT doc_id, string_split({CHUNK_SQL}, chr(10)) "
+    "AS l FROM documents), "
+    "lines AS (SELECT doc_id, unnest(l) AS line, "
+    "unnest(generate_series(1, len(l))) AS pos FROM d), "
+    "r AS (SELECT doc_id, pos, line, row_number() OVER "
+    "(PARTITION BY doc_id, line ORDER BY pos) AS rn FROM lines) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_repeated_lines, "
+    "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) "
+    "ORDER BY pos), '') AS cleaned_text "
+    "FROM r GROUP BY doc_id"
+)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID heuristic."""
     d = _docs(spark, sf_dir)
@@ -4096,6 +4159,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_locality": q_zorder_locality,
     "temperature_sample": q_temperature_sample,
     "streaming_neardup_dedup": q_streaming_neardup_dedup,
+    "badwords_filter": q_badwords_filter,
+    "intradoc_line_dedup": q_intradoc_line_dedup,
     "template_lines": q_template_lines,
     "template_scrub": q_template_scrub,
     # -- directly-edited this round: must precede the transitively-
@@ -4256,6 +4321,8 @@ ORACLE_SQL: dict[str, str] = {
     "zorder_locality": SQL_ZORDER_LOCALITY,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "streaming_neardup_dedup": SQL_STREAMING_NEARDUP,
+    "badwords_filter": SQL_BADWORDS_FILTER,
+    "intradoc_line_dedup": SQL_INTRADOC_LINE_DEDUP,
     "template_lines": SQL_TEMPLATE_LINES,
     "template_scrub": SQL_TEMPLATE_SCRUB,
     "wat_roundtrip": SQL_WAT_ROUNDTRIP,

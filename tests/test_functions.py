@@ -248,3 +248,25 @@ def test_cluster_by_zorder_is_one_range_exchange(spark):
     assert plan.count("rangepartitioning") + plan.count(
         "RangePartitioning") >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_contains_terms_whole_token_case_insensitive(spark):
+    from document_text_extraction_spark.functions.textstats import (
+        contains_terms_col,
+    )
+    rows = [(0, "a SLOW query"), (1, "slowly moving"), (2, "clean doc"),
+            (3, "noise at end")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hit = {r.doc_id for r in df.filter(
+        contains_terms_col(F.col("text"), ["slow", "noise"])).collect()}
+    assert hit == {0, 3}  # whole-token: "slowly" must NOT match
+
+
+def test_contains_terms_is_plain_filter(spark):
+    from document_text_extraction_spark.functions.textstats import (
+        contains_terms_col,
+    )
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = (df.filter(~contains_terms_col(F.col("text"), ["bad"]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
