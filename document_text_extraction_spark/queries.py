@@ -3930,6 +3930,37 @@ SQL_VOCAB_COVERAGE = (
 )
 
 
+def q_pruned_scan(spark, sf_dir):
+    """File-skipping end-to-end: write events z-ordered on
+    (user_id, event_id>>6) — two balanced ~8-bit dimensions, so each
+    output file's min/max stay tight on BOTH — build the Iceberg-style
+    per-file stats manifest from the parquet footers, and run a
+    user-range scan that reads only the overlapping files plus the
+    residual filter. The oracle is the plain full-scan predicate:
+    row-identical results prove pruning loses nothing (the skip RATIO
+    is pytest-asserted, test_functions)."""
+    import tempfile
+
+    from .functions.layout import cluster_by_zorder, zorder_key_col
+    from .sources.stats_prune import pruned_read, stats_manifest
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type")
+    z = zorder_key_col(F.col("user_id"),
+                       F.shiftrightunsigned(F.col("event_id"), 6))
+    out_dir = tempfile.mkdtemp(prefix="dte_q_zscan_")
+    cluster_by_zorder(ev, z, n_files=16).write.mode(
+        "overwrite").parquet(out_dir)
+    manifest = stats_manifest(out_dir, ["user_id"])
+    # out_dir BACKS the returned lazy DataFrame; left in place
+    return pruned_read(spark, out_dir, manifest, "user_id", 10, 30)
+
+
+SQL_PRUNED_SCAN = (
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE user_id BETWEEN 10 AND 30"
+)
+
+
 BM25_QUERY_TERMS = ["spark", "hash", "window"]
 
 
@@ -4157,6 +4188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "zorder_locality": q_zorder_locality,
+    "pruned_scan": q_pruned_scan,
     "temperature_sample": q_temperature_sample,
     "streaming_neardup_dedup": q_streaming_neardup_dedup,
     "badwords_filter": q_badwords_filter,
@@ -4319,6 +4351,7 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "cooccurrence_pmi": SQL_COOCCURRENCE_PMI,
     "zorder_locality": SQL_ZORDER_LOCALITY,
+    "pruned_scan": SQL_PRUNED_SCAN,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "streaming_neardup_dedup": SQL_STREAMING_NEARDUP,
     "badwords_filter": SQL_BADWORDS_FILTER,

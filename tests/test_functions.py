@@ -270,3 +270,52 @@ def test_contains_terms_is_plain_filter(spark):
     plan = (df.filter(~contains_terms_col(F.col("text"), ["bad"]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_file_skipping_prunes_and_loses_nothing(spark, tmp_path):
+    """Z-ordered write + footer-stats manifest: a range predicate on
+    EITHER dimension skips files, and the pruned read is row-identical
+    to the full-scan filter."""
+    from document_text_extraction_spark.functions.layout import (
+        cluster_by_zorder,
+        zorder_key_col,
+    )
+    from document_text_extraction_spark.sources.stats_prune import (
+        pruned_paths,
+        pruned_read,
+        stats_manifest,
+    )
+    rows = [(i, i % 199, (i * 7) % 211) for i in range(20000)]
+    df = spark.createDataFrame(rows, "rid long, a long, b long")
+    z = zorder_key_col(F.col("a"), F.col("b"))
+    out = str(tmp_path / "zt")
+    cluster_by_zorder(df, z, n_files=16).write.parquet(out)
+    manifest = stats_manifest(out, ["a", "b"])
+    n_files = len(manifest)
+    assert n_files >= 8
+    for col, lo, hi in (("a", 10, 40), ("b", 150, 190)):
+        kept = pruned_paths(manifest, col, lo, hi)
+        assert len(kept) < n_files, (col, len(kept), n_files)
+        got = sorted(r.rid for r in
+                     pruned_read(spark, out, manifest, col, lo, hi)
+                     .collect())
+        want = sorted(r.rid for r in df.filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)).collect())
+        assert got == want
+
+
+def test_file_skipping_empty_range(spark, tmp_path):
+    from document_text_extraction_spark.functions.layout import (
+        cluster_by_zorder,
+        zorder_key_col,
+    )
+    from document_text_extraction_spark.sources.stats_prune import (
+        pruned_read,
+        stats_manifest,
+    )
+    df = spark.createDataFrame([(1, 5, 5)], "rid long, a long, b long")
+    out = str(tmp_path / "z1")
+    cluster_by_zorder(df, zorder_key_col(F.col("a"), F.col("b")),
+                      n_files=2).write.parquet(out)
+    m = stats_manifest(out, ["a"])
+    assert pruned_read(spark, out, m, "a", 100, 200).count() == 0
