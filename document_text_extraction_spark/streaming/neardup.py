@@ -31,6 +31,16 @@ content's earliest representative is already in the corpus only if
 similarity happened to be transitive). For exact copies the two
 formulations coincide (equality is transitive) — that is the case the
 registry oracle pins; the near-pair behavior is property-tested.
+
+Store-side scale note: each micro-batch equi-joins against the FULL
+band store, which grows with the admitted corpus. The join shuffles
+only (band, 4-long slice, 16-long sig) rows — never text — but at
+10^12 admitted docs even that re-shuffle dominates; the production
+layout buckets the store by a hash of (band, bval) (the same
+``prepare_bucketed_input`` contract the resumable extractor uses), so
+the per-batch join co-locates against a pre-partitioned table and
+only the arrival side moves. The batch logic here is unchanged by
+that layout — it is purely a storage declaration.
 """
 
 from __future__ import annotations
