@@ -162,7 +162,10 @@ def contains_terms_col(text: Column, terms: list[str]) -> Column:
     term list case-insensitively — the C4 "bad words" gate (Raffel et
     al. 2020 filter a document containing any blocklist term). One
     ``arrays_overlap`` against a broadcast-literal array: pure JVM,
-    pushes down as a plain filter, no join, no regex backtracking."""
-    toks = F.split(F.lower(text), " ")
+    pushes down as a plain filter, no join, no regex backtracking.
+    NULL text coalesces to '' (contains nothing), so a NOT-filter
+    keeps null-text rows — matching SQL ``NOT EXISTS`` over
+    ``unnest(NULL)`` instead of silently dropping them."""
+    toks = F.split(F.lower(F.coalesce(text, F.lit(""))), " ")
     lit_terms = F.array(*[F.lit(t.lower()) for t in terms])
     return F.arrays_overlap(toks, lit_terms)

@@ -22,9 +22,10 @@ Spark shape here:
   that is a one-line order-key swap — the id policy is chosen so the
   DuckDB oracle and any re-run select bit-identical survivors.)
 
-Reference analogue: none (the reference corpus is per-document
-single-machine extraction, ``main_pipeline.py``); this operator is
-part of the LLM-training-data layer alongside
+Reference analogue: none (the reference repo is a set of per-document
+single-machine extraction scripts — approach4_v2.py,
+cv_doclayout_extractor.py — with no corpus-level dedup layer); this
+operator is part of the LLM-training-data layer alongside
 ``operators/dedup.py`` / ``operators/similarity.py``.
 """
 

@@ -37,6 +37,22 @@ from .sources import web_pages_from_documents
 # shared fragments
 # ---------------------------------------------------------------------------
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + registered end-of-process cleanup (ADVICE r4): the
+    registry queries that materialize real writes (streaming stores,
+    z-ordered layouts, output partitions) keep their directories alive
+    for the harness to read the returned lazy DataFrame, then this
+    atexit hook removes them — repeated bench/correctness runs no
+    longer accumulate /tmp garbage."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 CHUNK_SQL = (
     r"regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g')"
 )
@@ -373,9 +389,8 @@ def q_streaming_extract_roundtrip(spark, sf_dir):
     read the sink back — extracted text must equal the same golden
     chunking the batch roundtrips use (streaming/stream.py)."""
     import shutil
-    import tempfile
     from .streaming.stream import run_stream_available_now
-    base = tempfile.mkdtemp(prefix="dte_q_stream_")
+    base = _scratch_dir("dte_q_stream_")
     pages = web_pages_from_documents(spark, sf_dir)
     pages.write.mode("overwrite").parquet(f"{base}/in")
     run_stream_available_now(spark, f"{base}/in", f"{base}/out",
@@ -409,9 +424,8 @@ def q_wet_roundtrip(spark, sf_dir):
     golden chunking the batch roundtrips check, for exactly the ok
     rows (parse failures have nothing to publish)."""
     import shutil
-    import tempfile
     from .sinks import wet_text_df, write_wet
-    base = tempfile.mkdtemp(prefix="dte_q_wet_")
+    base = _scratch_dir("dte_q_wet_")
     out = _extracted(spark, sf_dir)
     # publish only ok rows — a parse_failure's empty text is a counted
     # failure, not corpus content (the sink itself stays generic)
@@ -1919,12 +1933,11 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     window. Final output == the batch operator == SQL_INCREMENTAL_DEDUP.
     """
     import shutil
-    import tempfile
     from .streaming.stream import (
         run_incremental_dedup_stream,
         seed_fingerprint_store,
     )
-    base = tempfile.mkdtemp(prefix="dte_q_sdedup_")
+    base = _scratch_dir("dte_q_sdedup_")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     seed_fingerprint_store(docs, f"{base}/fps")
     recap, newer, inner_dup = _planted_increment(docs)
@@ -1973,13 +1986,12 @@ def q_streaming_neardup_dedup(spark, sf_dir):
     property-tested in pytest. Spurious LSH rejections would surface
     as missing rows here."""
     import shutil
-    import tempfile
 
     from .streaming.neardup import (
         run_neardup_dedup_stream,
         seed_band_store,
     )
-    base = tempfile.mkdtemp(prefix="dte_q_sneardup_")
+    base = _scratch_dir("dte_q_sneardup_")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     seed_band_store(docs, f"{base}/bs")
     rev = F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
@@ -2893,10 +2905,9 @@ def q_wat_roundtrip(spark, sf_dir):
     the one computed live — the interop contract WAT consumers rely
     on. Oracle: SQL_ANCHOR_TEXT_INDEX verbatim."""
     import shutil
-    import tempfile
     from .functions import urls as U
     from .sinks import wat_links_df, write_wat
-    base = tempfile.mkdtemp(prefix="dte_q_wat_")
+    base = _scratch_dir("dte_q_wat_")
     out = _extracted(spark, sf_dir)
     ok = out.filter((F.col("lineage.route") == "html")
                     & (F.col("lineage.status") == "ok"))
@@ -3939,7 +3950,6 @@ def q_pruned_scan(spark, sf_dir):
     residual filter. The oracle is the plain full-scan predicate:
     row-identical results prove pruning loses nothing (the skip RATIO
     is pytest-asserted, test_functions)."""
-    import tempfile
 
     from .functions.layout import cluster_by_zorder, zorder_key_col
     from .sources.stats_prune import pruned_read, stats_manifest
@@ -3947,7 +3957,7 @@ def q_pruned_scan(spark, sf_dir):
         "event_id", "user_id", "event_type")
     z = zorder_key_col(F.col("user_id"),
                        F.shiftrightunsigned(F.col("event_id"), 6))
-    out_dir = tempfile.mkdtemp(prefix="dte_q_zscan_")
+    out_dir = _scratch_dir("dte_q_zscan_")
     cluster_by_zorder(ev, z, n_files=16).write.mode(
         "overwrite").parquet(out_dir)
     manifest = stats_manifest(out_dir, ["user_id"])

@@ -93,10 +93,14 @@ def band_rows_df(sig_df: DataFrame, id_col: str = "doc_id",
 
 
 def _agreement(a, b):
+    """Signature-agreement fraction — divides by the ACTUAL signature
+    length (``F.size``), not the module default, so callers passing a
+    non-default ``num_hashes`` to ``minhash_sig_df`` get correctly
+    scaled Jaccard estimates."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, v: acc + v,
-    ) / F.lit(float(NUM_HASHES))
+    ) / F.size(a).cast("double")
 
 
 def seed_band_store(docs: DataFrame, band_store: str,

@@ -405,3 +405,17 @@ def test_semdedup_plan_is_cluster_equijoin(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_streaming_agreement_scales_with_signature_width(spark):
+    """ADVICE r4: _agreement divides by the ACTUAL signature length,
+    so non-default num_hashes signatures get correctly scaled Jaccard
+    estimates (8/8 agreeing slots == 1.0, not 8/16 == 0.5)."""
+    from document_text_extraction_spark.streaming.neardup import _agreement
+    df = spark.createDataFrame(
+        [([1] * 8, [1] * 8), ([1] * 8, [1] * 4 + [2] * 4)],
+        "a array<long>, b array<long>")
+    vals = [r.ag for r in
+            df.select(_agreement(F.col("a"), F.col("b")).alias("ag"))
+            .collect()]
+    assert vals == [1.0, 0.5]

@@ -319,3 +319,20 @@ def test_file_skipping_empty_range(spark, tmp_path):
                       n_files=2).write.parquet(out)
     m = stats_manifest(out, ["a"])
     assert pruned_read(spark, out, m, "a", 100, 200).count() == 0
+
+
+def test_contains_terms_null_text_matches_sql_not_exists(spark):
+    """ADVICE r4: NULL text must act as 'contains nothing' so a
+    NOT-filter KEEPS the row — the DuckDB oracle's NOT EXISTS over
+    unnest(NULL) semantics — instead of dropping it via a NULL
+    predicate."""
+    from document_text_extraction_spark.functions.textstats import (
+        contains_terms_col,
+    )
+    df = spark.createDataFrame(
+        [(1, "clean words"), (2, None), (3, "bad stuff")],
+        "doc_id long, text string")
+    kept = {r.doc_id for r in
+            df.filter(~contains_terms_col(F.col("text"), ["bad"]))
+            .collect()}
+    assert kept == {1, 2}
