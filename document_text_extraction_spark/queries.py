@@ -3460,11 +3460,14 @@ def q_media_features(spark, sf_dir):
     the Arrow-batch feature kernel over a deterministic synthetic media
     table (300 rows keyed by doc_id). Every output column is
     arithmetically reconstructable by the oracle from the generator's
-    formulas: PNG payloads are sig(8)+IHDR(25)+body(256)=289 bytes with
-    planted dims, RIFF audio 516, mp4 video 1036. byte_entropy is
-    feature-kernel-real but not SQL-derivable, so the driver row
-    compares the structural columns (entropy stays pytest-asserted,
-    test_media_features)."""
+    formulas: images are REAL decodable PNGs (r5) of
+    sig(8)+IHDR(25)+IDAT(12+zlen)+IEND(12) bytes where
+    zlen = 6 + raw + 5*ceil(raw/32768) and raw = h*(1+3w) — the
+    encoder's fixed-block stored-zlib container makes the size a pure
+    function of the planted dims (pinned in test_media_png) — RIFF
+    audio 516, mp4 video 1036. byte_entropy is feature-kernel-real but
+    not SQL-derivable, so the driver row compares the structural
+    columns (entropy stays pytest-asserted, test_media_features)."""
     from .multimodal import media as M
     feats = M.extract_media_features(_media_df(spark, sf_dir),
                                      partitions=8)
@@ -3477,8 +3480,11 @@ SQL_MEDIA_FEATURES = (
     "SELECT doc_id AS media_id, "
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
     "ELSE 'video' END AS kind, "
-    "CAST(CASE doc_id % 3 WHEN 0 THEN 289 WHEN 1 THEN 516 "
-    "ELSE 1036 END AS BIGINT) AS n_bytes, "
+    "CAST(CASE doc_id % 3 WHEN 0 THEN "
+    "57 + 6 + (16 + (doc_id % 48) * 8) * (1 + 3 * (16 + (doc_id % 64) "
+    "* 8)) + 5 * CAST(ceil(((16 + (doc_id % 48) * 8) * (1 + 3 * (16 + "
+    "(doc_id % 64) * 8))) / 32768.0) AS BIGINT) "
+    "WHEN 1 THEN 516 ELSE 1036 END AS BIGINT) AS n_bytes, "
     "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'riff' "
     "ELSE 'mp4' END AS sniffed, "
     "CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 64) * 8 "

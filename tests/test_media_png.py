@@ -1,0 +1,166 @@
+"""Real PNG codec goldens (VERDICT r4 #1): the multimodal pixel decode
+is no longer stubbed — encode/decode roundtrips are exact, every row
+filter is exercised against hand-filtered scanlines, and the aHash
+kernel runs over TRUE decoded pixels."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from document_text_extraction_spark.multimodal import media as M
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _png(w, h, color_type, rows: bytes, plte: bytes | None = None,
+         depth: int = 8, interlace: int = 0) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       interlace)
+    out = M._PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(rows)) + _chunk(b"IEND",
+                                                               b"")
+
+
+def test_encode_decode_roundtrip_exact():
+    for seed in (0, 6, 41, 97):
+        w, h = 16 + (seed % 64) * 8, 16 + (seed % 48) * 8
+        px = M._synth_pixels(w, h, seed)
+        dec = M._decode_pixels(M._png_bytes(w, h, seed))
+        assert dec.shape == (h, w, 3)
+        assert np.array_equal(dec, px)
+
+
+def test_payload_size_formula():
+    """The oracle's n_bytes arithmetic: 63 + raw + 5*ceil(raw/32768)
+    with raw = h*(1+3w) — holds because the encoder writes its own
+    fixed-block stored zlib container (zlib.compress level-0 block
+    boundaries vary across versions)."""
+    for seed in (0, 3, 63):
+        w, h = 16 + (seed % 64) * 8, 16 + (seed % 48) * 8
+        raw = h * (1 + 3 * w)
+        nblk = max(1, -(-raw // 32768))
+        assert len(M._png_bytes(w, h, seed)) == 63 + raw + 5 * nblk
+
+
+def test_sub_up_paeth_filters_golden():
+    pix = (np.arange(27).reshape(3, 3, 3) * 7 % 256).astype(np.uint8)
+    flat = pix.reshape(3, 9).astype(np.int64)
+    bpp, stride = 3, 9
+    rows = []
+    enc0 = [(flat[0][x] - (flat[0][x - bpp] if x >= bpp else 0)) & 0xFF
+            for x in range(stride)]
+    rows.append(bytes([1]) + bytes(enc0))  # Sub
+    enc1 = [(flat[1][x] - flat[0][x]) & 0xFF for x in range(stride)]
+    rows.append(bytes([2]) + bytes(enc1))  # Up
+    enc2 = []
+    for x in range(stride):  # Paeth
+        a = flat[2][x - bpp] if x >= bpp else 0
+        b = flat[1][x]
+        c = flat[1][x - bpp] if x >= bpp else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        enc2.append((flat[2][x] - pred) & 0xFF)
+    rows.append(bytes([4]) + bytes(enc2))
+    dec = M._decode_pixels(_png(3, 3, 2, b"".join(rows)))
+    assert np.array_equal(dec, pix)
+
+
+def test_average_filter_and_grayscale_golden():
+    gray = ((np.arange(16).reshape(4, 4) * 13) % 256).astype(np.uint8)
+    g = gray.astype(np.int64)
+    prev = np.zeros(4, dtype=np.int64)
+    rows = []
+    for y in range(4):
+        enc = []
+        for x in range(4):
+            left = g[y][x - 1] if x >= 1 else 0
+            enc.append((g[y][x] - ((left + prev[x]) >> 1)) & 0xFF)
+        rows.append(bytes([3]) + bytes(enc))
+        prev = g[y]
+    dec = M._decode_pixels(_png(4, 4, 0, b"".join(rows)))
+    assert np.array_equal(dec, np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_rgba_alpha_dropped_and_palette_lookup():
+    pix = (np.arange(27).reshape(3, 3, 3) * 7 % 256).astype(np.uint8)
+    rgba = np.dstack([pix, np.full((3, 3), 128, np.uint8)])
+    rows = b"".join(bytes([0]) + rgba[y].tobytes() for y in range(3))
+    assert np.array_equal(M._decode_pixels(_png(3, 3, 6, rows)), pix)
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    rows = b"".join(bytes([0]) + idx[y].tobytes() for y in range(2))
+    dec = M._decode_pixels(_png(2, 2, 3, rows, plte=plte.tobytes()))
+    assert np.array_equal(dec, plte[idx])
+
+
+def test_gray_alpha_replicates_gray():
+    ga = np.array([[[10, 200], [20, 0]]], np.uint8)  # 1x2, 2ch
+    rows = bytes([0]) + ga.tobytes()
+    dec = M._decode_pixels(_png(2, 1, 4, rows))
+    assert np.array_equal(dec, np.repeat(ga[:, :, :1], 3, axis=2))
+
+
+def test_unsupported_and_malformed():
+    with pytest.raises(NotImplementedError):  # jpeg → deployment hook
+        M._decode_pixels(b"\xff\xd8\xff garbage")
+    with pytest.raises(NotImplementedError):  # interlaced PNG
+        M._decode_pixels(_png(2, 2, 2, bytes(14), interlace=1))
+    with pytest.raises(NotImplementedError):  # 16-bit PNG
+        M._decode_pixels(_png(2, 2, 2, bytes(14), depth=16))
+    with pytest.raises(ValueError):  # corrupt IDAT
+        bad = (M._PNG_SIG
+               + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2,
+                                             0, 0, 0))
+               + _chunk(b"IDAT", b"notzlib") + _chunk(b"IEND", b""))
+        M._decode_pixels(bad)
+    with pytest.raises(ValueError):  # truncated scanlines
+        M._decode_pixels(_png(4, 4, 2, zlib.decompress(
+            zlib.compress(bytes(5)))[:0] + bytes(5)))
+
+
+def test_ahash_runs_over_true_pixels():
+    """The kernel-visible contract: for a planted PNG the aHash equals
+    the numpy reference computed from the DECODED (true) pixels — the
+    fake-decode path is no longer reachable for PNG."""
+    seed = 12
+    w, h = 16 + (seed % 64) * 8, 16 + (seed % 48) * 8
+    payload = M._png_bytes(w, h, seed)
+    px = M._decode_pixels(payload)
+    assert np.array_equal(px, M._synth_pixels(w, h, seed))
+    expect = M._ahash_of(px)
+    fake = M._ahash_of(M._fake_pixels(payload, w, h))
+    assert expect != fake  # proves the real path is the one measured
+
+
+def test_ahash_images_spark_uses_decoder(spark):
+    rows = [M.synth_media_row(i) for i in range(0, 9)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r.media_id: (r.ahash, r.status)
+           for r in M.ahash_images(df, partitions=2).collect()}
+    for i in (0, 3, 6):  # the image rows
+        w, h = 16 + (i % 64) * 8, 16 + (i % 48) * 8
+        exp = M._ahash_of(M._decode_pixels(M._png_bytes(w, h, i)))
+        assert got[i] == (exp, "ok")
+
+
+def test_corrupt_payload_yields_decode_error_status(spark):
+    good = M.synth_media_row(0)
+    bad = (1, "image", M._PNG_SIG + b"\x00\x00\x00\x0dIHDRjunkjunkjunk0",
+           "image/png", 16, 16, -1)
+    df = spark.createDataFrame([good, bad], M.MEDIA_SCHEMA)
+    got = {r.media_id: r.status
+           for r in M.ahash_images(df, partitions=1).collect()}
+    assert got == {0: "ok", 1: "decode_error"}
+    rz = {r.media_id: r.status
+          for r in M.resize_images(df, 8, 8, partitions=1).collect()}
+    assert rz == {0: "ok", 1: "decode_error"}

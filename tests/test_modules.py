@@ -306,12 +306,17 @@ def test_audio_chunk_plan(spark, media):
         assert n == -(-src[mid] // 5000), mid  # ceil(duration/chunk)
 
 
-def test_media_decode_is_stubbed():
+def test_media_decode_png_real_jpeg_hooked():
+    """PNG pixel decode is REAL (r5); JPEG remains the deployment
+    hook (NotImplementedError -> documented deterministic fake)."""
     from document_text_extraction_spark.multimodal.media import (
         _decode_pixels,
+        synth_media_row,
     )
+    px = _decode_pixels(synth_media_row(0)[2])
+    assert px.shape == (16, 16, 3)
     with pytest.raises(NotImplementedError):
-        _decode_pixels(b"\x89PNG")
+        _decode_pixels(b"\xff\xd8\xff jpeg-bytes")
 
 
 def test_frame_sample_plan(spark, media):
@@ -616,12 +621,12 @@ def _ref_ahash(px):
 def test_ahash_matches_reference():
     from document_text_extraction_spark.multimodal.media import (
         _ahash_of,
-        _fake_pixels,
+        _decode_pixels,
         synth_media_row,
     )
     for i in (0, 6, 30, 144, 297):
         row = synth_media_row(i - i % 3)  # force image ids
-        px = _fake_pixels(row[2], row[4], row[5])
+        px = _decode_pixels(row[2])      # REAL decoded pixels
         assert _ahash_of(px) == _ref_ahash(px)
 
 
@@ -634,13 +639,13 @@ def test_ahash_no_accidental_near_pairs():
 
     from document_text_extraction_spark.multimodal.media import (
         _ahash_of,
-        _fake_pixels,
+        _decode_pixels,
         synth_media_row,
     )
     hs = []
     for i in range(0, 300, 3):
         row = synth_media_row(i)
-        hs.append(_ahash_of(_fake_pixels(row[2], row[4], row[5])))
+        hs.append(_ahash_of(_decode_pixels(row[2])))
     assert len(set(hs)) == 100
     for a, b in itertools.combinations(hs, 2):
         assert bin((a ^ b) & ((1 << 64) - 1)).count("1") > 3
