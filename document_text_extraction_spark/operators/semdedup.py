@@ -10,9 +10,18 @@ set stays bounded, and the all-pairs join never leaves a cluster.
 
 Spark shape here:
 
-* cluster assignment is :func:`..operators.similarity.ivf_assign_col`
-  — a pure map-only argmin expression over a broadcast-literal
-  codebook (no shuffle, no Python);
+* cluster assignment is map-only and codebook-size-aware
+  (:func:`assign_clusters`): small codebooks (<= ``max_literal``,
+  default 256) use :func:`..operators.similarity.ivf_assign_col` — a
+  pure argmin expression, whole-stage-codegen'd; larger codebooks
+  (SemDedup-paper scale is ~100k clusters, where a literal expression
+  would not compile) switch to an Arrow-batched kernel
+  (:func:`_assign_batches`) that broadcasts the centroid matrix in the
+  task closure and computes the argmin as ONE float64 matmul per
+  batch — still map-only, no shuffle, vectorized. CLUSTER-COUNT RULE:
+  keep n_clusters ≈ √N (paper guidance) so the within-cluster
+  triangle join stays ~O(N) pairs total; the kernel path makes that
+  feasible at any corpus size;
 * the candidate join is an equi-join on ``cluster_id`` with an
   ``id <`` triangle predicate — a shuffled hash join keyed on the
   cluster, NEVER a cartesian (asserted in tests);
@@ -31,20 +40,78 @@ operator is part of the LLM-training-data layer alongside
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .similarity import _as_double, _dot, _norm, ivf_assign_col
+
+MAX_LITERAL_CODEBOOK = 256
+
+
+def _assign_batches(centroids: list[list[float]], id_col: str,
+                    vec_col: str):
+    """Arrow-batch nearest-centroid kernel for LARGE codebooks: the
+    centroid matrix rides the task closure (one broadcast), scores are
+    ``|c|^2 - 2 X·Cᵀ`` via one float64 matmul per batch, and
+    ``np.argmin`` ties break to the lowest centroid index — the same
+    argmin + tie policy as the literal expression and the DuckDB
+    oracle's ``ORDER BY score, cluster_id`` row_number."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cn2 = np.einsum("ij,ij->i", C, C)
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            scores = cn2[None, :] - 2.0 * (X @ C.T)
+            yield pd.DataFrame({
+                id_col: b[id_col],
+                vec_col: b[vec_col],
+                "cluster_id": np.argmin(scores, axis=1).astype(np.int32),
+            })
+
+    return batch
 
 
 def assign_clusters(df: DataFrame, centroids: list[list[float]],
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    max_literal: int = MAX_LITERAL_CODEBOOK) -> DataFrame:
     """(id, vec, cluster_id, nrm): map-only nearest-centroid assignment
-    plus the L2 norm reused by every downstream cosine."""
-    return df.select(
-        F.col(id_col), F.col(vec_col),
-        ivf_assign_col(centroids, F.col(vec_col)).alias("cluster_id"),
+    plus the L2 norm reused by every downstream cosine.
+
+    Mechanism switches on codebook size (VERDICT r4 #2): up to
+    ``max_literal`` centroids the assignment is a codegen'd literal
+    argmin expression; above it, an Arrow-batch matmul kernel — a
+    literal expression over a 100k-centroid codebook would be a
+    megabyte expression tree Catalyst cannot compile, while the kernel
+    is one BLAS call per batch. Both paths are plan-equal (no shuffle)
+    and assignment-equal (tested differentially). ``nrm`` is computed
+    by the SAME JVM fold expression on both paths so downstream cosine
+    comparisons are bit-identical to the DuckDB oracle regardless of
+    mechanism."""
+    if len(centroids) <= max_literal:
+        assigned = df.select(
+            F.col(id_col), F.col(vec_col),
+            ivf_assign_col(centroids, F.col(vec_col))
+            .alias("cluster_id"),
+        )
+    else:
+        narrow = df.select(id_col, vec_col)
+        schema = T.StructType(list(narrow.schema.fields)
+                              + [T.StructField("cluster_id",
+                                               T.IntegerType())])
+        assigned = narrow.mapInPandas(
+            _assign_batches(centroids, id_col, vec_col), schema=schema)
+    return assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("cluster_id"),
         _norm(_as_double(F.col(vec_col))).alias("nrm"),
     )
 
@@ -72,7 +139,8 @@ def semantic_duplicate_pairs(assigned: DataFrame,
 
 def semdedup(df: DataFrame, centroids: list[list[float]],
              id_col: str = "vec_id", vec_col: str = "embedding",
-             threshold: float = 0.95) -> DataFrame:
+             threshold: float = 0.95,
+             max_literal: int = MAX_LITERAL_CODEBOOK) -> DataFrame:
     """Survivors of semantic dedup: every row NOT within ``threshold``
     cosine of a lower-id row in its cluster. Returns
     (id, cluster_id) — the training-set keep list.
@@ -81,7 +149,8 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
     anti-join; the anti-join's right side is the dropped-id set
     (duplicates only — a small fraction of the corpus, broadcast-able
     at scale like the line-dedup dup set)."""
-    assigned = assign_clusters(df, centroids, id_col, vec_col)
+    assigned = assign_clusters(df, centroids, id_col, vec_col,
+                               max_literal=max_literal)
     dropped = (semantic_duplicate_pairs(assigned, id_col, vec_col,
                                         threshold)
                .select(F.col("id_b").alias(id_col)).distinct())
@@ -98,4 +167,15 @@ def fixed_codebook(df: DataFrame, n_clusters: int = 16,
     the same interface). One tiny bounded collect (the "model" load)."""
     rows = (df.filter(F.col(id_col) < n_clusters)
             .select(id_col, vec_col).orderBy(id_col).collect())
+    # the emitted cluster_id is the centroid's LIST INDEX; it names the
+    # centroid's vec_id only because the ids collected here are exactly
+    # 0..n-1 — assert that instead of silently desyncing from an oracle
+    # that emits vec_ids (ADVICE r4)
+    ids = [int(r[id_col]) for r in rows]
+    if ids != list(range(n_clusters)):
+        raise ValueError(
+            f"fixed_codebook expects ids 0..{n_clusters - 1} to exist "
+            f"(got {len(ids)} ids, first/last "
+            f"{ids[:1]}..{ids[-1:]}); on a corpus with sparse ids use "
+            "a trained codebook and emit centroid ids explicitly")
     return [[float(x) for x in r[vec_col]] for r in rows]

@@ -3801,6 +3801,50 @@ SQL_SEMDEDUP = (
 )
 
 
+def q_semdedup_scaled(spark, sf_dir):
+    """SemDedup at a codebook size ABOVE the literal-expression ceiling
+    (VERDICT r4 #2): 300 fixed centroids force assign_clusters onto the
+    Arrow-batch matmul kernel — the mechanism a paper-scale (~sqrt(N),
+    100k-cluster) codebook needs, since a literal argmin expression of
+    that size would not compile. Same planted dups and drop policy as
+    q_semdedup; the oracle replicates the 300-centroid argmin, the
+    within-cluster triangle join, and the id-greedy drop exactly, so a
+    kernel-vs-expression assignment divergence would hash-mismatch
+    here."""
+    from .operators import semdedup as sd
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    extra = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias(
+            "embedding"),
+    )
+    allv = emb.unionAll(extra)
+    cb = sd.fixed_codebook(allv, n_clusters=300)
+    return sd.semdedup(allv, cb, threshold=0.95)
+
+
+SQL_SEMDEDUP_SCALED = (
+    "WITH all_vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings UNION ALL SELECT vec_id + 100000 AS vec_id, "
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) AS e "
+    "FROM embeddings WHERE vec_id % 13 = 0), "
+    "c AS (SELECT vec_id AS cluster_id, e AS ce, "
+    "list_dot_product(e, e) AS cn2 FROM all_vecs WHERE vec_id < 300), "
+    "a AS (SELECT v.vec_id, c.cluster_id, row_number() OVER "
+    "(PARTITION BY v.vec_id ORDER BY c.cn2 - 2 * "
+    "list_dot_product(v.e, c.ce), c.cluster_id) AS rn "
+    "FROM all_vecs v CROSS JOIN c), "
+    "ass AS (SELECT v.vec_id, a.cluster_id, v.e, "
+    "sqrt(list_dot_product(v.e, v.e)) AS nrm FROM all_vecs v "
+    "JOIN a ON a.vec_id = v.vec_id AND a.rn = 1), "
+    "dropped AS (SELECT DISTINCT y.vec_id FROM ass x JOIN ass y "
+    "ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id "
+    "WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= 0.95) "
+    "SELECT s.vec_id, CAST(s.cluster_id AS INT) AS cluster_id "
+    "FROM ass s WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)"
+)
+
+
 def q_kmv_distinct(spark, sf_dir):
     """Mergeable KMV distinct-count sketch: per-(source, lang) sketches
     of the distinct 10-word lines (k=64 minima of the engine's 60-bit
@@ -4197,6 +4241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- newest in round 4: semantic dedup, sketches, retrieval,
     # host-template scrubbing ------------------------------------------
     "semdedup": q_semdedup,
+    "semdedup_scaled": q_semdedup_scaled,
     "media_phash": q_media_phash,
     "kmv_distinct": q_kmv_distinct,
     "length_quantiles": q_length_quantiles,
@@ -4360,6 +4405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "semdedup": SQL_SEMDEDUP,
+    "semdedup_scaled": SQL_SEMDEDUP_SCALED,
     "media_phash": SQL_MEDIA_PHASH,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "length_quantiles": SQL_LENGTH_QUANTILES,
