@@ -1,0 +1,62 @@
+"""Deterministic KMeans codebook training for IVF / SemDedup.
+
+The production pattern (what faiss/ScaNN deployments do): train the
+quantizer on a BOUNDED sample driver-side, then assign the full corpus
+map-only with the trained centroids — training is O(sample × k ×
+iters) and never touches the cluster, assignment scales with the
+corpus. ``pyspark.ml.KMeans`` (``similarity.ivf_index``) exists for
+the run-it-on-Spark form, but its result depends on partitioning/seed
+internals; THIS trainer is a pure function of the data, so a DuckDB
+oracle can replicate it step for step (the driver-gradable "trained
+model" path, VERDICT r4 #7).
+
+Determinism contract (mirrored by SQL_ANN_IVF_TRAINED's unrolled
+CTEs):
+
+* sample = rows with ``id < sample_max_id``, ordered by id;
+* init   = the first ``k`` sample vectors (ids 0..k-1);
+* each Lloyd iteration: argmin of ``|c|² − 2 x·c`` (ties → lowest
+  centroid index), then element-wise mean of each cluster's members,
+  then **floor-quantization** to 1e-6 — floor-scaling is the repo's
+  cross-engine float convention (round-half rules differ between
+  engines; floor doesn't), and quantizing at every step stops ULP
+  drift from compounding across iterations;
+* an empty cluster raises (rather than silently diverging from an
+  oracle that would drop the id) — unreachable for k ≪ sample with
+  distinct vectors, and loud if a caller violates that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_codebook(df: DataFrame, k: int = 8, iters: int = 2,
+                   sample_max_id: int = 256,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic Lloyd's over the id-bounded sample; returns the
+    floor-quantized centroid list (index = cluster id)."""
+    rows = (df.filter(F.col(id_col) < sample_max_id)
+            .select(id_col, vec_col).orderBy(id_col).collect())
+    if len(rows) < k:
+        raise ValueError(
+            f"train_codebook: sample has {len(rows)} rows < k={k}")
+    X = np.asarray([[float(x) for x in r[vec_col]] for r in rows],
+                   dtype=np.float64)
+    C = X[:k].copy()
+    for _ in range(iters):
+        scores = np.einsum("ij,ij->i", C, C)[None, :] - 2.0 * (X @ C.T)
+        assign = np.argmin(scores, axis=1)
+        new_c = np.empty_like(C)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members) == 0:
+                raise ValueError(
+                    f"train_codebook: cluster {j} empty — oracle "
+                    "semantics undefined; lower k or widen the sample")
+            new_c[j] = members.mean(axis=0)
+        C = np.floor(new_c * 1e6) / 1e6
+    return [[float(x) for x in c] for c in C]

@@ -2454,6 +2454,71 @@ SQL_ANN_TOPK = (
 )
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF top-10 with a TRAINED codebook (VERDICT r4 #7): a
+    deterministic sample-trained KMeans (operators/kmeans.py — Lloyd's
+    on vec_id<256, k=8, 2 iterations, floor-quantized centroids each
+    step) quantizes the corpus map-only (ivf_assign_col), then the 4
+    nearest inverted lists are probed and exactly re-ranked. The
+    oracle UNROLLS the training: two assign→mean→floor CTE rounds from
+    the same init, then the same probe + re-rank — so a single
+    centroid drifting by one quantum would hash-mismatch."""
+    from .operators import kmeans as km
+    emb = _embeddings(spark, sf_dir)
+    cb = km.train_codebook(emb, k=8, iters=2, sample_max_id=256)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed = emb.withColumn(
+        "list_id", similarity.ivf_assign_col(cb, F.col("embedding")))
+    return similarity.ivf_topk(indexed, cb, qvec, k=10, n_probe=4)
+
+
+SQL_ANN_IVF_TRAINED = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    "s AS (SELECT vec_id, e FROM v WHERE vec_id < 256), "
+    "sv AS (SELECT vec_id, unnest(e) AS val, "
+    "unnest(generate_series(1, len(e))) AS pos FROM s), "
+    "c0 AS (SELECT vec_id AS cid, e AS ce FROM s WHERE vec_id < 8), "
+    "a1 AS (SELECT s.vec_id, c0.cid, row_number() OVER "
+    "(PARTITION BY s.vec_id ORDER BY list_dot_product(c0.ce, c0.ce) "
+    "- 2 * list_dot_product(s.e, c0.ce), c0.cid) AS rn "
+    "FROM s CROSS JOIN c0), "
+    "p1 AS (SELECT a1.cid, sv.pos, "
+    "floor(avg(sv.val) * 1e6) / 1e6 AS av "
+    "FROM a1 JOIN sv USING (vec_id) WHERE a1.rn = 1 GROUP BY 1, 2), "
+    "c1 AS (SELECT cid, list(av ORDER BY pos) AS ce FROM p1 "
+    "GROUP BY cid), "
+    "a2 AS (SELECT s.vec_id, c1.cid, row_number() OVER "
+    "(PARTITION BY s.vec_id ORDER BY list_dot_product(c1.ce, c1.ce) "
+    "- 2 * list_dot_product(s.e, c1.ce), c1.cid) AS rn "
+    "FROM s CROSS JOIN c1), "
+    "p2 AS (SELECT a2.cid, sv.pos, "
+    "floor(avg(sv.val) * 1e6) / 1e6 AS av "
+    "FROM a2 JOIN sv USING (vec_id) WHERE a2.rn = 1 GROUP BY 1, 2), "
+    "c2 AS (SELECT cid, list(av ORDER BY pos) AS ce FROM p2 "
+    "GROUP BY cid), "
+    "q AS (SELECT e AS qe FROM v WHERE vec_id = 0), "
+    "probe AS (SELECT cid FROM (SELECT c2.cid, row_number() OVER "
+    "(ORDER BY list_dot_product(c2.ce, c2.ce) - 2 * "
+    "list_dot_product(q.qe, c2.ce), c2.cid) AS rn "
+    "FROM c2 CROSS JOIN q) WHERE rn <= 4), "
+    "af AS (SELECT v.vec_id, c2.cid, row_number() OVER "
+    "(PARTITION BY v.vec_id ORDER BY list_dot_product(c2.ce, c2.ce) "
+    "- 2 * list_dot_product(v.e, c2.ce), c2.cid) AS rn "
+    "FROM v CROSS JOIN c2), "
+    "cand AS (SELECT v.vec_id, v.e FROM v "
+    "JOIN af ON af.vec_id = v.vec_id AND af.rn = 1 "
+    "JOIN probe ON probe.cid = af.cid), "
+    "sc AS (SELECT cand.vec_id, list_dot_product(cand.e, q.qe) / "
+    "(sqrt(list_dot_product(cand.e, cand.e)) * "
+    "sqrt(list_dot_product(q.qe, q.qe))) AS cos "
+    "FROM cand CROSS JOIN q) "
+    "SELECT vec_id, floor(cos * 1e4) / 1e4 AS cosine FROM sc "
+    "ORDER BY cos DESC, vec_id LIMIT 10"
+)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup over planted duplicates (every 13th
     vector re-scaled by 1.001 — same direction, cosine 1.0). Oracle: the
@@ -4242,6 +4307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # host-template scrubbing ------------------------------------------
     "semdedup": q_semdedup,
     "semdedup_scaled": q_semdedup_scaled,
+    "ann_ivf_trained": q_ann_ivf_trained,
     "media_phash": q_media_phash,
     "kmv_distinct": q_kmv_distinct,
     "length_quantiles": q_length_quantiles,
@@ -4406,6 +4472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "semdedup": SQL_SEMDEDUP,
     "semdedup_scaled": SQL_SEMDEDUP_SCALED,
+    "ann_ivf_trained": SQL_ANN_IVF_TRAINED,
     "media_phash": SQL_MEDIA_PHASH,
     "kmv_distinct": SQL_KMV_DISTINCT,
     "length_quantiles": SQL_LENGTH_QUANTILES,

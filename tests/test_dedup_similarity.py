@@ -480,3 +480,35 @@ def test_fixed_codebook_rejects_sparse_ids(spark):
         "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="expects ids 0..3"):
         sd.fixed_codebook(df, n_clusters=4)
+
+
+def test_trained_codebook_deterministic_and_recalls(spark):
+    """operators/kmeans.py: the sample-trained codebook is a pure
+    function of the data (partitioning-independent), its IVF probe
+    reaches useful recall vs brute force, and short samples raise."""
+    import numpy as np
+
+    from document_text_extraction_spark.operators import kmeans as km
+    from document_text_extraction_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 12)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb1 = km.train_codebook(df, k=4, iters=2, sample_max_id=128)
+    cb2 = km.train_codebook(df.repartition(7), k=4, iters=2,
+                            sample_max_id=128)
+    assert cb1 == cb2
+    assert all(abs(x * 1e6 - round(x * 1e6)) < 1e-6
+               for c in cb1 for x in c)  # floor-quantized grid
+    qvec = [float(x) for x in vecs[0]]
+    indexed = df.withColumn(
+        "list_id", similarity.ivf_assign_col(cb1, F.col("embedding")))
+    ivf = {r.vec_id for r in
+           similarity.ivf_topk(indexed, cb1, qvec, k=5, n_probe=2)
+           .collect()}
+    brute = {r.vec_id for r in cosine_topk(df, qvec, k=5).collect()}
+    assert len(ivf & brute) >= 3  # probe recall, not exhaustive
+    assert 0 in ivf  # the query vector itself always survives
+    with pytest.raises(ValueError, match="sample has"):
+        km.train_codebook(df.filter(F.col("vec_id") < 2), k=4)
