@@ -144,10 +144,135 @@ def _transcode_meta_charset(data: bytes) -> bytes:
     return data.decode(codec, errors="replace").encode("utf-8")
 
 
+# ---------------------------------------------------------------------------
+# byte-distribution charset sniff for BOM-less, declaration-free pages
+# (LIMITS.md §2 tail closed in r5). Deterministic chardet-style scoring:
+# candidate decodes are graded by weighted script-range hit rates over
+# the NON-ASCII chars, with (a) a strict validity gate (>2% replacement
+# chars eliminates a codec — genuine single-byte Cyrillic text is
+# invalid Shift_JIS/EUC/GBK because 0x20 is never a legal trail byte),
+# (b) an adjacency gate separating dense Cyrillic words from sparse
+# Latin accents (both decode "valid" in each other's codec), and
+# (c) small common-hanzi sets breaking the GBK/Big5 tie (both decode
+# each other's bytes as valid CJK; only the right one hits the
+# frequent simplified/traditional characters). Pure byte/str functions
+# — kernel and oracle share this code path via _decode_transfer_html.
+# ---------------------------------------------------------------------------
+
+_COMMON_SIMP = set("这们个来为时后么没于还发过学对里着会国说经现点业"
+                   "东车电华报问题应难长张马")
+_COMMON_TRAD = set("這們個來為時後麼沒於還發過學對裡著會國說經現點業"
+                   "東車電華報問題應難長張馬")
+
+_JP_W = ((0x3040, 0x309F, 2.0), (0x30A0, 0x30FF, 1.5),
+         (0xFF61, 0xFF9F, 0.0), (0x4E00, 0x9FFF, 1.0),
+         (0x3000, 0x303F, 1.0), (0xFF01, 0xFF60, 1.0))
+_KR_W = ((0xAC00, 0xD7AF, 2.0), (0x1100, 0x11FF, 1.5),
+         (0x4E00, 0x9FFF, 1.0), (0x3000, 0x303F, 1.0),
+         (0xFF01, 0xFF60, 1.0))
+_ZH_W = ((0x4E00, 0x9FFF, 1.0), (0x3000, 0x303F, 1.0),
+         (0xFF01, 0xFF60, 1.0))
+_CYR_W = ((0x0430, 0x044F, 1.0), (0x0451, 0x0451, 1.0),
+          (0x0410, 0x042F, 0.3), (0x0401, 0x0401, 0.3),
+          (0x00AB, 0x00AB, 0.5), (0x00BB, 0x00BB, 0.5))
+_LATIN_W = ((0x00C0, 0x00D6, 1.0), (0x00D8, 0x00F6, 1.0),
+            (0x00F8, 0x00FF, 1.0), (0x0152, 0x0153, 1.0),
+            (0x2018, 0x201D, 0.5), (0x00AB, 0x00AB, 0.5),
+            (0x00BB, 0x00BB, 0.5))
+
+_SNIFF_WINDOW = 65536
+
+
+def _script_score(dec: str, weights, common=None) -> float:
+    """Weighted in-script fraction of the decode's non-ASCII chars;
+    -1 if too little signal or the decode needed replacements (an
+    invalid byte sequence for this codec)."""
+    non = [c for c in dec if ord(c) >= 0x80]
+    if len(non) < 8:
+        return -1.0
+    if sum(1 for c in non if c == "�") / len(non) > 0.02:
+        return -1.0
+    tot = 0.0
+    for c in non:
+        if common and c in common:
+            tot += 2.0
+            continue
+        o = ord(c)
+        for lo, hi, w in weights:
+            if lo <= o <= hi:
+                tot += w
+                break
+    return tot / len(non)
+
+
+def _sniff_charset(data: bytes) -> str | None:
+    """Best-guess codec for a BOM-less, declaration-free page, or None
+    when the bytes are valid UTF-8 / ASCII / carry too little non-ASCII
+    signal / score below the confidence floor (0.4). Deterministic:
+    fixed candidate order breaks exact ties."""
+    win = bytes(data[:_SNIFF_WINDOW])
+    t = win
+    for _ in range(4):  # tolerate a window-cut multibyte tail
+        try:
+            t.decode("utf-8", "strict")
+            return None
+        except UnicodeDecodeError:
+            t = t[:-1]
+    n = len(win)
+    high_idx = [i for i, b in enumerate(win) if b >= 0x80]
+    if len(high_idx) < 8:
+        return None
+    adjacent = sum(
+        1 for i in high_idx
+        if (i > 0 and win[i - 1] >= 0x80)
+        or (i + 1 < n and win[i + 1] >= 0x80)
+    ) / len(high_idx)
+
+    def dec(codec: str) -> str:
+        try:
+            return win.decode(codec, "replace")
+        except Exception:
+            return ""
+
+    cands = [
+        ("shift_jis", _script_score(dec("shift_jis"), _JP_W)),
+        ("euc_jp", _script_score(dec("euc_jp"), _JP_W)),
+        ("euc_kr", _script_score(dec("euc_kr"), _KR_W)),
+        ("gbk", _script_score(dec("gbk"), _ZH_W, _COMMON_SIMP)),
+        ("big5", _script_score(dec("big5"), _ZH_W, _COMMON_TRAD)),
+    ]
+    if adjacent >= 0.2:  # dense non-ASCII words → Cyrillic family
+        cands.append(("cp1251", _script_score(dec("cp1251"), _CYR_W)))
+        cands.append(("koi8-r", _script_score(dec("koi8-r"), _CYR_W)))
+    else:  # sparse accents between ASCII letters → Western family
+        cands.append(("cp1252", _script_score(dec("cp1252"), _LATIN_W)))
+    best_score, best = -1.0, None
+    for name, sc in cands:  # first-listed wins exact ties
+        if sc > best_score:
+            best_score, best = sc, name
+    return best if best_score >= 0.4 else None
+
+
+def _transcode_sniffed_charset(data: bytes) -> bytes:
+    """Declaration-free fallback: byte-distribution sniff → UTF-8
+    transcode. No-op for UTF-8/ASCII/low-signal/low-confidence pages
+    (the sniffer's None cases)."""
+    codec = _sniff_charset(data)
+    if codec is None:
+        return data
+    return data.decode(codec, errors="replace").encode("utf-8")
+
+
 def _decode_transfer_html(data: bytes) -> bytes:
     """The html-branch decode stack: transfer layer (gzip), BOM
-    charsets, then the meta-declared legacy charset."""
-    return _transcode_meta_charset(_decode_transfer(data))
+    charsets, the meta-declared legacy charset, and — when nothing is
+    declared and the bytes are not valid UTF-8 — the deterministic
+    byte-distribution sniff."""
+    data = _decode_transfer(data)
+    m = _META_CHARSET_RE.search(data[:1024])
+    if m:  # declared wins, even when the label is unknown/utf-8
+        return _transcode_meta_charset(data)
+    return _transcode_sniffed_charset(data)
 
 
 # ---------------------------------------------------------------------------

@@ -3403,28 +3403,46 @@ SQL_DECONTAMINATE = (
 
 
 def q_extract_charset_roundtrip(spark, sf_dir):
-    """BOM-less legacy-charset pages (LIMITS.md §2 closed): Shift_JIS /
-    EUC-JP / windows-1251 bodies declaring ``<meta charset>`` in three
-    real-world syntactic forms, content lines wrapped in codec-native
-    quote glyphs so a MISSING transcode shows up as U+FFFD mojibake in
-    extracted_text (not merely in dropped boilerplate). Pages are built
-    executor-side (corpus.make_html_charset) and run through the REAL
-    extraction pipeline (pipeline.extract_df → kernels batch path →
-    oracle._decode_transfer_html); the oracle reconstructs the
-    quote-wrapped golden text arithmetically."""
+    """BOM-less legacy-charset pages (LIMITS.md §2 closed, incl. the
+    r5 declaration-free tail): Shift_JIS / EUC-JP / windows-1251 bodies
+    in TWO plants per doc — (a) ``<meta charset>`` declared in three
+    real-world syntactic forms (ids < 300), and (b) the SAME page with
+    the declaration stripped and a codec-native paragraph appended
+    (ids + 1000), which only extracts clean if the byte-distribution
+    sniff (oracle._sniff_charset) identifies the codec with no label
+    to read. Content lines are wrapped in codec-native quote glyphs so
+    a MISSING transcode shows up as U+FFFD mojibake in extracted_text.
+    Pages are built executor-side and run through the REAL extraction
+    pipeline (pipeline.extract_df → kernels batch path →
+    oracle._decode_transfer_html); the oracle reconstructs both golden
+    texts arithmetically."""
     import pandas as pd
 
     from . import corpus as C
     docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
         F.col("doc_id") < 300)
+    native = {
+        "shift_jis": CHARSET_NATIVE_JA,
+        "euc_jp": CHARSET_NATIVE_JA,
+        "cp1251": CHARSET_NATIVE_RU,
+    }
 
     def gen(batches):
         for b in batches:
             rows = []
             for i, t in zip(b["doc_id"], b["text"]):
                 codec = ["shift_jis", "euc_jp", "cp1251"][int(i) % 3]
-                rows.append((C.url_for(int(i), "cs"),
-                             C.make_html_charset(int(i), t, codec)))
+                page = C.make_html_charset(int(i), t, codec)
+                rows.append((C.url_for(int(i), "cs"), page))
+                # declaration-free variant: strip the meta, append a
+                # native paragraph (the sniffer's real-world signal)
+                meta = C.CHARSET_VARIANTS[codec][0].encode(codec)
+                tail = "\n  </main>".encode(codec)
+                bare = page.replace(meta, b"", 1).replace(
+                    tail,
+                    ("\n    <p>" + native[codec] + "</p>").encode(codec)
+                    + tail, 1)
+                rows.append((C.url_for(int(i) + 1000, "csn"), bare))
             yield pd.DataFrame(rows, columns=["url", "html"])
 
     pages = docs.mapInPandas(gen, schema="url string, html binary")
@@ -3433,6 +3451,14 @@ def q_extract_charset_roundtrip(spark, sf_dir):
         F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
         "extracted_text",
     )
+
+
+CHARSET_NATIVE_JA = ("日本語のページです。文字コードの宣言はありません。"
+                     "今日はとても良い天気ですね。"
+                     "近くの公園まで散歩に行きましょう。")
+CHARSET_NATIVE_RU = ("Это страница на русском языке без объявления "
+                     "кодировки. Сегодня хорошая погода, и мы идём "
+                     "гулять в парк возле дома.")
 
 
 def _wrap_sql(op: str, cl: str) -> str:
@@ -3444,6 +3470,14 @@ SQL_EXTRACT_CHARSET = (
     "SELECT doc_id, CASE doc_id % 3 "
     f"WHEN 2 THEN {_wrap_sql('«', '»')} "
     f"ELSE {_wrap_sql('「', '」')} END AS extracted_text "
+    "FROM documents WHERE doc_id < 300 "
+    "UNION ALL "
+    "SELECT doc_id + 1000, (CASE doc_id % 3 "
+    f"WHEN 2 THEN {_wrap_sql('«', '»')} "
+    f"ELSE {_wrap_sql('「', '」')} END) || chr(10) || "
+    "(CASE doc_id % 3 "
+    f"WHEN 2 THEN '{CHARSET_NATIVE_RU}' "
+    f"ELSE '{CHARSET_NATIVE_JA}' END) AS extracted_text "
     "FROM documents WHERE doc_id < 300"
 )
 
