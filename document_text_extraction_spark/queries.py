@@ -1984,16 +1984,21 @@ def q_streaming_neardup_dedup(spark, sf_dir):
     plant formulas — exact-copy plants make the greedy semantics
     SQL-derivable (equality is transitive); genuinely-near behavior is
     property-tested in pytest. Spurious LSH rejections would surface
-    as missing rows here."""
+    as missing rows here. r5: the band store is the BUCKETED table
+    layout (seed_band_store_table) — candidate joins never shuffle the
+    store; only arrivals move (plan-asserted in
+    tests/test_streaming_neardup_store.py)."""
+    import os
     import shutil
 
     from .streaming.neardup import (
         run_neardup_dedup_stream,
-        seed_band_store,
+        seed_band_store_table,
     )
     base = _scratch_dir("dte_q_sneardup_")
+    tbl = "neardup_store_" + os.path.basename(base).rsplit("_", 1)[-1]
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    seed_band_store(docs, f"{base}/bs")
+    seed_band_store_table(docs, tbl, n_buckets=8)
     rev = F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
     recap = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text")
@@ -2004,13 +2009,18 @@ def q_streaming_neardup_dedup(spark, sf_dir):
     recap.unionAll(fresh).unionAll(inner).write.mode(
         "overwrite").parquet(f"{base}/in")
     run_neardup_dedup_stream(
-        spark, f"{base}/in", f"{base}/bs", f"{base}/out", f"{base}/ck")
+        spark, f"{base}/in", None, f"{base}/out", f"{base}/ck",
+        store_table=tbl, store_buckets=8)
     late = docs.filter(F.col("doc_id") % 9 == 1).select(
         (F.col("doc_id") + 500000).alias("doc_id"), rev.alias("text"))
     late.write.mode("append").parquet(f"{base}/in")
     run_neardup_dedup_stream(
-        spark, f"{base}/in", f"{base}/bs", f"{base}/out", f"{base}/ck")
-    # out/ BACKS the returned (lazy) DataFrame and must outlive it
+        spark, f"{base}/in", None, f"{base}/out", f"{base}/ck",
+        store_table=tbl, store_buckets=8)
+    # out/ BACKS the returned (lazy) DataFrame and must outlive it;
+    # the store table's data lives under the scratch-registered
+    # warehouse entry and is dropped here (output no longer needs it)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(f"{base}/in", ignore_errors=True)
     shutil.rmtree(f"{base}/ck", ignore_errors=True)
     return spark.read.parquet(f"{base}/out").select("doc_id", "text")
