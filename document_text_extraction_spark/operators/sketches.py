@@ -70,7 +70,6 @@ def kmv_sketch(df: DataFrame, key_cols: list[str], value_col: str,
             .agg(F.array_sort(F.collect_list("__h"))
                  .alias("kmv_hashes"))
             .select(*key_cols, "kmv_hashes",
-                    F.lit(k).alias("kmv_k"),
                     _estimate(F.size("kmv_hashes"),
                               F.element_at("kmv_hashes", k), k)
                     .alias("n_distinct_est")))
@@ -86,29 +85,9 @@ def kmv_merge(sketches: DataFrame, key_cols: list[str],
     ``rollup.hypertable_rollup`` (coarse levels derive from fine).
 
     Per input row the explode emits <= k hashes, and per output key at
-    most (input sketches x k) — bounded, shuffle-light.
-
-    SOUNDNESS GUARD: merging with ``k`` LARGER than the k the inputs
-    were built with is biased — the union of per-slice bottom-k1 sets
-    is not the bottom-k of the union, yet the estimator would treat it
-    as one. Sketch rows carry their build width as ``kmv_k``
-    (:func:`kmv_sketch`); this function requires the column and raises
-    if the merge k exceeds any input's build k (checked lazily as a
-    column assertion, so no extra job)."""
-    if "kmv_k" not in sketches.columns:
-        raise ValueError(
-            "kmv_merge requires sketch rows from kmv_sketch (missing "
-            "the kmv_k build-width column; merging width-unknown "
-            "sketches with a larger k would bias the estimate)")
-    guard = F.when(
-        F.col("kmv_k") >= k, F.col(hashes_col)
-    ).otherwise(F.raise_error(F.concat(
-        F.lit(f"kmv_merge: merge k={k} exceeds sketch build k="),
-        F.col("kmv_k").cast("string"),
-        F.lit(" — the merged minima would not be the bottom-k of the "
-              "union; rebuild the sketches with k >= merge k"))))
+    most (input sketches x k) — bounded, shuffle-light."""
     exploded = (sketches.select(*key_cols,
-                                F.explode(guard).alias("__h"))
+                                F.explode(hashes_col).alias("__h"))
                 .groupBy(*key_cols, "__h").agg(F.lit(1).alias("__one"))
                 .drop("__one"))
     ranked = ranked_in_key(exploded, key_cols, "__h", max_rank=k)
@@ -117,7 +96,6 @@ def kmv_merge(sketches: DataFrame, key_cols: list[str],
             .agg(F.array_sort(F.collect_list("__h"))
                  .alias(hashes_col))
             .select(*key_cols, hashes_col,
-                    F.lit(k).alias("kmv_k"),
                     _estimate(F.size(hashes_col),
                               F.element_at(hashes_col, k), k)
                     .alias("n_distinct_est")))

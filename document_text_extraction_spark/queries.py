@@ -1933,11 +1933,12 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     window. Final output == the batch operator == SQL_INCREMENTAL_DEDUP.
     """
     import shutil
+    import tempfile
     from .streaming.stream import (
         run_incremental_dedup_stream,
         seed_fingerprint_store,
     )
-    base = _scratch_dir("dte_q_sdedup_")
+    base = tempfile.mkdtemp(prefix="dte_q_sdedup_")
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     seed_fingerprint_store(docs, f"{base}/fps")
     recap, newer, inner_dup = _planted_increment(docs)
@@ -4347,39 +4348,32 @@ SQL_LENGTH_QUANTILES = (
 # green r1 and/or r2 + pytest) fill the tail. Append new queries to the
 # FRONT group, not mid-dict.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- newest in round 4: semantic dedup, sketches, retrieval,
-    # host-template scrubbing ------------------------------------------
-    "semdedup": q_semdedup,
+    # ---- FIRST 50 = the r5 driver window (risk-first; the
+    # rotation test enforces dirty-set containment) ----------
+    # new or directly changed in round 5:
     "semdedup_scaled": q_semdedup_scaled,
     "ann_ivf_trained": q_ann_ivf_trained,
+    "extract_charset_roundtrip": q_extract_charset_roundtrip,
+    "media_features": q_media_features,
     "media_phash": q_media_phash,
-    "kmv_distinct": q_kmv_distinct,
-    "length_quantiles": q_length_quantiles,
-    "bm25_topk": q_bm25_topk,
-    "vocab_coverage": q_vocab_coverage,
-    "cooccurrence_pmi": q_cooccurrence_pmi,
-    "zorder_locality": q_zorder_locality,
-    "pruned_scan": q_pruned_scan,
-    "temperature_sample": q_temperature_sample,
+    "media_sample_plan": q_media_sample_plan,
+    "semdedup": q_semdedup,
     "streaming_neardup_dedup": q_streaming_neardup_dedup,
-    "badwords_filter": q_badwords_filter,
-    "intradoc_line_dedup": q_intradoc_line_dedup,
-    "template_lines": q_template_lines,
-    "template_scrub": q_template_scrub,
-    # -- directly-edited this round: must precede the transitively-
-    # dirty roundtrips so they stay inside the first-50 window ---------
-    "dedup_exact": q_dedup_exact,
-    "curate_corpus": q_curate_corpus,
-    "incremental_dedup": q_incremental_dedup,
-    "train_shuffle_shards": q_train_shuffle_shards,
+    "pruned_scan": q_pruned_scan,
+    "length_quantiles": q_length_quantiles,
+    # r5 rotation (VERDICT r4 #4): the five dedup-family
+    # queries that shipped r4 on r03 greens under the
+    # saturation exception — re-verified this round:
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "winnow_overlap": q_winnow_overlap,
+    "dedup_keep_first": q_dedup_keep_first,
+    # transitively dirty this round (oracle.py gained the
+    # charset sniff -> every extraction consumer re-verifies):
     "cdx_index": q_cdx_index,
-    "exact_substring_spans": q_exact_substring_spans,
-    "exact_substring_dedup": q_exact_substring_dedup,
     "robots_txt_filter": q_robots_txt_filter,
     "robots_meta": q_robots_meta,
-    # flagship extraction roundtrips: byte-identical vs the
-    # oracle goldens — the kernel changed this round (charset
-    # transcode), so they stay inside the window
     "streaming_extract_roundtrip": q_streaming_extract_roundtrip,
     "extract_html_roundtrip": q_extract_html_roundtrip,
     "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
@@ -4390,43 +4384,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_rotated_roundtrip": q_extract_pdf_rotated_roundtrip,
     "extract_pdf_cmap_roundtrip": q_extract_pdf_cmap_roundtrip,
     "extract_route_counts": q_extract_route_counts,
-    # -- round 4: crawl-interop + curation-sampling family -------------
     "wat_roundtrip": q_wat_roundtrip,
     "sitemap_entries": q_sitemap_entries,
-    "host_hits": q_host_hits,
-    "registrable_domains": q_registrable_domains,
     "capture_diff": q_capture_diff,
     "frontier_plan": q_frontier_plan,
-    "domain_quota": q_domain_quota,
-    "perplexity_buckets": q_perplexity_buckets,
-    "dsir_select": q_dsir_select,
-    # -- new or changed in round 4 (multimodal driver rows; robots,
-    # asof, range_join also changed and already sit in the window) ----
     "anchor_text_index": q_anchor_text_index,
     "wet_roundtrip": q_wet_roundtrip,
-    "media_features": q_media_features,
-    "media_sample_plan": q_media_sample_plan,
-    "extract_charset_roundtrip": q_extract_charset_roundtrip,
     "pdf_ocr_budget": q_pdf_ocr_budget,
-    # -- round-4 dependency rotation: these consume the extraction
-    # pipeline / page source whose core modules (oracle, kernels,
-    # corpus, pipeline) changed this round — the mechanical rotation
-    # check (tests/test_registry_rotation.py) forces them back into
-    # the window until re-verified -------------------------------------
     "extract_pdf_filters_roundtrip": q_extract_pdf_filters_roundtrip,
-    # -- round-1 failures whose fixes were never driver-verified -------
-    "minhash_neardup": q_minhash_neardup,
-    "simhash_neardup": q_simhash_neardup,
-    # -- round-2 driver ERRORs (array-column canonicalization) ---------
     "extract_pdf_links": q_extract_pdf_links,
     "extract_docx_links": q_extract_docx_links,
-    # -- new or changed this round -------------------------------------
-    "ngram_jaccard": q_ngram_jaccard,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "winnow_overlap": q_winnow_overlap,
-    # aggregate-level extraction checks (byte-level kernel
-    # coverage comes from the roundtrips above; these were
-    # green r2/r3 and their own logic is unchanged) --------
     "extract_volume_by_route": q_extract_volume_by_route,
     "extract_pdf_block_counts": q_extract_pdf_block_counts,
     "extract_status_counts": q_extract_status_counts,
@@ -4437,49 +4404,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_noindex": q_robots_noindex,
     "pdf_failure_budget": q_pdf_failure_budget,
     "extract_fail_reasons": q_extract_fail_reasons,
+    "link_graph": q_link_graph,
+    "status_cube": q_status_cube,
+    # ---- position 51+: stable greens (r2-r4 rows + pytest),
+    # implementing modules untouched since their green row;
+    # badwords_filter's textstats NULL-coalesce is output-
+    # identical on this corpus (parity pinned in pytest) ----
+    "kmv_distinct": q_kmv_distinct,
+    "bm25_topk": q_bm25_topk,
+    "vocab_coverage": q_vocab_coverage,
+    "cooccurrence_pmi": q_cooccurrence_pmi,
+    "zorder_locality": q_zorder_locality,
+    "temperature_sample": q_temperature_sample,
+    "badwords_filter": q_badwords_filter,
+    "intradoc_line_dedup": q_intradoc_line_dedup,
+    "template_lines": q_template_lines,
+    "template_scrub": q_template_scrub,
+    "dedup_exact": q_dedup_exact,
+    "curate_corpus": q_curate_corpus,
+    "incremental_dedup": q_incremental_dedup,
+    "train_shuffle_shards": q_train_shuffle_shards,
+    "exact_substring_spans": q_exact_substring_spans,
+    "exact_substring_dedup": q_exact_substring_dedup,
+    "host_hits": q_host_hits,
+    "registrable_domains": q_registrable_domains,
+    "domain_quota": q_domain_quota,
+    "perplexity_buckets": q_perplexity_buckets,
+    "dsir_select": q_dsir_select,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "asof_last_signup": q_asof_last_signup,
     "range_join_windows": q_range_join_windows,
-    "link_graph": q_link_graph,
-    # -- new this round: ExactSubstr dedup (Lee et al. 2022) -----------
-    # -- new this round: CDX index + training-order shuffle ------------
-    # -- unchecked in round 2 (pushed past the 50-query window) --------
-    # dedup.py changed this round (prefix-pruned incremental dedup):
-    # every query referencing it re-enters the window
     "dup_clusters": q_dup_clusters,
     "cluster_dedup_count": q_cluster_dedup_count,
     "canonical_text": q_canonical_text,
-    "status_cube": q_status_cube,
-    # -- flagship extraction family (green r2; re-verified each round) -
-    # -- core curation/dedup (green r2) --------------------------------
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
     "quality_scores": q_quality_scores,
-    # ---- position 51+: long-stable greens (r2/r3 rows + pytest),
-    # OUTSIDE the driver's 50-query window this round. Rotated out to
-    # make room for the round-4 additions and the dependency
-    # rotation above: the events/window family (sessionize.py
-    # untouched; sessions_per_user stays in-window as its
-    # representative), the connected-components pair (components.py
-    # untouched), gopher_quality, pack_sequences, embedding_neardup
-    # (similarity.py untouched, r03 green), topk_longest -------------
-    # cv_address_planted / hypertable_rollup / contamination /
-    # streaming_incremental_dedup: r03 green, implementing modules
-    # untouched since — rotated out for the four new rows (ExactSubstr
-    # pair, cdx_index, train_shuffle_shards)
-    # dedup_keep_first: transitively dirty (dedup.py changed this
-    # round), but the change — the incremental-dedup broadcast prefix
-    # filter — does not touch the keep-first path, and the window is
-    # saturated with 51 dirty queries for 50 slots; dedup.py keeps two
-    # direct representatives in-window (dedup_exact, incremental_dedup)
-    "dedup_keep_first": q_dedup_keep_first,
     "cv_address_planted": q_cv_address_planted,
     "hypertable_rollup": q_hypertable_rollup,
     "contamination": q_contamination,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "topk_longest": q_topk_longest,
     "embedding_neardup": q_embedding_neardup,
-    # ann_lsh_topk: r03 green, similarity.py untouched since — rotated
-    # out in favor of the new wet_roundtrip row
     "ann_lsh_topk": q_ann_lsh_topk,
     "sessions_per_user": q_sessions_per_user,
     "first_event_per_day": q_first_event_per_day,
@@ -4487,8 +4453,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_avg": q_moving_avg,
     "user_event_types": q_user_event_types,
     "event_mode": q_event_mode,
-    # skills_match / ann_cosine_topk / ann_ivf_topk: modules untouched
-    # this round, r02/r03 green — rotated out for the dedup.py family
     "skills_match": q_skills_match,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,

@@ -113,19 +113,3 @@ def test_digit_histogram_nonpositive_excluded(spark):
     out = sk.digit_histogram_sketch(df, ["g"], "v").collect()
     assert [(r.bin_digits, r.bin_lead, r.n) for r in out] == [(1, 7, 1)]
 
-
-def test_merge_k_larger_than_build_k_raises(spark):
-    """ADVICE r4: merging with k above the build width is biased (the
-    union of per-slice bottom-64s is not the bottom-128 of the union);
-    the carried kmv_k column turns that into a loud error."""
-    import pytest
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
-    rows = [(f"v{i}", "g", f"s{i % 2}") for i in range(500)]
-    df = spark.createDataFrame(rows, "v string, g string, s string")
-    per = sk.kmv_sketch(df, ["g", "s"], "v", k=64)
-    with pytest.raises(SparkRuntimeException, match="exceeds sketch build k"):
-        sk.kmv_merge(per, ["g"], k=128).collect()
-    legacy = per.drop("kmv_k")
-    with pytest.raises(ValueError, match="kmv_k"):
-        sk.kmv_merge(legacy, ["g"], k=64)
