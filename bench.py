@@ -317,6 +317,11 @@ def main() -> None:
     timed("bm25_topk", Q.q_bm25_topk)
     timed("template_scrub", Q.q_template_scrub)
     timed("curate_corpus", Q.q_curate_corpus)
+    # round-5 additions: kernel-assigned semdedup (300-centroid
+    # codebook), trained-KMeans IVF, real-PNG perceptual-hash near-dup
+    timed("semdedup_scaled", Q.q_semdedup_scaled)
+    timed("ann_ivf_trained", Q.q_ann_ivf_trained)
+    timed("media_phash", Q.q_media_phash)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     result = {
@@ -472,10 +477,74 @@ def extract_only() -> None:
     spark.stop()
 
 
+def order_of_magnitude() -> None:
+    """One order-of-magnitude point beyond the per-round bench
+    (VERDICT r4 #8): extraction at 10× the bench corpus (2M docs) and
+    the heavy corpus-level dedup queries at 10× their sf0.1 documents
+    input (50k docs). Linear scaling = wall times within ~10× of the
+    sf0.1 entries and no new single-task stages."""
+    from pyspark.sql import functions as F
+
+    from document_text_extraction_spark import queries as Q
+    from document_text_extraction_spark.session import get_spark
+    from document_text_extraction_spark.shipping import (
+        ensure_package_shipped,
+    )
+
+    spark = get_spark("dte-bench-oom", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    ensure_package_shipped(spark)
+    spark.range(1000).count()
+
+    path = ensure_corpus(spark, SF_DIR, REPL * 10)   # 2M pages
+    ext = run_extraction_bench(spark, path)
+
+    # 10× documents table for the corpus-level queries (ids offset per
+    # replica so dedup plants stay per-replica, like a 10× crawl)
+    big_dir = f"/tmp/dte_oom_documents_{os.path.basename(SF_DIR)}"
+    if not os.path.exists(os.path.join(big_dir,
+                                       "documents.parquet/_SUCCESS")):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        reps = spark.range(10).select(F.col("id").alias("rep"))
+        (docs.crossJoin(reps)
+         .withColumn("doc_id",
+                     F.col("doc_id") + F.col("rep") * 1_000_000)
+         .drop("rep").repartition(32)
+         .write.mode("overwrite")
+         .parquet(f"{big_dir}/documents.parquet"))
+
+    runs = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "2"))
+    timings = {}
+    for name, fn in (("minhash_neardup", Q.q_minhash_neardup),
+                     ("exact_substring_spans",
+                      Q.q_exact_substring_spans)):
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, big_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    print(json.dumps({
+        "metric": "order_of_magnitude_extract_wall_seconds",
+        "value": round(ext["seconds"], 3), "unit": "sec",
+        "cpus": CPUS, "corpus_docs": ext["docs"],
+        "corpus_mb": round(ext["mb"], 1),
+        "extract_docs_per_sec": round(ext["docs_per_sec"], 1),
+        "extract_mb_per_sec": round(ext["mb_per_sec"], 2),
+        "all_runs_sec": ext["all_runs_sec"],
+        "queries_10x_docs": timings,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--extract-only" in sys.argv:
         extract_only()
+    elif "--oom" in sys.argv:
+        order_of_magnitude()
     else:
         main()
