@@ -164,3 +164,20 @@ def test_corrupt_payload_yields_decode_error_status(spark):
     rz = {r.media_id: r.status
           for r in M.resize_images(df, 8, 8, partitions=1).collect()}
     assert rz == {0: "ok", 1: "decode_error"}
+
+
+def test_roundtrip_property_random_images():
+    """Property: encode→decode is the identity for arbitrary uint8 RGB
+    arrays across awkward shapes (1-pixel-wide/tall, block-boundary
+    sizes around the 32 KiB stored-block seam)."""
+    rng = np.random.default_rng(123)
+    shapes = [(1, 1), (1, 513), (513, 1), (7, 11), (64, 170),
+              (171, 64), (100, 109), (109, 100)]
+    # (h, w) with h*(1+3w) straddling 32768: w=109 -> stride 328;
+    # h=100 -> raw 32800 (2 blocks), h=99 -> 32472 (1 block)
+    shapes.append((99, 109))
+    for h, w in shapes:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dec = M._decode_pixels(M._encode_png(px))
+        assert dec.shape == (h, w, 3)
+        assert np.array_equal(dec, px), (h, w)
