@@ -98,17 +98,28 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
 
-def _encode_png(pixels: np.ndarray) -> bytes:
+def _encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     """REAL (decodable) PNG of an (h, w, 3) uint8 array: 8-bit
-    truecolor, non-interlaced, filter 0 on every scanline, IDAT in the
-    deterministic stored-block zlib container. Total size =
-    ``63 + raw + 5*ceil(raw/32768)`` with ``raw = h*(1+3w)``."""
+    truecolor, non-interlaced, ``filter_type`` (0 = None, 1 = Sub) on
+    every scanline, IDAT in the deterministic stored-block zlib
+    container. Total size = ``63 + raw + 5*ceil(raw/32768)`` with
+    ``raw = h*(1+3w)`` for either filter (Sub changes bytes, not
+    length) — re-encoding the same pixels with a different filter is
+    the classic same-image/different-bytes near-dup plant."""
     import struct
     h, w = pixels.shape[0], pixels.shape[1]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    flat = pixels.reshape(h, w * 3)
     raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
-    raw[:, 0] = 0  # filter type None per scanline
-    raw[:, 1:] = pixels.reshape(h, w * 3)
+    raw[:, 0] = filter_type
+    if filter_type == 0:
+        raw[:, 1:] = flat
+    elif filter_type == 1:  # Sub: enc[x] = raw[x] - raw[x-bpp]
+        enc = flat.astype(np.int16)
+        enc[:, 3:] -= flat[:, :-3]
+        raw[:, 1:] = (enc & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError("encoder supports filter types 0 and 1")
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", _zlib_stored(raw.tobytes()))
             + _png_chunk(b"IEND", b""))

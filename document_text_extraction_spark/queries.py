@@ -4261,15 +4261,18 @@ SQL_TEMPLATE_SCRUB = (
 
 def q_media_phash(spark, sf_dir):
     """Image near-dup via perceptual hash: aHash per image (Arrow-batch
-    kernel — decode hook + 8x8 downsample + mean threshold + bit-pack)
-    then Hamming<=3 pairs via pigeonhole 16-bit band join (the simhash
-    scheme on the image side). Payload copies of every 6th id are
-    planted at media_id+10000: identical payload => identical fake
-    decode => Hamming 0. The oracle enumerates the planted pair set
-    from the generator formulas — exact because the mixed fake decode
-    leaves zero accidental Hamming<=3 pairs among the 100 distinct
-    images (verified property, pinned in test_modules); the hash
-    arithmetic itself is pytest-checked against a numpy reference."""
+    kernel — REAL PNG decode + 8x8 downsample + mean threshold +
+    bit-pack) then Hamming<=3 pairs via pigeonhole 16-bit band join
+    (the simhash scheme on the image side). Every 6th id plants a
+    RE-ENCODED copy at media_id+10000: the same pixels written with
+    Sub-filter scanlines — DIFFERENT payload bytes, so only a true
+    pixel-level decode→hash path (not byte identity) finds the pair
+    (Hamming 0; the classic same-image/different-compression dedup
+    case, r5). The oracle enumerates the planted pair set from the
+    generator formulas — exact because the synth pixels leave zero
+    accidental Hamming<=3 pairs among the 100 distinct images
+    (verified property, pinned in test_modules); the hash arithmetic
+    itself is pytest-checked against a numpy reference."""
     import pandas as pd
 
     from .multimodal import media as M
@@ -4282,9 +4285,13 @@ def q_media_phash(spark, sf_dir):
             rows = []
             for i in b["doc_id"]:
                 rows.append(M.synth_media_row(int(i)))
-                if int(i) % 6 == 0:  # planted byte-identical copy
-                    r = M.synth_media_row(int(i))
-                    rows.append((int(i) + 10000,) + r[1:])
+                if int(i) % 6 == 0:  # re-encoded copy (same pixels,
+                    i = int(i)       # different bytes: Sub filter)
+                    w, h = 16 + (i % 64) * 8, 16 + (i % 48) * 8
+                    reenc = M._encode_png(
+                        M._synth_pixels(w, h, i), filter_type=1)
+                    rows.append((i + 10000, "image", reenc,
+                                 "image/png", w, h, -1))
             yield pd.DataFrame(rows, columns=cols)
 
     media = ids.mapInPandas(gen, schema=M.MEDIA_SCHEMA)
