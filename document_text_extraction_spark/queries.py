@@ -1999,7 +1999,8 @@ def q_streaming_neardup_dedup(spark, sf_dir):
     base = _scratch_dir("dte_q_sneardup_")
     tbl = "neardup_store_" + os.path.basename(base).rsplit("_", 1)[-1]
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    seed_band_store_table(docs, tbl, n_buckets=8)
+    seed_band_store_table(docs, tbl, n_buckets=8,
+                          path=f"{base}/store")
     rev = F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
     recap = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text")
@@ -2011,16 +2012,17 @@ def q_streaming_neardup_dedup(spark, sf_dir):
         "overwrite").parquet(f"{base}/in")
     run_neardup_dedup_stream(
         spark, f"{base}/in", None, f"{base}/out", f"{base}/ck",
-        store_table=tbl, store_buckets=8)
+        store_table=tbl, store_buckets=8, store_path=f"{base}/store")
     late = docs.filter(F.col("doc_id") % 9 == 1).select(
         (F.col("doc_id") + 500000).alias("doc_id"), rev.alias("text"))
     late.write.mode("append").parquet(f"{base}/in")
     run_neardup_dedup_stream(
         spark, f"{base}/in", None, f"{base}/out", f"{base}/ck",
-        store_table=tbl, store_buckets=8)
+        store_table=tbl, store_buckets=8, store_path=f"{base}/store")
     # out/ BACKS the returned (lazy) DataFrame and must outlive it;
-    # the store table's data lives under the scratch-registered
-    # warehouse entry and is dropped here (output no longer needs it)
+    # the store is an EXTERNAL table under the scratch dir (no
+    # warehouse-dir dependency) — drop the catalog entry, atexit
+    # removes the data with the scratch dir
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(f"{base}/in", ignore_errors=True)
     shutil.rmtree(f"{base}/ck", ignore_errors=True)

@@ -135,16 +135,24 @@ def seed_band_store(docs: DataFrame, band_store: str,
 def seed_band_store_table(docs: DataFrame, table: str,
                           n_buckets: int = 32,
                           id_col: str = "doc_id",
-                          text_col: str = "text") -> None:
+                          text_col: str = "text",
+                          path: str | None = None) -> None:
     """Materialize the seed state as a BUCKETED store table: hive
     partition ``batch_id`` (per-batch append/exclude unit) × bucket
     ``bkey`` (the join key) — the layout under which per-batch
-    candidate joins never shuffle the store (module docstring)."""
+    candidate joins never shuffle the store (module docstring).
+    ``path`` makes the table EXTERNAL at that location (bucketing
+    metadata is unchanged) — callers owning a scratch/lake directory
+    pass it so the store does not depend on the session's
+    warehouse dir."""
     rows = band_rows_df(minhash_sig_df(docs, id_col, text_col), id_col)
-    (_with_bkey(rows).withColumnRenamed(id_col, "src_id")
-     .withColumn("batch_id", F.lit("seed0"))
-     .write.mode("overwrite").partitionBy("batch_id")
-     .bucketBy(n_buckets, "bkey").sortBy("bkey").saveAsTable(table))
+    w = (_with_bkey(rows).withColumnRenamed(id_col, "src_id")
+         .withColumn("batch_id", F.lit("seed0"))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .bucketBy(n_buckets, "bkey").sortBy("bkey"))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def store_candidate_rejections(bands: DataFrame, store: DataFrame,
@@ -167,7 +175,8 @@ def run_neardup_dedup_stream(spark: SparkSession, input_path: str,
                              id_col: str = "doc_id",
                              text_col: str = "text",
                              store_table: str | None = None,
-                             store_buckets: int = 32):
+                             store_buckets: int = 32,
+                             store_path: str | None = None):
     """availableNow near-dup dedup over a parquet increment directory;
     see module docstring for semantics, replay safety, and the two
     store layouts (``band_store`` path vs bucketed ``store_table``)."""
@@ -218,11 +227,13 @@ def run_neardup_dedup_stream(spark: SparkSession, input_path: str,
                 minhash_sig_df(admitted, id_col, text_col), id_col)
                 .withColumnRenamed(id_col, "src_id"))
             if store_table is not None:
-                (_with_bkey(adm_rows)
-                 .withColumn("batch_id", F.lit(part))
-                 .write.mode("append").partitionBy("batch_id")
-                 .bucketBy(store_buckets, "bkey").sortBy("bkey")
-                 .saveAsTable(store_table))
+                w = (_with_bkey(adm_rows)
+                     .withColumn("batch_id", F.lit(part))
+                     .write.mode("append").partitionBy("batch_id")
+                     .bucketBy(store_buckets, "bkey").sortBy("bkey"))
+                if store_path is not None:
+                    w = w.option("path", store_path)
+                w.saveAsTable(store_table)
             else:
                 (adm_rows.write.mode("overwrite")
                  .parquet(os.path.join(band_store, f"batch_id={part}")))
