@@ -354,6 +354,69 @@ def prepare_bucketed_input(pages: DataFrame, path: str,
     return path
 
 
+def html_digest_col() -> F.Column:
+    """Content digest of the raw page bytes — the change detector for
+    crawl-over-crawl incremental extraction (same convention for the
+    stored previous run and the new crawl)."""
+    return F.xxhash64("html")
+
+
+def incremental_extract_df(pages: DataFrame, prev: DataFrame,
+                           n_buckets: int = DEFAULT_BUCKETS,
+                           salt_plan: dict[int, int] | None = None,
+                           shuffle_partitions: int | None = None,
+                           ) -> DataFrame:
+    """Crawl-over-crawl extraction: REUSE the previous run's output for
+    pages whose bytes did not change; run the Python kernel only on
+    changed/new urls. Returns the same OUTPUT_SCHEMA as
+    :func:`extract_df` plus ``from_cache`` (boolean lineage of the
+    reuse decision).
+
+    ``prev`` must carry ``url``, ``html_digest``
+    (:func:`html_digest_col` of the ORIGINAL bytes) and the
+    OUTPUT_SCHEMA columns — i.e. a previous run's table written as
+    ``extract_df(pages).withColumn("html_digest", ...)`` or the
+    equivalent join at read time.
+
+    100 TB shape: one url-keyed equi-join decides reuse — on a real
+    deployment both sides live bucketed by the same url-host hash
+    (``prepare_bucketed_input`` / Iceberg ``bucket(N, url_host)``), so
+    the join is co-located and only file-local. The crawl bytes still
+    move once (exactly what :func:`extract_df`'s salted repartition
+    moves); the saving is the Python kernel CPU on unchanged documents
+    — the dominant cost of this pipeline at 10-100× CPU/byte — which
+    drops to the CHANGE RATE of the crawl (typically 10-30% between
+    adjacent snapshots). The changed-side filter sits BELOW the
+    ``mapInPandas`` by construction, so Python never sees an unchanged
+    row (behaviorally pinned in tests/test_incremental_extract.py)."""
+    cur = pages.select("url", "html",
+                       html_digest_col().alias("__cur_digest"))
+    prev_cols = [f.name for f in OUTPUT_SCHEMA.fields]
+    p = prev.select(
+        F.col("url").alias("__purl"),
+        F.col("html_digest").alias("__prev_digest"),
+        *[F.col(c).alias(f"__p_{c}") for c in prev_cols if c != "url"])
+    joined = cur.join(p, cur["url"] == p["__purl"], "left")
+    unchanged = (joined
+                 .filter(F.col("__prev_digest").isNotNull()
+                         & (F.col("__prev_digest")
+                            == F.col("__cur_digest")))
+                 .select(F.col("url"),
+                         *[F.col(f"__p_{c}").alias(c)
+                           for c in prev_cols if c != "url"])
+                 .withColumn("from_cache", F.lit(True)))
+    changed = (joined
+               .filter(F.col("__prev_digest").isNull()
+                       | (F.col("__prev_digest")
+                          != F.col("__cur_digest")))
+               .select("url", "html"))
+    fresh = extract_df(changed, n_buckets=n_buckets,
+                       salt_plan=salt_plan,
+                       shuffle_partitions=shuffle_partitions
+                       ).withColumn("from_cache", F.lit(False))
+    return unchanged.unionByName(fresh)
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint-resumable runner
 # ---------------------------------------------------------------------------
