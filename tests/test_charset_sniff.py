@@ -94,3 +94,23 @@ def test_extraction_golden_for_declaration_free_corpus_pages():
         golden = "\n".join(op + p + cl for p in C.chunk_text(r["text"]))
         assert rec["status"] == "ok"
         assert rec["extracted_text"] == golden + "\n" + natives[codec]
+
+
+def test_sniff_never_crashes_and_is_deterministic_on_noise():
+    """Fuzz: arbitrary byte blobs (valid or not in every candidate
+    codec) must never raise, and repeated calls must agree — the
+    detector is a pure function running on the extraction hot path."""
+    import random
+
+    rng = random.Random(20260818)
+    for n in (0, 1, 7, 64, 1024, 70000):
+        for _ in range(8):
+            blob = bytes(rng.randrange(256) for _ in range(n))
+            a = oracle._sniff_charset(blob)
+            b = oracle._sniff_charset(blob)
+            assert a == b
+            if a is not None:
+                # whatever it picked must actually decode
+                blob.decode(a, errors="replace")
+            # and the full decode stack must never raise either
+            oracle._transcode_sniffed_charset(blob)
