@@ -13,8 +13,11 @@ color types 0/2/3/4/6 at bit depth 8, non-interlaced — and the
 synthetic corpus plants REAL PNGs (``_encode_png``: filter-0 scanlines
 in a deterministic stored-block zlib container), so ``ahash_images``
 and ``resize_images`` run over true decoded pixels end-to-end.
-JPEG/video codecs remain the deployment hook (``NotImplementedError``
-→ documented deterministic fake; LIMITS.md §5).
+Baseline JPEG decode is REAL too (r5, ``jpegcodec`` — from-scratch
+Huffman + IDCT; the phash registry row plants lossy-re-encoded JPEG
+copies that only a true pixel decode can pair up). Video frame
+codecs remain the deployment hook (``NotImplementedError`` →
+documented deterministic fake; LIMITS.md §5).
 """
 
 from __future__ import annotations
@@ -231,15 +234,18 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
     inflate + row unfilter, bit depth 8, color types 0 (gray),
     2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
     Gray replicates to 3 channels; alpha is dropped (the aHash/resize
-    consumers are RGB). Raises ``NotImplementedError`` for formats
-    whose codecs are absent in this container (JPEG — LIMITS.md §5)
-    and for PNG variants outside the baseline (interlaced, depth!=8);
-    raises ``ValueError`` for malformed PNG bytes."""
+    consumers are RGB). REAL for baseline JPEG (r5,
+    ``jpegcodec.decode_jpeg``): Huffman entropy decode (16-bit-LUT),
+    dequantize, batched float64 IDCT, 4:4:4/4:2:2/4:2:0 upsample,
+    JFIF YCbCr→RGB, restart intervals. Raises ``NotImplementedError``
+    for codecs/variants outside the baselines (video containers,
+    progressive/12-bit JPEG, interlaced or depth!=8 PNG — LIMITS.md
+    §5); raises ``ValueError`` for malformed bytes."""
     import struct
     import zlib
     if payload[:3] == _JPEG_SIG:
-        raise NotImplementedError(
-            "jpeg decode requires libjpeg/PIL; not in this container")
+        from . import jpegcodec
+        return jpegcodec.decode_jpeg(payload)
     if payload[:8] != _PNG_SIG:
         raise NotImplementedError(
             f"no decoder for container {payload[:4]!r}")
@@ -361,10 +367,10 @@ def extract_media_features(media: DataFrame,
 
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode for formats whose codecs are absent in
-    this container (JPEG; PNG decodes for real via ``_decode_pixels``):
-    an (h, w, 3) uint8 array derived from md5(payload), so the resize
-    math downstream stays testable while the JPEG codec is swapped in
-    at deployment."""
+    this container (video frames; PNG and baseline JPEG decode for
+    real via ``_decode_pixels``): an (h, w, 3) uint8 array derived
+    from md5(payload), so the resize math downstream stays testable
+    while the video codec is swapped in at deployment."""
     seed = hashlib.md5(payload or b"").digest()
     base = np.frombuffer(seed, dtype=np.uint8)
     n = max(1, width) * max(1, height) * 3
@@ -391,12 +397,12 @@ RESIZED_SCHEMA = T.StructType([
 def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64,
                   partitions: int | None = None) -> DataFrame:
     """Image resize as an Arrow-batched map: header dims → decode
-    (deployment hook; deterministic fake here) → vectorized
-    nearest-neighbor resample → fixed-size pixel buffer per row.
+    (REAL for PNG and baseline JPEG; deterministic fake for the rest)
+    → vectorized nearest-neighbor resample → fixed-size pixel buffer
+    per row.
 
     The resample is pure numpy index arithmetic over the whole image
-    (no per-pixel Python); a deployment replaces ``_fake_pixels`` with
-    the real decoder and keeps everything else."""
+    (no per-pixel Python)."""
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ys = None
         for b in batches:
@@ -501,10 +507,9 @@ def ahash_images(media: DataFrame,
                  partitions: int | None = None) -> DataFrame:
     """Perceptual hash (aHash) per image as an Arrow-batched map — the
     image-side fingerprint feeding near-dup detection, same role as
-    ``dedup.fingerprint_col`` for text. Decode is the deployment hook
-    (deterministic fake here, like ``resize_images``); everything
-    after the decode — downsample, grayscale, threshold, bit-pack —
-    is the real kernel a deployment keeps."""
+    ``dedup.fingerprint_col`` for text. Decode is REAL for PNG and
+    baseline JPEG (deterministic fake only for video frames);
+    downsample, grayscale, threshold, bit-pack are pure numpy."""
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []

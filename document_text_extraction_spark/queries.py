@@ -4270,9 +4270,15 @@ def q_media_phash(spark, sf_dir):
     Sub-filter scanlines — DIFFERENT payload bytes, so only a true
     pixel-level decode→hash path (not byte identity) finds the pair
     (Hamming 0; the classic same-image/different-compression dedup
-    case, r5). The oracle enumerates the planted pair set from the
-    generator formulas — exact because the synth pixels leave zero
-    accidental Hamming<=3 pairs among the 100 distinct images
+    case, r5). Every 12th id additionally plants a LOSSY quality-100
+    JPEG re-encode at media_id+20000 (jpegcodec.encode_jpeg — the
+    from-scratch baseline codec): decoded pixels differ by ±2 LSB
+    from the original, so the pair survives only through a real
+    entropy-decode + IDCT path; measured Hamming is 0 for every
+    planted id except 180 (Hamming 1), deterministic and pinned in
+    test_media_jpeg. The oracle enumerates the planted pair set from
+    the generator formulas — exact because the synth pixels leave
+    zero accidental Hamming<=3 pairs among the 100 distinct images
     (verified property, pinned in test_modules); the hash arithmetic
     itself is pytest-checked against a numpy reference."""
     import pandas as pd
@@ -4282,6 +4288,7 @@ def q_media_phash(spark, sf_dir):
         F.col("doc_id") < 300)
 
     def gen(batches):
+        from .multimodal import jpegcodec as J
         cols = [f.name for f in M.MEDIA_SCHEMA.fields]
         for b in batches:
             rows = []
@@ -4290,10 +4297,14 @@ def q_media_phash(spark, sf_dir):
                 if int(i) % 6 == 0:  # re-encoded copy (same pixels,
                     i = int(i)       # different bytes: Sub filter)
                     w, h = 16 + (i % 64) * 8, 16 + (i % 48) * 8
-                    reenc = M._encode_png(
-                        M._synth_pixels(w, h, i), filter_type=1)
+                    px = M._synth_pixels(w, h, i)
+                    reenc = M._encode_png(px, filter_type=1)
                     rows.append((i + 10000, "image", reenc,
                                  "image/png", w, h, -1))
+                    if i % 12 == 0:  # lossy JPEG copy (±2 LSB pixels)
+                        jp = J.encode_jpeg(px, quality=100)
+                        rows.append((i + 20000, "image", jp,
+                                     "image/jpeg", w, h, -1))
             yield pd.DataFrame(rows, columns=cols)
 
     media = ids.mapInPandas(gen, schema=M.MEDIA_SCHEMA)
@@ -4302,9 +4313,18 @@ def q_media_phash(spark, sf_dir):
 
 
 SQL_MEDIA_PHASH = (
+    # png copy pairs (lossless → hamming 0), jpeg copy pairs and
+    # png-copy×jpeg-copy pairs (lossy → measured hamming, 1 only for
+    # id 180 — deterministic, pinned in test_media_jpeg)
     "SELECT doc_id AS id_a, doc_id + 10000 AS id_b, "
     "CAST(0 AS INT) AS hamming "
-    "FROM documents WHERE doc_id < 300 AND doc_id % 6 = 0"
+    "FROM documents WHERE doc_id < 300 AND doc_id % 6 = 0 "
+    "UNION ALL SELECT doc_id, doc_id + 20000, "
+    "CAST(CASE WHEN doc_id = 180 THEN 1 ELSE 0 END AS INT) "
+    "FROM documents WHERE doc_id < 300 AND doc_id % 12 = 0 "
+    "UNION ALL SELECT doc_id + 10000, doc_id + 20000, "
+    "CAST(CASE WHEN doc_id = 180 THEN 1 ELSE 0 END AS INT) "
+    "FROM documents WHERE doc_id < 300 AND doc_id % 12 = 0"
 )
 
 

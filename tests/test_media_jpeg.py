@@ -1,0 +1,151 @@
+"""Baseline JPEG codec (multimodal/jpegcodec.py): golden-pinned
+roundtrips, feature paths (4:2:0, restart intervals, odd dims),
+rejection of out-of-baseline modes, and the media-kernel wiring
+(``_decode_pixels`` decodes JPEG payloads for real).
+
+Reference parity: the reference hands JPEG decode to OpenCV/fitz
+raster paths (combined_local_model_ocr.py); this repo decodes inside
+the Arrow batch with no native dependency. All goldens are
+deterministic (fixed tables, float64, round-half-away)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from document_text_extraction_spark.multimodal import jpegcodec as J
+from document_text_extraction_spark.multimodal import media as M
+
+PX = M._synth_pixels(40, 24, 7)  # (24, 40, 3) noise image
+
+# pinned byte/pixel identities — any codec change that alters output
+# bytes or decoded pixels must be deliberate (update with the why)
+GOLD_ENC = "89571624fbe1a937fb3e39dcab6c5f59d56ebfae37e7052f00bc321f01361096"
+GOLD_DEC = "6ff77496bada780e2920bd6e46e66fc1f369e94198df5ee0f9b0c3d38ba918c6"
+GOLD_ENC_420 = (
+    "c448d119ab10134005c869e6c34b74ffc27a671d6a53c822cf0e9a2017f5d6bc")
+GOLD_DEC_420 = (
+    "1cfb035d3fa9df6bdf6a6149f8be7a88a724fe652708336b245d4701f955fbf4")
+
+
+def _sha(b):
+    return hashlib.sha256(b).hexdigest()
+
+
+class TestRoundtrip:
+    def test_q100_near_lossless(self):
+        enc = J.encode_jpeg(PX, quality=100)
+        dec = J.decode_jpeg(enc)
+        assert dec.shape == PX.shape and dec.dtype == np.uint8
+        assert np.abs(dec.astype(int) - PX.astype(int)).max() <= 2
+
+    def test_golden_bytes_and_pixels(self):
+        enc = J.encode_jpeg(PX, quality=100)
+        assert _sha(enc) == GOLD_ENC
+        assert _sha(J.decode_jpeg(enc).tobytes()) == GOLD_DEC
+
+    def test_determinism(self):
+        a = J.encode_jpeg(PX, quality=100)
+        b = J.encode_jpeg(PX, quality=100)
+        assert a == b
+        assert (J.decode_jpeg(a) == J.decode_jpeg(b)).all()
+
+    def test_lower_quality_smooth_bounded_error(self):
+        yy, xx = np.mgrid[0:48, 0:80]
+        smooth = np.stack([(yy * 3) % 256, (xx * 2) % 256,
+                           ((yy + xx) * 2) % 256],
+                          axis=2).astype(np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(smooth, quality=75))
+        assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 12
+
+    def test_odd_dims(self):
+        odd = M._synth_pixels(41, 27, 5)  # (27, 41, 3)
+        dec = J.decode_jpeg(J.encode_jpeg(odd, quality=100))
+        assert dec.shape == odd.shape
+        assert np.abs(dec.astype(int) - odd.astype(int)).max() <= 2
+
+
+class TestSubsampleAndRestart:
+    def test_420_golden(self):
+        enc = J.encode_jpeg(PX, quality=85, subsample=True,
+                            restart_interval=2)
+        assert _sha(enc) == GOLD_ENC_420
+        assert _sha(J.decode_jpeg(enc).tobytes()) == GOLD_DEC_420
+
+    def test_420_constant_color_exact(self):
+        const = np.full((24, 40, 3), (90, 160, 40), dtype=np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(const, quality=100,
+                                          subsample=True))
+        assert (dec == const).all()
+
+    def test_420_smooth_bounded(self):
+        yy, xx = np.mgrid[0:48, 0:80]
+        smooth = np.stack([(yy * 3) % 256, (xx * 2) % 256,
+                           ((yy + xx) * 2) % 256],
+                          axis=2).astype(np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(smooth, quality=95,
+                                          subsample=True))
+        assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 8
+
+    def test_restart_interval_matches_plain(self):
+        plain = J.decode_jpeg(J.encode_jpeg(PX, quality=100))
+        rst = J.decode_jpeg(J.encode_jpeg(PX, quality=100,
+                                          restart_interval=2))
+        assert (plain == rst).all()
+
+    def test_420_odd_dims(self):
+        odd = M._synth_pixels(41, 27, 5)
+        dec = J.decode_jpeg(J.encode_jpeg(odd, quality=100,
+                                          subsample=True))
+        assert dec.shape == odd.shape
+
+
+class TestRejection:
+    def test_progressive_rejected(self):
+        with pytest.raises(NotImplementedError, match="progressive"):
+            J.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05abc")
+
+    def test_arithmetic_rejected(self):
+        with pytest.raises(NotImplementedError):
+            J.decode_jpeg(b"\xff\xd8\xff\xc9\x00\x05abc")
+
+    def test_truncation_rejected(self):
+        enc = J.encode_jpeg(PX, quality=100)
+        with pytest.raises(ValueError):
+            J.decode_jpeg(enc[:200])
+
+    def test_missing_soi_rejected(self):
+        with pytest.raises(ValueError, match="SOI"):
+            J.decode_jpeg(b"\x00\x01\x02\x03")
+
+    def test_bad_quality_rejected(self):
+        with pytest.raises(ValueError):
+            J.encode_jpeg(PX, quality=0)
+
+
+class TestMediaWiring:
+    def test_decode_pixels_handles_jpeg(self):
+        enc = J.encode_jpeg(PX, quality=100)
+        dec = M._decode_pixels(enc)
+        assert dec.shape == PX.shape
+        assert np.abs(dec.astype(int) - PX.astype(int)).max() <= 2
+
+    def test_jpeg_reencode_ahash_within_three_bits(self):
+        # the property the phash registry row's oracle rests on:
+        # a quality-100 JPEG re-encode of the planted pixels keeps
+        # aHash Hamming <= 3 of the original (measured worst: 1)
+        for i in (0, 84, 180, 288):  # 180 is the one measured ham=1 id
+            w, h = 16 + (i % 64) * 8, 16 + (i % 48) * 8
+            px = M._synth_pixels(w, h, i)
+            a0 = M._ahash_of(px)
+            a1 = M._ahash_of(J.decode_jpeg(J.encode_jpeg(px, quality=100)))
+            ham = bin((a0 ^ a1) & ((1 << 64) - 1)).count("1")
+            assert ham <= 3, (i, ham)
+            if i == 180:
+                assert ham == 1  # pinned: the oracle emits this literal
+            else:
+                assert ham == 0
+
+    def test_video_payload_still_fake(self):
+        with pytest.raises(NotImplementedError):
+            M._decode_pixels(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)

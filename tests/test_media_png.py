@@ -111,7 +111,8 @@ def test_gray_alpha_replicates_gray():
 
 
 def test_unsupported_and_malformed():
-    with pytest.raises(NotImplementedError):  # jpeg → deployment hook
+    with pytest.raises(ValueError):  # jpeg decodes for REAL now (r5):
+        # garbage after SOI is malformed data, not a missing codec
         M._decode_pixels(b"\xff\xd8\xff garbage")
     with pytest.raises(NotImplementedError):  # interlaced PNG
         M._decode_pixels(_png(2, 2, 2, bytes(14), interlace=1))

@@ -306,17 +306,20 @@ def test_audio_chunk_plan(spark, media):
         assert n == -(-src[mid] // 5000), mid  # ceil(duration/chunk)
 
 
-def test_media_decode_png_real_jpeg_hooked():
-    """PNG pixel decode is REAL (r5); JPEG remains the deployment
-    hook (NotImplementedError -> documented deterministic fake)."""
+def test_media_decode_png_real_jpeg_real():
+    """PNG and baseline JPEG pixel decode are REAL (r5); only video
+    frames remain the deployment hook. Malformed JPEG bytes are a
+    data error (ValueError), not a missing codec."""
     from document_text_extraction_spark.multimodal.media import (
         _decode_pixels,
         synth_media_row,
     )
     px = _decode_pixels(synth_media_row(0)[2])
     assert px.shape == (16, 16, 3)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         _decode_pixels(b"\xff\xd8\xff jpeg-bytes")
+    with pytest.raises(NotImplementedError):  # the remaining hook
+        _decode_pixels(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32)
 
 
 def test_frame_sample_plan(spark, media):
