@@ -177,8 +177,12 @@ def synth_media_rows(n: int):
 _PNG_SIG = bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
 _JPEG_SIG = bytes([0xFF, 0xD8, 0xFF])
 
-# PNG color type → samples per pixel (bit depth 8 only)
+# PNG color type → samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace passes: (x_start, x_step, y_start, y_step)
+_ADAM7_PASSES = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+                 (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
 
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -231,16 +235,17 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 array.
 
     REAL for PNG (VERDICT r4 #1): pure-Python/numpy chunk walk + zlib
-    inflate + row unfilter, bit depth 8, color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
-    Gray replicates to 3 channels; alpha is dropped (the aHash/resize
-    consumers are RGB). REAL for baseline JPEG (r5,
-    ``jpegcodec.decode_jpeg``): Huffman entropy decode (16-bit-LUT),
-    dequantize, batched float64 IDCT, 4:4:4/4:2:2/4:2:0 upsample,
-    JFIF YCbCr→RGB, restart intervals. Raises ``NotImplementedError``
-    for codecs/variants outside the baselines (video containers,
-    progressive/12-bit JPEG, interlaced or depth!=8 PNG — LIMITS.md
-    §5); raises ``ValueError`` for malformed bytes."""
+    inflate + row unfilter, bit depths 8 and 16 (16-bit samples
+    downconvert by high byte), color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), both non-interlaced and
+    Adam7-interlaced (r5). Gray replicates to 3 channels; alpha is
+    dropped (the aHash/resize consumers are RGB). REAL for baseline
+    JPEG (r5, ``jpegcodec.decode_jpeg``): Huffman entropy decode
+    (16-bit-LUT), dequantize, batched float64 IDCT, 4:4:4/4:2:2/4:2:0
+    upsample, JFIF YCbCr→RGB, restart intervals. Raises
+    ``NotImplementedError`` for codecs/variants outside the baselines
+    (video containers, progressive/12-bit JPEG, sub-byte-depth PNG —
+    LIMITS.md §5); raises ``ValueError`` for malformed bytes."""
     import struct
     import zlib
     if payload[:3] == _JPEG_SIG:
@@ -269,10 +274,12 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("png: missing IHDR/IDAT")
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("png: bad IHDR method fields")
+    if depth not in (8, 16) or (ctype_i == 3 and depth != 8):
         raise NotImplementedError(
             f"png variant outside baseline: depth={depth} "
-            f"interlace={interlace}")
+            f"color_type={ctype_i}")
     ch = _PNG_CHANNELS.get(ctype_i)
     if ch is None:
         raise ValueError(f"png: bad color type {ctype_i}")
@@ -282,7 +289,24 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"png: bad IDAT stream: {e}") from e
-    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    bps = depth // 8
+    bpp = ch * bps
+    if interlace == 0:
+        px = _png_unfilter(raw, h, w * bpp, bpp).reshape(h, w, ch, bps)
+    else:  # Adam7: seven independently-filtered sub-images (r5)
+        px = np.zeros((h, w, ch, bps), dtype=np.uint8)
+        off = 0
+        for x0, xs, y0, ys in _ADAM7_PASSES:
+            pw = -(-(w - x0) // xs) if w > x0 else 0
+            ph = -(-(h - y0) // ys) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[off:off + need], ph, pw * bpp, bpp)
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, ch, bps)
+            off += need
+    # 16-bit samples downconvert by their high byte (big-endian)
+    px = px[:, :, :, 0]
     if ctype_i == 3:
         if plte is None:
             raise ValueError("png: palette image without PLTE")

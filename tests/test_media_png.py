@@ -114,10 +114,11 @@ def test_unsupported_and_malformed():
     with pytest.raises(ValueError):  # jpeg decodes for REAL now (r5):
         # garbage after SOI is malformed data, not a missing codec
         M._decode_pixels(b"\xff\xd8\xff garbage")
-    with pytest.raises(NotImplementedError):  # interlaced PNG
-        M._decode_pixels(_png(2, 2, 2, bytes(14), interlace=1))
-    with pytest.raises(NotImplementedError):  # 16-bit PNG
-        M._decode_pixels(_png(2, 2, 2, bytes(14), depth=16))
+    with pytest.raises(NotImplementedError):  # sub-byte depth PNG
+        M._decode_pixels(_png(2, 2, 0, bytes(4), depth=4))
+    with pytest.raises(NotImplementedError):  # 16-bit palette illegal
+        M._decode_pixels(_png(2, 2, 3, bytes(6), plte=bytes(9),
+                              depth=16))
     with pytest.raises(ValueError):  # corrupt IDAT
         bad = (M._PNG_SIG
                + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2,
@@ -182,3 +183,71 @@ def test_roundtrip_property_random_images():
         dec = M._decode_pixels(M._encode_png(px))
         assert dec.shape == (h, w, 3)
         assert np.array_equal(dec, px), (h, w)
+
+
+def _adam7_encode(px: np.ndarray) -> bytes:
+    """Test-side Adam7 interlaced encoder: slice the image with the
+    seven pass patterns, filter-0 every scanline, concatenate."""
+    h, w, ch = px.shape
+    out = bytearray()
+    for x0, xs, y0, ys in M._ADAM7_PASSES:
+        sub = px[y0::ys, x0::xs]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        for y in range(ph):
+            out += b"\x00" + sub[y].tobytes()
+    return bytes(out)
+
+
+def test_adam7_interlaced_decode():
+    """Adam7 PNG decodes to the same pixels as the progressive
+    re-assembly of the seven passes (r5)."""
+    for h, w in ((9, 13), (8, 8), (3, 3), (1, 10), (16, 5)):
+        px = (np.arange(h * w * 3).reshape(h, w, 3) * 31 % 256
+              ).astype(np.uint8)
+        payload = _png(w, h, 2, _adam7_encode(px), interlace=1)
+        dec = M._decode_pixels(payload)
+        assert dec.shape == (h, w, 3)
+        assert np.array_equal(dec, px), (h, w)
+
+
+def test_adam7_gray_and_alpha():
+    h, w = 10, 7
+    gray = (np.arange(h * w).reshape(h, w, 1) * 13 % 256).astype(np.uint8)
+    dec = M._decode_pixels(_png(w, h, 0, _adam7_encode(gray),
+                                interlace=1))
+    assert np.array_equal(dec, np.repeat(gray, 3, axis=2))
+    rgba = (np.arange(h * w * 4).reshape(h, w, 4) * 11 % 256
+            ).astype(np.uint8)
+    dec = M._decode_pixels(_png(w, h, 6, _adam7_encode(rgba),
+                                interlace=1))
+    assert np.array_equal(dec, rgba[:, :, :3])
+
+
+def test_16bit_decode_high_byte():
+    """16-bit samples downconvert by their high byte (big-endian) —
+    the standard 8-bit rendering of a 16-bit PNG."""
+    h, w = 4, 5
+    hi = (np.arange(h * w * 3).reshape(h, w, 3) * 17 % 256
+          ).astype(np.uint8)
+    samples16 = np.zeros((h, w, 3, 2), dtype=np.uint8)
+    samples16[:, :, :, 0] = hi          # high byte
+    samples16[:, :, :, 1] = 0xAB        # low byte must be ignored
+    rows = bytearray()
+    for y in range(h):
+        rows += b"\x00" + samples16[y].tobytes()
+    dec = M._decode_pixels(_png(w, h, 2, bytes(rows), depth=16))
+    assert np.array_equal(dec, hi)
+
+
+def test_16bit_interlaced_gray():
+    h, w = 6, 6
+    hi = (np.arange(h * w).reshape(h, w, 1) * 29 % 256).astype(np.uint8)
+    samples16 = np.zeros((h, w, 1, 2), dtype=np.uint8)
+    samples16[:, :, :, 0] = hi
+    samples16[:, :, :, 1] = 0x5C
+    flat = samples16.reshape(h, w, 2)
+    payload = _png(w, h, 0, _adam7_encode(flat), depth=16, interlace=1)
+    dec = M._decode_pixels(payload)
+    assert np.array_equal(dec, np.repeat(hi, 3, axis=2))
