@@ -578,21 +578,60 @@ def _encode_block(writer: _BitWriter, quant: list, pred: int,
     return quant[0]
 
 
+def _encode_gray(yp: np.ndarray, h: int, w: int,
+                 qy: np.ndarray, restart_interval: int) -> bytes:
+    """Single-component (luma) baseline frame — the grayscale shape
+    real crawl JPEGs commonly take; exercises the decoder's nc==1
+    path (gray replicated to RGB on decode)."""
+    enc_dc = _build_encode_table(*HUFF_DC_LUMA)
+    enc_ac = _build_encode_table(*HUFF_AC_LUMA)
+    blocks = _quantize_plane(yp, qy)
+    bh, bw = blocks.shape[0], blocks.shape[1]
+    writer = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            pred = _encode_block(writer, blocks[by, bx].tolist(),
+                                 pred, enc_dc, enc_ac)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits, values) -> bytes:
+        return bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
+
+    return b"".join([
+        b"\xff\xd8",
+        seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        seg(0xDB, b"\x00" + bytes(int(v) for v in qy)),
+        seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])),
+        seg(0xC4, dht(0, 0, *HUFF_DC_LUMA) + dht(1, 0, *HUFF_AC_LUMA)),
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
+        bytes(writer.out),
+        b"\xff\xd9",
+    ])
+
+
 def encode_jpeg(pixels: np.ndarray, quality: int = 100,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                gray: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG
     with Annex-K tables scaled by ``quality``. Deterministic.
     ``quality=100`` → all-one quant tables (near-lossless).
     ``subsample=True`` emits 4:2:0 (2x2 box-averaged chroma) instead
-    of 4:4:4; ``restart_interval=N`` emits DRI + RSTn every N MCUs —
-    both exist chiefly so the decoder's upsample and restart paths
-    are exercised by self-produced streams."""
+    of 4:4:4; ``restart_interval=N`` emits DRI + RSTn every N MCUs;
+    ``gray=True`` emits a single-component (luma-only) frame — all
+    three exist chiefly so the decoder's upsample, restart, and
+    grayscale paths are exercised by self-produced streams."""
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8")
     h, w = pixels.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("encode_jpeg: empty image")
+    if gray and (subsample or restart_interval):
+        raise ValueError("gray supports neither subsample nor DRI")
     qy, qc = _scaled_qtables(quality)
 
     rgb = pixels.astype(np.float64)
@@ -606,6 +645,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 100,
     ph = -(-h // mcu_px) * mcu_px
     pw = -(-w // mcu_px) * mcu_px
     yp = _pad_plane(y, ph, pw) - 128.0
+    if gray:
+        return _encode_gray(yp, h, w, qy, restart_interval=0)
     if subsample:
         cbp = _pad_plane(cb, ph, pw).reshape(
             ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0

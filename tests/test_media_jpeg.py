@@ -149,3 +149,27 @@ class TestMediaWiring:
     def test_video_payload_still_fake(self):
         with pytest.raises(NotImplementedError):
             M._decode_pixels(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)
+
+
+class TestGrayscale:
+    def test_gray_roundtrip_near_lossless(self):
+        g = (np.arange(24 * 40).reshape(24, 40) * 37 % 256
+             ).astype(np.uint8)
+        px = np.repeat(g[:, :, None], 3, axis=2)
+        dec = J.decode_jpeg(J.encode_jpeg(px, quality=100, gray=True))
+        assert dec.shape == px.shape
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+        # single-component decode replicates luma to all channels
+        assert (dec[:, :, 0] == dec[:, :, 1]).all()
+        assert (dec[:, :, 1] == dec[:, :, 2]).all()
+
+    def test_gray_determinism(self):
+        px = np.repeat(PX[:, :, :1], 3, axis=2)
+        assert (J.encode_jpeg(px, gray=True)
+                == J.encode_jpeg(px, gray=True))
+
+    def test_gray_rejects_subsample_and_dri(self):
+        with pytest.raises(ValueError):
+            J.encode_jpeg(PX, gray=True, subsample=True)
+        with pytest.raises(ValueError):
+            J.encode_jpeg(PX, gray=True, restart_interval=2)
