@@ -318,6 +318,29 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
     return px[:, :, :3]  # RGB / RGBA (alpha dropped)
 
 
+def _jpeg_header_dims(head: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOFn marker in a bounded JPEG
+    prefix — the JPEG analogue of the PNG IHDR dims parse. Pure byte
+    walk over segment framing, no entropy decode; returns None when no
+    SOF lands inside the prefix (header dims stay -1, the decoder
+    still works)."""
+    pos, n = 2, len(head)
+    while pos + 4 <= n:
+        if head[pos] != 0xFF:
+            return None
+        marker = head[pos + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                return None
+            return (int.from_bytes(head[pos + 7:pos + 9], "big"),
+                    int.from_bytes(head[pos + 5:pos + 7], "big"))
+        seglen = int.from_bytes(head[pos + 2:pos + 4], "big")
+        if seglen < 2:
+            return None
+        pos += 2 + seglen
+    return None
+
+
 def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batch feature extraction: real byte-level features, stubbed
     pixel decode. Numpy over the whole batch — byte histograms for every
@@ -350,7 +373,8 @@ def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         else:
             entropy = np.zeros(n)
         entropy = np.where(np.isnan(entropy), 0.0, entropy)
-        # container sniff from bounded 24-byte heads (fixed tiny work)
+        # container sniff from bounded 24-byte heads (fixed tiny work);
+        # JPEG dims need a marker walk, bounded to the first 4 KiB
         heads = [p[:24] for p in payloads]
         sniffed = np.full(n, "unknown", dtype=object)
         hw = np.full(n, -1, dtype=np.int64)
@@ -358,6 +382,9 @@ def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for i, h in enumerate(heads):
             if h[:3] == _JPEG_SIG:
                 sniffed[i] = "jpeg"
+                dims = _jpeg_header_dims(payloads[i][:4096])
+                if dims is not None:
+                    hw[i], hh[i] = dims
             elif h[:8] == _PNG_SIG:
                 sniffed[i] = "png"
                 if len(h) >= 24 and h[12:16] == b"IHDR":

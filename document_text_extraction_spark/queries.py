@@ -4284,8 +4284,11 @@ def q_media_phash(spark, sf_dir):
     import pandas as pd
 
     from .multimodal import media as M
+    # spread payload synthesis across tasks: the JPEG encodes are the
+    # expensive generator step (pure-Python entropy coding), and the
+    # 300-id scan otherwise lands in one or two input splits
     ids = _docs(spark, sf_dir).select("doc_id").filter(
-        F.col("doc_id") < 300)
+        F.col("doc_id") < 300).repartition(16, F.col("doc_id"))
 
     def gen(batches):
         from .multimodal import jpegcodec as J
@@ -4308,7 +4311,7 @@ def q_media_phash(spark, sf_dir):
             yield pd.DataFrame(rows, columns=cols)
 
     media = ids.mapInPandas(gen, schema=M.MEDIA_SCHEMA)
-    hashes = M.ahash_images(media, partitions=8)
+    hashes = M.ahash_images(media, partitions=16)
     return M.phash_near_duplicates(hashes, max_hamming=3, n_bands=4)
 
 

@@ -173,3 +173,22 @@ class TestGrayscale:
             J.encode_jpeg(PX, gray=True, subsample=True)
         with pytest.raises(ValueError):
             J.encode_jpeg(PX, gray=True, restart_interval=2)
+
+
+class TestHeaderDims:
+    def test_sof_dims_all_encoder_shapes(self):
+        for kw in (dict(), dict(subsample=True), dict(gray=True)):
+            enc = J.encode_jpeg(PX, quality=90, **kw)
+            assert M._jpeg_header_dims(enc[:4096]) == (40, 24), kw
+
+    def test_garbage_and_short_yield_none(self):
+        assert M._jpeg_header_dims(b"\xff\xd8\xff junk") is None
+        assert M._jpeg_header_dims(b"\xff\xd8") is None
+
+    def test_feature_kernel_reports_jpeg_dims(self, spark):
+        enc = J.encode_jpeg(PX, quality=90)
+        rows = [(0, "image", enc, "image/jpeg", 40, 24, -1)]
+        df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+        r = M.extract_media_features(df, partitions=1).collect()[0]
+        assert (r.sniffed, r.header_width, r.header_height) == (
+            "jpeg", 40, 24)
