@@ -6,16 +6,21 @@ exists in this container. This module implements the baseline
 sequential-DCT Huffman profile from scratch (ITU-T T.81):
 
 decode (``decode_jpeg``)
-    marker segment walk (SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/EOI),
+    marker segment walk (SOI/APPn/COM/DQT/DHT/DRI/SOF0-2/SOS/EOI),
     8-bit quantization tables, Huffman DC/AC tables, byte-unstuffing
-    bit reader with restart-marker support, per-MCU entropy decode →
+    bit reader with restart-marker support, per-MCU entropy decode
+    into a RAW quantized-coefficient store, then one batched
     dequantize → de-zigzag → float64 8x8 IDCT (orthonormal DCT-III
     basis, one einsum per component plane) → level shift → chroma
     upsample (nearest, any h/v in {1,2} — covers 4:4:4/4:2:2/4:2:0)
-    → JFIF YCbCr→RGB. Grayscale replicates to 3 channels. Progressive
-    (SOF2), arithmetic coding, 12-bit precision, and hierarchical
-    modes raise ``NotImplementedError`` — detected, never mis-decoded;
-    truncated/malformed streams raise ``ValueError``.
+    → JFIF YCbCr→RGB pass at EOI. Grayscale replicates to 3 channels.
+    Progressive (SOF2) streams decode: multi-scan spectral selection
+    (non-interleaved AC bands with EOB-run coding) plus DC successive
+    approximation (first pass at any Al, one-raw-bit refinement
+    scans). AC successive approximation, subsampled progressive
+    frames, arithmetic coding, 12-bit precision, and hierarchical
+    modes raise ``NotImplementedError`` — detected, never
+    mis-decoded; truncated/malformed streams raise ``ValueError``.
 
 encode (``encode_jpeg``)
     the fixture-side inverse: 4:4:4, Annex-K quantization tables
@@ -24,7 +29,11 @@ encode (``encode_jpeg``)
     differences, Huffman entropy coding with FF byte stuffing, JFIF
     APP0. ``quality=100`` scales every quantizer to 1, so the only
     loss is DCT float rounding (±1–2 LSB) — the near-lossless plant
-    used by the image near-dup corpus.
+    used by the image near-dup corpus. Options produce the decoder's
+    other shapes: ``subsample`` (4:2:0), ``restart_interval`` (DRI),
+    ``gray`` (single component), ``progressive`` (five-scan SOF2 —
+    same quantized coefficients, so baseline and progressive decodes
+    of the same pixels are bit-identical).
 
 Everything is deterministic: fixed tables, float64 arithmetic,
 round-half-away-from-zero at the two lossy points. Golden-pinned in
@@ -116,6 +125,18 @@ HUFF_AC_CHROMA = (
      0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
      0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
 )
+
+# Progressive AC table: the sequential Annex-K tables carry no EOBn
+# symbols (r<<4, r=1..14 — runs of 2+ end-of-band blocks), so the
+# progressive encoder uses a flat 9-bit canonical code over every AC
+# symbol it can emit: all (r<<4)|s magnitudes, EOB0..EOB14, ZRL.
+# 176 symbols at length 9 satisfies Kraft (176/512 < 1); compression
+# is off-optimal but the streams are fixtures, not a size benchmark.
+_PROG_AC_SYMBOLS = ([((r << 4) | s) for s in range(1, 11)
+                     for r in range(16)]
+                    + [(r << 4) for r in range(15)] + [0xF0])
+HUFF_AC_PROG = ([0] * 8 + [len(_PROG_AC_SYMBOLS)] + [0] * 7,
+                _PROG_AC_SYMBOLS)
 
 # orthonormal 8-point DCT-II basis: C[k, n] = s(k) * cos((2n+1)kπ/16)
 _N = np.arange(8, dtype=np.float64)
@@ -295,13 +316,18 @@ def _decode_huff(reader: _BitReader, table) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential Huffman JPEG to (h, w, 3) uint8 RGB.
+    """Decode a baseline-sequential or progressive Huffman JPEG to
+    (h, w, 3) uint8 RGB.
 
     Supports 8-bit precision, 1 or 3 components, sampling factors in
     {1, 2} per axis (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), multiple
-    DQT/DHT segments, DRI restart intervals. Raises
-    ``NotImplementedError`` for progressive/arithmetic/12-bit/
-    hierarchical streams, ``ValueError`` for malformed data."""
+    DQT/DHT segments, DRI restart intervals, and progressive (SOF2)
+    streams with spectral selection plus DC successive approximation
+    — scans accumulate into a raw-coefficient store and dequantize/
+    IDCT run once at EOI. Raises ``NotImplementedError`` for
+    arithmetic/12-bit/hierarchical streams, AC successive
+    approximation, and subsampled progressive frames; ``ValueError``
+    for malformed data."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -309,17 +335,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}  # (class, id) → decode tbl
     restart_interval = 0
-    frame = None  # (h, w, comps) comps = [(cid, hs, vs, tq)]
+    frame = None  # (h, w, comps, progressive); comps = [(cid,hs,vs,tq)]
+    coefs = None  # per-component RAW quantized coefficients, zigzag
+    saw_scan = False
 
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
         marker = payload[pos + 1]
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("jpeg: progressive not supported")
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC6, 0xCA, 0xCE):
+            raise NotImplementedError(
+                f"jpeg: SOF{marker - 0xC0} mode not supported")
         if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError(
                 f"jpeg: SOF{marker - 0xC0} mode not supported")
+        if pos + 4 > n:
+            raise ValueError("jpeg: truncated marker segment")
         (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         seg = payload[pos + 4:pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -347,7 +380,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("jpeg: short huffman table")
                 htables[(tc, th)] = _build_decode_table(bits, values)
                 sp += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 progressive
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("jpeg: 12-bit precision")
@@ -362,62 +395,105 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
                         "jpeg: sampling factors beyond 2 not supported")
-            frame = (fh, fw, comps)
+            progressive = marker == 0xC2
+            if progressive and any(c[1] != 1 or c[2] != 1 for c in comps):
+                raise NotImplementedError(
+                    "jpeg: subsampled progressive not supported")
+            frame = (fh, fw, comps, progressive)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            fh, fw, comps, progressive = frame
+            if fh <= 0 or fw <= 0:
+                raise ValueError("jpeg: bad dimensions")
+            if coefs is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-fw // (8 * hmax))
+                mcuy = -(-fh // (8 * vmax))
+                coefs = []
+                for _, hs, vs, tq in comps:
+                    coefs.append(np.zeros((mcuy * vs, mcux * hs, 64),
+                                          dtype=np.int64))
             ns = seg[0]
-            scan = []  # (comp_idx, dc_tbl, ac_tbl)
-            comp_ids = [c[0] for c in frame[2]]
+            scan = []  # (comp_idx, dc_tbl_id, ac_tbl_id)
+            comp_ids = [c[0] for c in comps]
             for si in range(ns):
                 cs, tda = seg[1 + si * 2], seg[2 + si * 2]
                 if cs not in comp_ids:
                     raise ValueError("jpeg: scan names unknown component")
                 scan.append((comp_ids.index(cs), tda >> 4, tda & 0x0F))
-            if len(scan) != len(comp_ids):
-                raise NotImplementedError(
-                    "jpeg: multi-scan (non-interleaved) not supported")
-            return _decode_scan(payload, pos + 2 + seglen, frame, scan,
-                                qtables, htables, restart_interval)
+            ss, se, ahal = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+                if len(scan) != len(comp_ids):
+                    raise NotImplementedError(
+                        "jpeg: sequential non-interleaved not supported")
+            reader = _BitReader(payload, pos + 2 + seglen)
+            if ss == 0:
+                if se != 0 and progressive:
+                    raise ValueError("jpeg: DC scan must have Se=0")
+                _scan_interleaved(reader, frame, scan, coefs, htables,
+                                  restart_interval, se, ah, al)
+            else:
+                if len(scan) != 1:
+                    raise ValueError("jpeg: AC scan must be 1-component")
+                if ah != 0:
+                    raise NotImplementedError(
+                        "jpeg: AC successive approximation not supported")
+                _scan_ac_first(reader, frame, scan[0], coefs, htables,
+                               restart_interval, ss, se, al)
+            saw_scan = True
+            pos = _resync(payload, reader)
+            continue
         # APPn / COM / others: skip
         pos += 2 + seglen
-    raise ValueError("jpeg: no SOS marker found")
+    if frame is None or coefs is None or not saw_scan:
+        raise ValueError("jpeg: no SOS marker found")
+    return _finish(frame, coefs, qtables)
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables,
-                 restart_interval) -> np.ndarray:
-    fh, fw, comps = frame
-    if fh <= 0 or fw <= 0:
-        raise ValueError("jpeg: bad dimensions")
+def _resync(data: bytes, reader: _BitReader) -> int:
+    """Position of the next marker after a completed scan (skipping
+    stuffed FF00 pairs in any residual padding)."""
+    if reader.marker is not None:
+        return reader.pos  # _refill stopped AT the 0xFF
+    p = reader.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF:
+            if data[p + 1] == 0x00:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("jpeg: missing post-scan marker")
+
+
+def _scan_interleaved(reader, frame, scan, coefs, htables,
+                      restart_interval, se, ah, al) -> None:
+    """Interleaved scan: full baseline (Ss=0, Se=63) or a progressive
+    DC scan (Se=0; Ah=0 first pass, Ah>0 the one-bit-per-block DC
+    refinement). Writes RAW quantized coefficients in zigzag order."""
+    fh, fw, comps, _ = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-    # per-component DEQUANTIZED coefficient grids (bh, bw, 64 natural
-    # order); the IDCT runs once per plane as a batched einsum after
-    # the sequential entropy pass — the only per-block Python is the
-    # huffman/run-length loop itself
-    coefs = []
-    for _, hs, vs, tq in comps:
-        if tq not in qtables:
-            raise ValueError("jpeg: missing quant table")
-        bw, bh = mcux * hs, mcuy * vs
-        coefs.append(np.zeros((bh, bw, 64), dtype=np.float64))
     dc_tbls, ac_tbls = [], []
     for _, tdc, tac in scan:
-        if (0, tdc) not in htables or (1, tac) not in htables:
+        if ah == 0 and (0, tdc) not in htables:
             raise ValueError("jpeg: missing huffman table")
-        dc_tbls.append(htables[(0, tdc)])
-        ac_tbls.append(htables[(1, tac)])
-
-    reader = _BitReader(data, pos)
+        dc_tbls.append(htables.get((0, tdc)))
+        if se > 0 and (1, tac) not in htables:
+            raise ValueError("jpeg: missing huffman table")
+        ac_tbls.append(htables.get((1, tac)))
     pred = [0] * len(comps)
     rst_count = 0
     mcu_index = 0
-    zig_nat = [int(z) for z in ZIGZAG]  # zigzag index → natural index
-    qlists = {tq: [int(v) for v in tbl] for tq, tbl in qtables.items()}
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_index and (
@@ -427,40 +503,99 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
                 rst_count = (rst_count + 1) & 7
                 pred = [0] * len(comps)
             for si, (ci, _, _) in enumerate(scan):
-                _, hs, vs, tq = comps[ci]
-                q = qlists[tq]
+                _, hs, vs, _ = comps[ci]
                 grid = coefs[ci]
                 for by in range(vs):
                     for bx in range(hs):
                         blk = grid[my * vs + by, mx * hs + bx]
-                        # DC
-                        t = _decode_huff(reader, dc_tbls[si])
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                        pred[ci] += diff
-                        blk[0] = pred[ci] * q[0]
-                        # AC
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(reader, ac_tbls[si])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            blk[zig_nat[k]] = _extend(
-                                reader.read_bits(s), s) * q[k]
-                            k += 1
+                        if ah == 0:  # DC first pass
+                            t = _decode_huff(reader, dc_tbls[si])
+                            diff = _extend(reader.read_bits(t), t
+                                           ) if t else 0
+                            pred[ci] += diff
+                            blk[0] = pred[ci] << al
+                        else:  # DC refinement: one raw bit
+                            if reader.read_bits(1):
+                                blk[0] |= 1 << al
+                        if se > 0:
+                            _decode_ac_run(reader, ac_tbls[si], blk,
+                                           1, se, 0)
             mcu_index += 1
 
+
+def _scan_ac_first(reader, frame, scomp, coefs, htables,
+                   restart_interval, ss, se, al) -> None:
+    """Non-interleaved progressive AC scan (first pass, Ah=0) with
+    EOB-run decoding — blocks traverse the single component's grid in
+    raster order."""
+    ci, _, tac = scomp
+    if (1, tac) not in htables:
+        raise ValueError("jpeg: missing huffman table")
+    act = htables[(1, tac)]
+    grid = coefs[ci]
+    bh, bw = grid.shape[0], grid.shape[1]
+    eobrun = 0
+    rst_count = 0
+    idx = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and idx and idx % restart_interval == 0:
+                reader.align_and_expect_rst(rst_count)
+                rst_count = (rst_count + 1) & 7
+                eobrun = 0
+            if eobrun > 0:
+                eobrun -= 1
+            else:
+                eobrun = _decode_ac_run(reader, act, grid[by, bx],
+                                        ss, se, al)
+            idx += 1
+    if eobrun:
+        raise ValueError("jpeg: EOB run past end of scan")
+
+
+def _decode_ac_run(reader, act, blk, ss, se, al) -> int:
+    """Decode one block's AC coefficients in [ss, se]; returns the
+    REMAINING EOB-run length (0 in baseline, where the EOB symbol is
+    the degenerate run of 1)."""
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            # EOBn: run of (1 << r) + extra blocks ending here
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index overflow")
+        # coefficients are STORED in zigzag order (dequantize then
+        # multiplies by the zigzag-ordered DQT directly)
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _finish(frame, coefs, qtables) -> np.ndarray:
+    """Dequantize (zigzag store × zigzag DQT), de-zigzag, batched IDCT,
+    upsample, color-convert."""
+    fh, fw, comps, _ = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out_planes = []
-    for ci, (_, hs, vs, _) in enumerate(comps):
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("jpeg: missing quant table")
         grid = coefs[ci]
         bh, bw = grid.shape[0], grid.shape[1]
-        blocks = grid.reshape(bh, bw, 8, 8)
+        deq = grid.astype(np.float64) * qtables[tq].astype(np.float64)
+        nat = np.zeros_like(deq)
+        nat[:, :, ZIGZAG] = deq
+        blocks = nat.reshape(bh, bw, 8, 8)
         # IDCT every block at once: basisᵀ · B · basis over (..., 8, 8)
         px = np.einsum("ij,yxjk,kl->yxil", _DCT_BASIS.T, blocks,
                        _DCT_BASIS, optimize=True)
@@ -613,25 +748,158 @@ def _encode_gray(yp: np.ndarray, h: int, w: int,
     ])
 
 
+def _encode_block_ac_first(writer: _BitWriter, quant: list, act: dict,
+                           ss: int, se: int, eobrun: int) -> int:
+    """Progressive AC first pass for one block: emit pending EOB run
+    before any coefficients; return the updated pending run."""
+    last_nz = 0
+    for k in range(se, ss - 1, -1):
+        if quant[k]:
+            last_nz = k
+            break
+    if last_nz == 0:  # nothing in this band: extend the EOB run
+        return eobrun + 1
+    if eobrun:
+        _flush_eobrun(writer, act, eobrun)
+    run = 0
+    for k in range(ss, last_nz + 1):
+        v = quant[k]
+        if v == 0:
+            run += 1
+            if run == 16:
+                ln, code = act[0xF0]  # ZRL
+                writer.write(code, ln)
+                run = 0
+            continue
+        t, amp = _magnitude(v)
+        ln, code = act[(run << 4) | t]
+        writer.write(code, ln)
+        writer.write(amp, t)
+        run = 0
+    return 1 if last_nz < se else 0  # band ended early → EOB run of 1
+
+
+def _flush_eobrun(writer: _BitWriter, act: dict, eobrun: int) -> None:
+    """Emit an EOBn symbol for a pending run (T.81 G.1.2.2)."""
+    while eobrun > 0:
+        chunk = min(eobrun, 32767)
+        r = chunk.bit_length() - 1
+        ln, code = act[r << 4]
+        writer.write(code, ln)
+        if r:
+            writer.write(chunk - (1 << r), r)
+        eobrun -= chunk
+
+
+def _encode_progressive(quants: list, h: int, w: int,
+                        qy: np.ndarray, qc: np.ndarray) -> bytes:
+    """Progressive (SOF2) packaging of already-quantized 4:4:4 blocks:
+    scan 1 = interleaved DC first pass at Al=1, scan 2 = DC refinement
+    (the raw LSB per block), scans 3-5 = per-component spectral-
+    selection AC bands 1..63 with real EOB runs. Same coefficients as
+    the baseline packaging — decode output is bit-identical."""
+    enc_dc = [_build_encode_table(*HUFF_DC_LUMA),
+              _build_encode_table(*HUFF_DC_CHROMA)]
+    enc_ac_prog = _build_encode_table(*HUFF_AC_PROG)
+    bh, bw = quants[0].shape[0], quants[0].shape[1]
+
+    # scan 1: DC first pass (Al=1) — code diffs of V >> 1
+    w1 = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                v1 = int(quants[ci][by, bx, 0]) >> 1
+                t, amp = _magnitude(v1 - pred[ci])
+                pred[ci] = v1
+                ln, code = enc_dc[0 if ci == 0 else 1][t]
+                w1.write(code, ln)
+                if t:
+                    w1.write(amp, t)
+    w1.flush()
+
+    # scan 2: DC refinement (Ah=1, Al=0) — raw LSB per block
+    w2 = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                w2.write(int(quants[ci][by, bx, 0]) & 1, 1)
+    w2.flush()
+
+    # scans 3-5: AC 1..63 per component, EOB runs across blocks
+    ac_writers = []
+    for ci in range(3):
+        wn = _BitWriter()
+        act = enc_ac_prog
+        eobrun = 0
+        for by in range(bh):
+            for bx in range(bw):
+                eobrun = _encode_block_ac_first(
+                    wn, quants[ci][by, bx].tolist(), act, 1, 63, eobrun)
+        if eobrun:
+            _flush_eobrun(wn, act, eobrun)
+        wn.flush()
+        ac_writers.append(wn)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits, values) -> bytes:
+        return bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
+
+    def sos(comps: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for cid, tdc, tac in comps:
+            body += bytes([cid, (tdc << 4) | tac])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    return b"".join([
+        b"\xff\xd8",
+        seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        seg(0xDB, b"\x00" + bytes(int(v) for v in qy)
+            + b"\x01" + bytes(int(v) for v in qc)),
+        seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])),
+        seg(0xC4, dht(0, 0, *HUFF_DC_LUMA) + dht(0, 1, *HUFF_DC_CHROMA)
+            + dht(1, 2, *HUFF_AC_PROG)),
+        sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1),
+        bytes(w1.out),
+        sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0),
+        bytes(w2.out),
+        sos([(1, 0, 2)], 1, 63, 0, 0), bytes(ac_writers[0].out),
+        sos([(2, 0, 2)], 1, 63, 0, 0), bytes(ac_writers[1].out),
+        sos([(3, 0, 2)], 1, 63, 0, 0), bytes(ac_writers[2].out),
+        b"\xff\xd9",
+    ])
+
+
 def encode_jpeg(pixels: np.ndarray, quality: int = 100,
                 subsample: bool = False,
                 restart_interval: int = 0,
-                gray: bool = False) -> bytes:
+                gray: bool = False,
+                progressive: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG
     with Annex-K tables scaled by ``quality``. Deterministic.
     ``quality=100`` → all-one quant tables (near-lossless).
     ``subsample=True`` emits 4:2:0 (2x2 box-averaged chroma) instead
     of 4:4:4; ``restart_interval=N`` emits DRI + RSTn every N MCUs;
-    ``gray=True`` emits a single-component (luma-only) frame — all
-    three exist chiefly so the decoder's upsample, restart, and
-    grayscale paths are exercised by self-produced streams."""
+    ``gray=True`` emits a single-component (luma-only) frame;
+    ``progressive=True`` emits a five-scan SOF2 stream (DC first pass
+    at Al=1, DC refinement, per-component spectral-selection AC bands
+    with real EOB runs) — all exist chiefly so the decoder's upsample,
+    restart, grayscale, and progressive paths are exercised by
+    self-produced streams. Progressive packages the SAME quantized
+    coefficients as baseline, so decode output is bit-identical."""
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8")
     h, w = pixels.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("encode_jpeg: empty image")
-    if gray and (subsample or restart_interval):
-        raise ValueError("gray supports neither subsample nor DRI")
+    if gray and (subsample or restart_interval or progressive):
+        raise ValueError("gray supports neither subsample/DRI nor "
+                         "progressive")
+    if progressive and (subsample or restart_interval):
+        raise ValueError("progressive encode is 4:4:4 without DRI")
     qy, qc = _scaled_qtables(quality)
 
     rgb = pixels.astype(np.float64)
@@ -664,6 +932,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 100,
     qy_blocks = _quantize_plane(yp, qy)
     qcb_blocks = _quantize_plane(cbp, qc)
     qcr_blocks = _quantize_plane(crp, qc)
+
+    if progressive:
+        return _encode_progressive([qy_blocks, qcb_blocks, qcr_blocks],
+                                   h, w, qy, qc)
 
     writer = _BitWriter()
     pred = [0, 0, 0]

@@ -100,11 +100,71 @@ class TestSubsampleAndRestart:
         assert dec.shape == odd.shape
 
 
-class TestRejection:
-    def test_progressive_rejected(self):
-        with pytest.raises(NotImplementedError, match="progressive"):
-            J.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05abc")
+class TestProgressive:
+    """Progressive (SOF2) decode: spectral selection + DC successive
+    approximation. The progressive encoder packages the SAME quantized
+    coefficients as baseline, so decode output must be bit-identical
+    to the baseline decode of the same pixels."""
 
+    def test_noise_matches_baseline(self):
+        base = J.decode_jpeg(J.encode_jpeg(PX, quality=100))
+        prog = J.decode_jpeg(J.encode_jpeg(PX, quality=100,
+                                           progressive=True))
+        assert (prog == base).all()
+
+    def test_long_eob_runs(self):
+        # mostly-flat image → AC scans are one long EOB run with a
+        # small burst of coefficient blocks in the middle
+        const = np.full((48, 64, 3), (120, 80, 200), dtype=np.uint8)
+        const[10:14, 20:24] = 255
+        pb = J.decode_jpeg(J.encode_jpeg(const, quality=90))
+        pp = J.decode_jpeg(J.encode_jpeg(const, quality=90,
+                                         progressive=True))
+        assert (pp == pb).all()
+
+    def test_whole_scan_eob_run_flat_image(self):
+        flat = np.full((32, 32, 3), 99, dtype=np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(flat, quality=100,
+                                          progressive=True))
+        assert (dec == flat).all()
+
+    def test_odd_dims_and_lossy_quality(self):
+        odd = M._synth_pixels(41, 27, 5)
+        ob = J.decode_jpeg(J.encode_jpeg(odd, quality=100))
+        op = J.decode_jpeg(J.encode_jpeg(odd, quality=100,
+                                         progressive=True))
+        assert (op == ob).all()
+        big = M._synth_pixels(200, 150, 9)
+        bb = J.decode_jpeg(J.encode_jpeg(big, 75))
+        bp = J.decode_jpeg(J.encode_jpeg(big, 75, progressive=True))
+        assert (bp == bb).all()
+
+    def test_determinism(self):
+        a = J.encode_jpeg(PX, 100, progressive=True)
+        assert a == J.encode_jpeg(PX, 100, progressive=True)
+
+    def test_ac_successive_approximation_rejected(self):
+        prog = J.encode_jpeg(PX, quality=100, progressive=True)
+        # flip Ah=1 on the luma AC scan header: FF DA 0008 01 01 02
+        # Ss=1 Se=3F AhAl=00
+        pat = bytes([0xFF, 0xDA, 0, 8, 1, 1, 0x02, 1, 63, 0])
+        idx = prog.find(pat)
+        assert idx >= 0
+        mod = bytearray(prog)
+        mod[idx + 9] = 0x10
+        with pytest.raises(NotImplementedError, match="successive"):
+            J.decode_jpeg(bytes(mod))
+
+    def test_progressive_rejects_incompatible_options(self):
+        with pytest.raises(ValueError):
+            J.encode_jpeg(PX, progressive=True, subsample=True)
+        with pytest.raises(ValueError):
+            J.encode_jpeg(PX, progressive=True, restart_interval=2)
+        with pytest.raises(ValueError):
+            J.encode_jpeg(PX, progressive=True, gray=True)
+
+
+class TestRejection:
     def test_arithmetic_rejected(self):
         with pytest.raises(NotImplementedError):
             J.decode_jpeg(b"\xff\xd8\xff\xc9\x00\x05abc")
