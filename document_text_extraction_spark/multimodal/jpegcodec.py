@@ -14,13 +14,16 @@ decode (``decode_jpeg``)
     basis, one einsum per component plane) → level shift → chroma
     upsample (nearest, any h/v in {1,2} — covers 4:4:4/4:2:2/4:2:0)
     → JFIF YCbCr→RGB pass at EOI. Grayscale replicates to 3 channels.
-    Progressive (SOF2) streams decode: multi-scan spectral selection
-    (non-interleaved AC bands with EOB-run coding) plus DC successive
-    approximation (first pass at any Al, one-raw-bit refinement
-    scans). AC successive approximation, subsampled progressive
-    frames, arithmetic coding, 12-bit precision, and hierarchical
-    modes raise ``NotImplementedError`` — detected, never
-    mis-decoded; truncated/malformed streams raise ``ValueError``.
+    Progressive (SOF2) streams decode in full Huffman generality:
+    multi-scan spectral selection (non-interleaved AC bands with
+    EOB-run coding), DC successive approximation (first pass at any
+    Al, one-raw-bit refinement scans), and AC successive
+    approximation (refinement scans with buffered correction bits —
+    the libjpeg-default progressive script shape). Subsampled
+    progressive frames, arithmetic coding, 12-bit precision, and
+    hierarchical modes raise ``NotImplementedError`` — detected,
+    never mis-decoded; truncated/malformed streams raise
+    ``ValueError``.
 
 encode (``encode_jpeg``)
     the fixture-side inverse: 4:4:4, Annex-K quantization tables
@@ -31,9 +34,11 @@ encode (``encode_jpeg``)
     loss is DCT float rounding (±1–2 LSB) — the near-lossless plant
     used by the image near-dup corpus. Options produce the decoder's
     other shapes: ``subsample`` (4:2:0), ``restart_interval`` (DRI),
-    ``gray`` (single component), ``progressive`` (five-scan SOF2 —
-    same quantized coefficients, so baseline and progressive decodes
-    of the same pixels are bit-identical).
+    ``gray`` (single component), ``progressive`` (multi-scan SOF2;
+    with ``successive`` the libjpeg-default script shape of AC first
+    passes plus correction-bit refinement scans — same quantized
+    coefficients either way, so baseline and progressive decodes of
+    the same pixels are bit-identical).
 
 Everything is deterministic: fixed tables, float64 arithmetic,
 round-half-away-from-zero at the two lossy points. Golden-pinned in
@@ -322,12 +327,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Supports 8-bit precision, 1 or 3 components, sampling factors in
     {1, 2} per axis (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), multiple
     DQT/DHT segments, DRI restart intervals, and progressive (SOF2)
-    streams with spectral selection plus DC successive approximation
-    — scans accumulate into a raw-coefficient store and dequantize/
-    IDCT run once at EOI. Raises ``NotImplementedError`` for
-    arithmetic/12-bit/hierarchical streams, AC successive
-    approximation, and subsampled progressive frames; ``ValueError``
-    for malformed data."""
+    streams with spectral selection plus DC and AC successive
+    approximation — scans accumulate into a raw-coefficient store and
+    dequantize/IDCT run once at EOI. Raises ``NotImplementedError``
+    for arithmetic/12-bit/hierarchical streams and subsampled
+    progressive frames; ``ValueError`` for malformed data."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -441,11 +445,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             else:
                 if len(scan) != 1:
                     raise ValueError("jpeg: AC scan must be 1-component")
-                if ah != 0:
-                    raise NotImplementedError(
-                        "jpeg: AC successive approximation not supported")
-                _scan_ac_first(reader, frame, scan[0], coefs, htables,
-                               restart_interval, ss, se, al)
+                if ah == 0:
+                    _scan_ac_first(reader, frame, scan[0], coefs,
+                                   htables, restart_interval, ss, se, al)
+                else:
+                    _scan_ac_refine(reader, frame, scan[0], coefs,
+                                    htables, restart_interval, ss, se,
+                                    al)
             saw_scan = True
             pos = _resync(payload, reader)
             continue
@@ -549,6 +555,101 @@ def _scan_ac_first(reader, frame, scomp, coefs, htables,
                 eobrun = _decode_ac_run(reader, act, grid[by, bx],
                                         ss, se, al)
             idx += 1
+    if eobrun:
+        raise ValueError("jpeg: EOB run past end of scan")
+
+
+def _refine_nonzero(reader, blk, k: int, al: int) -> None:
+    """Read one correction bit for a nonzero-history coefficient
+    (T.81 G.1.2.3): a set bit adds 1<<al to the magnitude."""
+    if reader.read_bits(1):
+        m = blk[k]
+        step = 1 << al
+        if m > 0:
+            if not (m & step):
+                blk[k] = m + step
+        else:
+            if not (-m & step):
+                blk[k] = m - step
+
+
+def _refine_band(reader, blk, k0: int, se: int, al: int) -> None:
+    """Correction bits for every nonzero-history coefficient left in
+    the band — the tail of an EOB run in an AC refinement scan."""
+    for k in range(k0, se + 1):
+        if blk[k]:
+            _refine_nonzero(reader, blk, k, al)
+
+
+def _scan_ac_refine(reader, frame, scomp, coefs, htables,
+                    restart_interval, ss, se, al) -> None:
+    """Non-interleaved progressive AC refinement scan (Ah = Al + 1):
+    zero-history runs position NEW ±1<<al coefficients; every
+    nonzero-history coefficient passed (including inside ZRL skips and
+    EOB runs) consumes one correction bit."""
+    ci, _, tac = scomp
+    if (1, tac) not in htables:
+        raise ValueError("jpeg: missing huffman table")
+    act = htables[(1, tac)]
+    grid = coefs[ci]
+    bh, bw = grid.shape[0], grid.shape[1]
+    eobrun = 0
+    rst_count = 0
+    idx = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and idx and idx % restart_interval == 0:
+                reader.align_and_expect_rst(rst_count)
+                rst_count = (rst_count + 1) & 7
+                eobrun = 0
+            blk = grid[by, bx]
+            idx += 1
+            if eobrun > 0:
+                _refine_band(reader, blk, ss, se, al)
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_huff(reader, act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0 and r != 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    _refine_band(reader, blk, k, se, al)
+                    eobrun -= 1  # the current block consumed one
+                    break
+                if s == 0:  # ZRL: skip 16 zero-history positions —
+                    # the advance breaks AT the 16th zero, which is
+                    # then consumed below (libjpeg's --r < 0 shape)
+                    newval, target = 0, 15
+                elif s == 1:
+                    newval = (1 << al) if reader.read_bits(1) else -(
+                        1 << al)
+                    target = r
+                else:
+                    raise ValueError(
+                        "jpeg: AC refinement magnitude must be 1")
+                # advance: zero-history positions count down target;
+                # nonzero-history positions consume correction bits
+                while k <= se:
+                    if blk[k]:
+                        _refine_nonzero(reader, blk, k, al)
+                        k += 1
+                        continue
+                    if target == 0:
+                        break
+                    target -= 1
+                    k += 1
+                if s == 1:
+                    if k > se:
+                        raise ValueError("jpeg: refinement overflow")
+                    blk[k] = newval
+                    k += 1
+                elif k <= se:
+                    k += 1  # ZRL consumes its breaking zero
+    # trailing EOB-run blocks were consumed at loop top; a run that
+    # extends past the scan is malformed
     if eobrun:
         raise ValueError("jpeg: EOB run past end of scan")
 
@@ -791,13 +892,107 @@ def _flush_eobrun(writer: _BitWriter, act: dict, eobrun: int) -> None:
         eobrun -= chunk
 
 
+def _flush_eobrun_refine(writer: _BitWriter, act: dict, eobrun: int,
+                         pending_bits: list) -> None:
+    """EOBn for a refinement-scan run, followed by the correction bits
+    buffered across the run's blocks (T.81 G.1.2.3 order)."""
+    if eobrun <= 0:
+        for b in pending_bits:  # defensive: bits without a run
+            writer.write(b, 1)
+        return
+    if eobrun > 32767:
+        raise ValueError("refinement EOB run too long")
+    r = eobrun.bit_length() - 1
+    ln, code = act[r << 4]
+    writer.write(code, ln)
+    if r:
+        writer.write(eobrun - (1 << r), r)
+    for b in pending_bits:
+        writer.write(b, 1)
+
+
+def _encode_ac_refine_scan(grid: np.ndarray, act: dict,
+                           ss: int, se: int, al: int) -> "_BitWriter":
+    """Progressive AC refinement scan (Ah = Al + 1) over one
+    component: new ±1<<al coefficients positioned by zero-history
+    runs, correction bits for nonzero-history coefficients buffered
+    and flushed after each symbol — the libjpeg
+    ``encode_mcu_AC_refine`` scheme."""
+    writer = _BitWriter()
+    bh, bw = grid.shape[0], grid.shape[1]
+    eobrun = 0
+    pending: list = []  # correction bits buffered across EOB-run blocks
+    for by in range(bh):
+        for bx in range(bw):
+            quant = grid[by, bx].tolist()
+            absv = [abs(v) >> al for v in quant]
+            eobpos = ss - 1  # last NEW coefficient in the band
+            for k in range(se, ss - 1, -1):
+                if absv[k] == 1:
+                    eobpos = k
+                    break
+            r = 0
+            bits: list = []  # correction bits since the last symbol
+            for k in range(ss, eobpos + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                # emit ZRLs as soon as 16 zeros accumulate (libjpeg
+                # order): the bits flushed with each ZRL are exactly
+                # the corrections seen before its 16-zero window ends
+                while r > 15:
+                    if eobrun or pending:
+                        _flush_eobrun_refine(writer, act, eobrun,
+                                             pending)
+                        eobrun, pending = 0, []
+                    ln, code = act[0xF0]
+                    writer.write(code, ln)
+                    r -= 16
+                    for b in bits:
+                        writer.write(b, 1)
+                    bits = []
+                if t > 1:  # nonzero history → one correction bit
+                    bits.append(t & 1)
+                    continue
+                # t == 1 → new coefficient: flush any pending EOB run,
+                # then the (run, 1) symbol + sign + buffered bits
+                if eobrun or pending:
+                    _flush_eobrun_refine(writer, act, eobrun, pending)
+                    eobrun, pending = 0, []
+                ln, code = act[(r << 4) | 1]
+                writer.write(code, ln)
+                writer.write(1 if quant[k] > 0 else 0, 1)
+                for b in bits:
+                    writer.write(b, 1)
+                bits, r = [], 0
+            # band tail after the last new coefficient joins the EOB
+            # run iff anything is left to represent (trailing zeros or
+            # trailing correction bits); a band ending exactly on a
+            # new coefficient is complete without an EOB
+            tail = [absv[k] & 1 for k in range(eobpos + 1, se + 1)
+                    if absv[k] > 1]
+            if eobpos < se or bits or tail:
+                eobrun += 1
+                pending.extend(bits)
+                pending.extend(tail)
+    if eobrun or pending:
+        _flush_eobrun_refine(writer, act, eobrun, pending)
+    writer.flush()
+    return writer
+
+
 def _encode_progressive(quants: list, h: int, w: int,
-                        qy: np.ndarray, qc: np.ndarray) -> bytes:
+                        qy: np.ndarray, qc: np.ndarray,
+                        successive: bool = False) -> bytes:
     """Progressive (SOF2) packaging of already-quantized 4:4:4 blocks:
     scan 1 = interleaved DC first pass at Al=1, scan 2 = DC refinement
-    (the raw LSB per block), scans 3-5 = per-component spectral-
-    selection AC bands 1..63 with real EOB runs. Same coefficients as
-    the baseline packaging — decode output is bit-identical."""
+    (the raw LSB per block), then per-component spectral-selection AC
+    bands 1..63 with real EOB runs — in one pass (``successive=False``)
+    or split into an Al=1 first pass plus an Ah=1/Al=0 refinement scan
+    per component (``successive=True``, the libjpeg-default script
+    shape). Same coefficients as the baseline packaging — decode
+    output is bit-identical."""
     enc_dc = [_build_encode_table(*HUFF_DC_LUMA),
               _build_encode_table(*HUFF_DC_CHROMA)]
     enc_ac_prog = _build_encode_table(*HUFF_AC_PROG)
@@ -826,20 +1021,27 @@ def _encode_progressive(quants: list, h: int, w: int,
                 w2.write(int(quants[ci][by, bx, 0]) & 1, 1)
     w2.flush()
 
-    # scans 3-5: AC 1..63 per component, EOB runs across blocks
+    # AC scans, 1..63 per component, EOB runs across blocks: one full
+    # pass at Al=0, or (successive) an Al=1 first pass over
+    # sign(v)*(|v|>>1) plus the correction-bit refinement scan
     ac_writers = []
+    ac_refines = []
     for ci in range(3):
         wn = _BitWriter()
         act = enc_ac_prog
+        g = quants[ci]
+        first = np.sign(g) * (np.abs(g) >> 1) if successive else g
         eobrun = 0
         for by in range(bh):
             for bx in range(bw):
                 eobrun = _encode_block_ac_first(
-                    wn, quants[ci][by, bx].tolist(), act, 1, 63, eobrun)
+                    wn, first[by, bx].tolist(), act, 1, 63, eobrun)
         if eobrun:
             _flush_eobrun(wn, act, eobrun)
         wn.flush()
         ac_writers.append(wn)
+        if successive:
+            ac_refines.append(_encode_ac_refine_scan(g, act, 1, 63, 0))
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -853,7 +1055,8 @@ def _encode_progressive(quants: list, h: int, w: int,
             body += bytes([cid, (tdc << 4) | tac])
         return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
-    return b"".join([
+    ac_al = 1 if successive else 0
+    out = [
         b"\xff\xd8",
         seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
         seg(0xDB, b"\x00" + bytes(int(v) for v in qy)
@@ -866,18 +1069,23 @@ def _encode_progressive(quants: list, h: int, w: int,
         bytes(w1.out),
         sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0),
         bytes(w2.out),
-        sos([(1, 0, 2)], 1, 63, 0, 0), bytes(ac_writers[0].out),
-        sos([(2, 0, 2)], 1, 63, 0, 0), bytes(ac_writers[1].out),
-        sos([(3, 0, 2)], 1, 63, 0, 0), bytes(ac_writers[2].out),
-        b"\xff\xd9",
-    ])
+        sos([(1, 0, 2)], 1, 63, 0, ac_al), bytes(ac_writers[0].out),
+        sos([(2, 0, 2)], 1, 63, 0, ac_al), bytes(ac_writers[1].out),
+        sos([(3, 0, 2)], 1, 63, 0, ac_al), bytes(ac_writers[2].out),
+    ]
+    if successive:
+        for ci, wr in enumerate(ac_refines):
+            out += [sos([(ci + 1, 0, 2)], 1, 63, 1, 0), bytes(wr.out)]
+    out.append(b"\xff\xd9")
+    return b"".join(out)
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 100,
                 subsample: bool = False,
                 restart_interval: int = 0,
                 gray: bool = False,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                successive: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG
     with Annex-K tables scaled by ``quality``. Deterministic.
     ``quality=100`` → all-one quant tables (near-lossless).
@@ -900,6 +1108,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 100,
                          "progressive")
     if progressive and (subsample or restart_interval):
         raise ValueError("progressive encode is 4:4:4 without DRI")
+    if successive and not progressive:
+        raise ValueError("successive approximation requires progressive")
     qy, qc = _scaled_qtables(quality)
 
     rgb = pixels.astype(np.float64)
@@ -935,7 +1145,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 100,
 
     if progressive:
         return _encode_progressive([qy_blocks, qcb_blocks, qcr_blocks],
-                                   h, w, qy, qc)
+                                   h, w, qy, qc,
+                                   successive=successive)
 
     writer = _BitWriter()
     pred = [0, 0, 0]

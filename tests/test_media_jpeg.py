@@ -143,17 +143,30 @@ class TestProgressive:
         a = J.encode_jpeg(PX, 100, progressive=True)
         assert a == J.encode_jpeg(PX, 100, progressive=True)
 
-    def test_ac_successive_approximation_rejected(self):
-        prog = J.encode_jpeg(PX, quality=100, progressive=True)
-        # flip Ah=1 on the luma AC scan header: FF DA 0008 01 01 02
-        # Ss=1 Se=3F AhAl=00
-        pat = bytes([0xFF, 0xDA, 0, 8, 1, 1, 0x02, 1, 63, 0])
-        idx = prog.find(pat)
-        assert idx >= 0
-        mod = bytearray(prog)
-        mod[idx + 9] = 0x10
-        with pytest.raises(NotImplementedError, match="successive"):
-            J.decode_jpeg(bytes(mod))
+    def test_successive_approximation_matches_baseline(self):
+        """The libjpeg-default script shape: AC first pass at Al=1
+        plus an Ah=1/Al=0 refinement scan per component (EOB runs
+        carrying buffered correction bits). Same coefficients →
+        bit-identical decode vs baseline."""
+        cases = [(M._synth_pixels(40, 24, 7), 100),
+                 (M._synth_pixels(41, 27, 5), 100),
+                 (M._synth_pixels(72, 56, 102), 60),
+                 (M._synth_pixels(128, 96, 104), 40),
+                 (np.full((32, 32, 3), 99, dtype=np.uint8), 100)]
+        yy, xx = np.mgrid[0:48, 0:80]
+        smooth = np.stack([(yy * 3) % 256, (xx * 2) % 256,
+                           ((yy + xx) * 2) % 256],
+                          axis=2).astype(np.uint8)
+        cases += [(smooth, 50), (smooth, 25)]
+        const = np.full((48, 64, 3), (120, 80, 200), dtype=np.uint8)
+        const[10:14, 20:24] = 255  # long EOB runs w/ a coef burst
+        cases.append((const, 90))
+        for px, q in cases:
+            base = J.decode_jpeg(J.encode_jpeg(px, quality=q))
+            sa = J.decode_jpeg(J.encode_jpeg(px, quality=q,
+                                             progressive=True,
+                                             successive=True))
+            assert (sa == base).all(), (px.shape, q)
 
     def test_progressive_rejects_incompatible_options(self):
         with pytest.raises(ValueError):
