@@ -19,11 +19,12 @@ decode (``decode_jpeg``)
     EOB-run coding), DC successive approximation (first pass at any
     Al, one-raw-bit refinement scans), and AC successive
     approximation (refinement scans with buffered correction bits —
-    the libjpeg-default progressive script shape). Subsampled
-    progressive frames, arithmetic coding, 12-bit precision, and
-    hierarchical modes raise ``NotImplementedError`` — detected,
-    never mis-decoded; truncated/malformed streams raise
-    ``ValueError``.
+    the libjpeg-default progressive script shape), for subsampled
+    (4:2:0/4:2:2) frames as well as 4:4:4 — non-interleaved scans
+    traverse each component's REAL block grid per T.81 A.2.2.
+    Arithmetic coding, 12-bit precision, and hierarchical modes raise
+    ``NotImplementedError`` — detected, never mis-decoded;
+    truncated/malformed streams raise ``ValueError``.
 
 encode (``encode_jpeg``)
     the fixture-side inverse: 4:4:4, Annex-K quantization tables
@@ -327,11 +328,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Supports 8-bit precision, 1 or 3 components, sampling factors in
     {1, 2} per axis (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), multiple
     DQT/DHT segments, DRI restart intervals, and progressive (SOF2)
-    streams with spectral selection plus DC and AC successive
-    approximation — scans accumulate into a raw-coefficient store and
-    dequantize/IDCT run once at EOI. Raises ``NotImplementedError``
-    for arithmetic/12-bit/hierarchical streams and subsampled
-    progressive frames; ``ValueError`` for malformed data."""
+    streams (subsampled or not) with spectral selection plus DC and
+    AC successive approximation — scans accumulate into a
+    raw-coefficient store and dequantize/IDCT run once at EOI. Raises
+    ``NotImplementedError`` for arithmetic/12-bit/hierarchical
+    streams; ``ValueError`` for malformed data."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -400,9 +401,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         "jpeg: sampling factors beyond 2 not supported")
             progressive = marker == 0xC2
-            if progressive and any(c[1] != 1 or c[2] != 1 for c in comps):
-                raise NotImplementedError(
-                    "jpeg: subsampled progressive not supported")
             frame = (fh, fw, comps, progressive)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -529,17 +527,32 @@ def _scan_interleaved(reader, frame, scan, coefs, htables,
             mcu_index += 1
 
 
+def _comp_block_dims(frame, ci) -> tuple[int, int]:
+    """(bh, bw) a NON-INTERLEAVED scan traverses for component ``ci``:
+    ceil(component samples / 8) per axis (T.81 A.2.2) — smaller than
+    the MCU-padded grid when the frame is subsampled (the padded edge
+    blocks carry DC from the interleaved scan and zero AC, which the
+    final crop discards)."""
+    fh, fw, comps, _ = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, hs, vs, _ = comps[ci]
+    sw = -(-fw * hs // hmax)
+    sh = -(-fh * vs // vmax)
+    return -(-sh // 8), -(-sw // 8)
+
+
 def _scan_ac_first(reader, frame, scomp, coefs, htables,
                    restart_interval, ss, se, al) -> None:
     """Non-interleaved progressive AC scan (first pass, Ah=0) with
-    EOB-run decoding — blocks traverse the single component's grid in
-    raster order."""
+    EOB-run decoding — blocks traverse the single component's REAL
+    block grid in raster order."""
     ci, _, tac = scomp
     if (1, tac) not in htables:
         raise ValueError("jpeg: missing huffman table")
     act = htables[(1, tac)]
     grid = coefs[ci]
-    bh, bw = grid.shape[0], grid.shape[1]
+    bh, bw = _comp_block_dims(frame, ci)
     eobrun = 0
     rst_count = 0
     idx = 0
@@ -592,7 +605,7 @@ def _scan_ac_refine(reader, frame, scomp, coefs, htables,
         raise ValueError("jpeg: missing huffman table")
     act = htables[(1, tac)]
     grid = coefs[ci]
-    bh, bw = grid.shape[0], grid.shape[1]
+    bh, bw = _comp_block_dims(frame, ci)
     eobrun = 0
     rst_count = 0
     idx = 0
@@ -912,14 +925,17 @@ def _flush_eobrun_refine(writer: _BitWriter, act: dict, eobrun: int,
 
 
 def _encode_ac_refine_scan(grid: np.ndarray, act: dict,
-                           ss: int, se: int, al: int) -> "_BitWriter":
+                           ss: int, se: int, al: int,
+                           dims: tuple | None = None) -> "_BitWriter":
     """Progressive AC refinement scan (Ah = Al + 1) over one
     component: new ±1<<al coefficients positioned by zero-history
     runs, correction bits for nonzero-history coefficients buffered
     and flushed after each symbol — the libjpeg
-    ``encode_mcu_AC_refine`` scheme."""
+    ``encode_mcu_AC_refine`` scheme. ``dims`` restricts traversal to
+    the component's REAL block grid (subsampled frames)."""
     writer = _BitWriter()
-    bh, bw = grid.shape[0], grid.shape[1]
+    bh, bw = dims if dims is not None else (grid.shape[0],
+                                            grid.shape[1])
     eobrun = 0
     pending: list = []  # correction bits buffered across EOB-run blocks
     for by in range(bh):
@@ -984,7 +1000,8 @@ def _encode_ac_refine_scan(grid: np.ndarray, act: dict,
 
 def _encode_progressive(quants: list, h: int, w: int,
                         qy: np.ndarray, qc: np.ndarray,
-                        successive: bool = False) -> bytes:
+                        successive: bool = False,
+                        samp: int = 1) -> bytes:
     """Progressive (SOF2) packaging of already-quantized 4:4:4 blocks:
     scan 1 = interleaved DC first pass at Al=1, scan 2 = DC refinement
     (the raw LSB per block), then per-component spectral-selection AC
@@ -996,15 +1013,29 @@ def _encode_progressive(quants: list, h: int, w: int,
     enc_dc = [_build_encode_table(*HUFF_DC_LUMA),
               _build_encode_table(*HUFF_DC_CHROMA)]
     enc_ac_prog = _build_encode_table(*HUFF_AC_PROG)
-    bh, bw = quants[0].shape[0], quants[0].shape[1]
+    mcuy = quants[0].shape[0] // samp
+    mcux = quants[0].shape[1] // samp
+    # MCU block order: samp×samp luma blocks, then cb, then cr
+    mcu_blocks = ([(0, by, bx) for by in range(samp)
+                   for bx in range(samp)] + [(1, 0, 0), (2, 0, 0)])
+    # non-interleaved AC scans traverse REAL per-component block dims,
+    # not the MCU-padded grid (T.81 A.2.2) — same arithmetic as the
+    # decoder's _comp_block_dims
+    real_dims = []
+    for ci in range(3):
+        hs = samp if ci == 0 else 1
+        sh = -(-h * hs // samp)   # component samples (ceil)
+        sw = -(-w * hs // samp)
+        real_dims.append((-(-sh // 8), -(-sw // 8)))
 
     # scan 1: DC first pass (Al=1) — code diffs of V >> 1
     w1 = _BitWriter()
     pred = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(3):
-                v1 = int(quants[ci][by, bx, 0]) >> 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, by, bx in mcu_blocks:
+                sf = samp if ci == 0 else 1
+                v1 = int(quants[ci][my * sf + by, mx * sf + bx, 0]) >> 1
                 t, amp = _magnitude(v1 - pred[ci])
                 pred[ci] = v1
                 ln, code = enc_dc[0 if ci == 0 else 1][t]
@@ -1015,10 +1046,12 @@ def _encode_progressive(quants: list, h: int, w: int,
 
     # scan 2: DC refinement (Ah=1, Al=0) — raw LSB per block
     w2 = _BitWriter()
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(3):
-                w2.write(int(quants[ci][by, bx, 0]) & 1, 1)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, by, bx in mcu_blocks:
+                sf = samp if ci == 0 else 1
+                w2.write(int(quants[ci][my * sf + by, mx * sf + bx, 0])
+                         & 1, 1)
     w2.flush()
 
     # AC scans, 1..63 per component, EOB runs across blocks: one full
@@ -1030,10 +1063,11 @@ def _encode_progressive(quants: list, h: int, w: int,
         wn = _BitWriter()
         act = enc_ac_prog
         g = quants[ci]
+        rbh, rbw = real_dims[ci]
         first = np.sign(g) * (np.abs(g) >> 1) if successive else g
         eobrun = 0
-        for by in range(bh):
-            for bx in range(bw):
+        for by in range(rbh):
+            for bx in range(rbw):
                 eobrun = _encode_block_ac_first(
                     wn, first[by, bx].tolist(), act, 1, 63, eobrun)
         if eobrun:
@@ -1041,7 +1075,8 @@ def _encode_progressive(quants: list, h: int, w: int,
         wn.flush()
         ac_writers.append(wn)
         if successive:
-            ac_refines.append(_encode_ac_refine_scan(g, act, 1, 63, 0))
+            ac_refines.append(_encode_ac_refine_scan(
+                g, act, 1, 63, 0, dims=(rbh, rbw)))
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -1062,7 +1097,8 @@ def _encode_progressive(quants: list, h: int, w: int,
         seg(0xDB, b"\x00" + bytes(int(v) for v in qy)
             + b"\x01" + bytes(int(v) for v in qc)),
         seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
-            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])),
+            + bytes([1, (samp << 4) | samp, 0,
+                     2, 0x11, 1, 3, 0x11, 1])),
         seg(0xC4, dht(0, 0, *HUFF_DC_LUMA) + dht(0, 1, *HUFF_DC_CHROMA)
             + dht(1, 2, *HUFF_AC_PROG)),
         sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1),
@@ -1106,8 +1142,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 100,
     if gray and (subsample or restart_interval or progressive):
         raise ValueError("gray supports neither subsample/DRI nor "
                          "progressive")
-    if progressive and (subsample or restart_interval):
-        raise ValueError("progressive encode is 4:4:4 without DRI")
+    if progressive and restart_interval:
+        raise ValueError("progressive encode does not emit DRI")
     if successive and not progressive:
         raise ValueError("successive approximation requires progressive")
     qy, qc = _scaled_qtables(quality)
@@ -1146,7 +1182,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 100,
     if progressive:
         return _encode_progressive([qy_blocks, qcb_blocks, qcr_blocks],
                                    h, w, qy, qc,
-                                   successive=successive)
+                                   successive=successive, samp=samp)
 
     writer = _BitWriter()
     pred = [0, 0, 0]

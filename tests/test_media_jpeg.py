@@ -168,13 +168,31 @@ class TestProgressive:
                                              successive=True))
             assert (sa == base).all(), (px.shape, q)
 
+    def test_subsampled_progressive_matches_subsampled_baseline(self):
+        """4:2:0 progressive — the libjpeg-default real-web shape:
+        non-interleaved AC scans traverse each component's REAL block
+        grid (smaller than the MCU-padded grid for luma)."""
+        yy, xx = np.mgrid[0:48, 0:80]
+        smooth = np.stack([(yy * 3) % 256, (xx * 2) % 256,
+                           ((yy + xx) * 2) % 256],
+                          axis=2).astype(np.uint8)
+        for px, q in [(PX, 100), (M._synth_pixels(41, 27, 5), 100),
+                      (M._synth_pixels(72, 56, 102), 60), (smooth, 50)]:
+            base = J.decode_jpeg(J.encode_jpeg(px, quality=q,
+                                               subsample=True))
+            for sx in (False, True):
+                prog = J.decode_jpeg(J.encode_jpeg(
+                    px, quality=q, subsample=True, progressive=True,
+                    successive=sx))
+                assert (prog == base).all(), (px.shape, q, sx)
+
     def test_progressive_rejects_incompatible_options(self):
-        with pytest.raises(ValueError):
-            J.encode_jpeg(PX, progressive=True, subsample=True)
         with pytest.raises(ValueError):
             J.encode_jpeg(PX, progressive=True, restart_interval=2)
         with pytest.raises(ValueError):
             J.encode_jpeg(PX, progressive=True, gray=True)
+        with pytest.raises(ValueError):
+            J.encode_jpeg(PX, successive=True)  # requires progressive
 
 
 class TestRejection:
