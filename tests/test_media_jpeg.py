@@ -283,3 +283,80 @@ class TestHeaderDims:
         r = M.extract_media_features(df, partitions=1).collect()[0]
         assert (r.sniffed, r.header_width, r.header_height) == (
             "jpeg", 40, 24)
+
+
+class TestAsymmetricSampling:
+    """4:2:2 (h=2, v=1) decode — the asymmetric-sampling shape the
+    encoder has no option for; the stream is hand-assembled from the
+    codec's own building blocks (quantizer, block coder, tables)."""
+
+    @staticmethod
+    def _encode_422(pixels, quality=100):
+        import struct
+        h, w = pixels.shape[:2]
+        qy, qc = J._scaled_qtables(quality)
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ph = -(-h // 8) * 8
+        pw = -(-w // 16) * 16  # MCU is 16 wide, 8 tall
+        yp = J._pad_plane(y, ph, pw) - 128.0
+        cbp = J._pad_plane(cb, ph, pw).reshape(
+            ph, pw // 2, 2).mean(axis=2) - 128.0
+        crp = J._pad_plane(cr, ph, pw).reshape(
+            ph, pw // 2, 2).mean(axis=2) - 128.0
+        qyb = J._quantize_plane(yp, qy)
+        qcbb = J._quantize_plane(cbp, qc)
+        qcrb = J._quantize_plane(crp, qc)
+        enc_dc = [J._build_encode_table(*J.HUFF_DC_LUMA),
+                  J._build_encode_table(*J.HUFF_DC_CHROMA)]
+        enc_ac = [J._build_encode_table(*J.HUFF_AC_LUMA),
+                  J._build_encode_table(*J.HUFF_AC_CHROMA)]
+        wtr = J._BitWriter()
+        pred = [0, 0, 0]
+        for my in range(ph // 8):
+            for mx in range(pw // 16):
+                for bx in range(2):  # two luma blocks side by side
+                    pred[0] = J._encode_block(
+                        wtr, qyb[my, mx * 2 + bx].tolist(), pred[0],
+                        enc_dc[0], enc_ac[0])
+                pred[1] = J._encode_block(wtr, qcbb[my, mx].tolist(),
+                                          pred[1], enc_dc[1], enc_ac[1])
+                pred[2] = J._encode_block(wtr, qcrb[my, mx].tolist(),
+                                          pred[2], enc_dc[1], enc_ac[1])
+        wtr.flush()
+
+        def seg(m, body):
+            return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
+
+        def dht(tc, th, bits, values):
+            return bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
+
+        return b"".join([
+            b"\xff\xd8",
+            seg(0xDB, b"\x00" + bytes(int(v) for v in qy)
+                + b"\x01" + bytes(int(v) for v in qc)),
+            seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1])),
+            seg(0xC4, dht(0, 0, *J.HUFF_DC_LUMA)
+                + dht(1, 0, *J.HUFF_AC_LUMA)
+                + dht(0, 1, *J.HUFF_DC_CHROMA)
+                + dht(1, 1, *J.HUFF_AC_CHROMA)),
+            seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])),
+            bytes(wtr.out), b"\xff\xd9"])
+
+    def test_422_constant_color_exact(self):
+        const = np.full((24, 40, 3), (90, 160, 40), dtype=np.uint8)
+        dec = J.decode_jpeg(self._encode_422(const))
+        assert (dec == const).all()
+
+    def test_422_smooth_bounded(self):
+        yy, xx = np.mgrid[0:24, 0:40]
+        smooth = np.stack([(yy * 5) % 256, (xx * 3) % 256,
+                           ((yy + xx) * 4) % 256],
+                          axis=2).astype(np.uint8)
+        dec = J.decode_jpeg(self._encode_422(smooth, quality=95))
+        assert dec.shape == smooth.shape
+        assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 8
