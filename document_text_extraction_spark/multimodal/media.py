@@ -7,17 +7,19 @@ magic-byte expressions), partitioning by payload size, and the
 ``mapInPandas`` batch shape for decode/feature-extraction.
 
 PNG decode is REAL (VERDICT r4 #1): ``_decode_pixels`` implements a
-pure-Python/numpy baseline PNG decoder — chunk walk, zlib inflate of
-the IDAT stream, all five row filters (None/Sub/Up/Average/Paeth),
-color types 0/2/3/4/6 at bit depth 8, non-interlaced — and the
-synthetic corpus plants REAL PNGs (``_encode_png``: filter-0 scanlines
-in a deterministic stored-block zlib container), so ``ahash_images``
-and ``resize_images`` run over true decoded pixels end-to-end.
-Baseline JPEG decode is REAL too (r5, ``jpegcodec`` — from-scratch
-Huffman + IDCT; the phash registry row plants lossy-re-encoded JPEG
-copies that only a true pixel decode can pair up). Video frame
-codecs remain the deployment hook (``NotImplementedError`` →
-documented deterministic fake; LIMITS.md §5).
+pure-Python/numpy PNG decoder covering every legal depth/color-type
+combination — chunk walk, zlib inflate of the IDAT stream, all five
+row filters (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at
+depths 1/2/4/8/16, non-interlaced and Adam7 — and the synthetic
+corpus plants REAL PNGs (``_encode_png``: filter-0 scanlines in a
+deterministic stored-block zlib container), so ``ahash_images`` and
+``resize_images`` run over true decoded pixels end-to-end. JPEG
+decode is REAL too (r5, ``jpegcodec`` — from-scratch Huffman + IDCT,
+baseline and progressive incl. successive approximation; the phash
+registry row plants lossy-re-encoded JPEG copies that only a true
+pixel decode can pair up). Video frame codecs remain the deployment
+hook (``NotImplementedError`` → documented deterministic fake;
+LIMITS.md §5).
 """
 
 from __future__ import annotations
@@ -235,7 +237,8 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 array.
 
     REAL for PNG (VERDICT r4 #1): pure-Python/numpy chunk walk + zlib
-    inflate + row unfilter, bit depths 8 and 16 (16-bit samples
+    inflate + row unfilter, EVERY legal depth/color-type combination
+    (1/2/4-bit gray and palette unpack MSB-first; 16-bit samples
     downconvert by high byte), color types 0 (gray), 2 (RGB),
     3 (palette), 4 (gray+alpha), 6 (RGBA), both non-interlaced and
     Adam7-interlaced (r5). Gray replicates to 3 channels; alpha is
@@ -244,8 +247,8 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
     (16-bit-LUT), dequantize, batched float64 IDCT, 4:4:4/4:2:2/4:2:0
     upsample, JFIF YCbCr→RGB, restart intervals. Raises
     ``NotImplementedError`` for codecs/variants outside the baselines
-    (video containers, progressive/12-bit JPEG, sub-byte-depth PNG —
-    LIMITS.md §5); raises ``ValueError`` for malformed bytes."""
+    (video containers, arithmetic/12-bit JPEG — LIMITS.md §5); raises
+    ``ValueError`` for malformed bytes."""
     import struct
     import zlib
     if payload[:3] == _JPEG_SIG:
@@ -276,10 +279,13 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError("png: bad IHDR method fields")
-    if depth not in (8, 16) or (ctype_i == 3 and depth != 8):
+    if depth not in (1, 2, 4, 8, 16):
         raise NotImplementedError(
-            f"png variant outside baseline: depth={depth} "
-            f"color_type={ctype_i}")
+            f"png variant outside baseline: depth={depth}")
+    if depth < 8 and ctype_i not in (0, 3):
+        raise ValueError("png: sub-byte depth only for gray/palette")
+    if ctype_i == 3 and depth == 16:
+        raise NotImplementedError("png: 16-bit palette")
     ch = _PNG_CHANNELS.get(ctype_i)
     if ch is None:
         raise ValueError(f"png: bad color type {ctype_i}")
@@ -289,6 +295,44 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"png: bad IDAT stream: {e}") from e
+    if depth < 8:  # 1/2/4-bit gray or palette (icon-era web PNGs):
+        # filters operate on the PACKED bytes (bpp distance 1); the
+        # samples unpack MSB-first after reconstruction
+        def unpack(arr: np.ndarray, pw: int) -> np.ndarray:
+            bits = np.unpackbits(arr, axis=1)
+            if depth > 1:
+                nb = bits.shape[1] // depth
+                weights = 1 << np.arange(depth - 1, -1, -1)
+                bits = (bits[:, :nb * depth]
+                        .reshape(arr.shape[0], nb, depth) @ weights)
+            return bits[:, :pw].astype(np.uint8)
+
+        if interlace == 0:
+            stride = -(-w * depth // 8)
+            idx = unpack(_png_unfilter(raw, h, stride, 1), w)
+        else:
+            idx = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, xs, y0, ys in _ADAM7_PASSES:
+                pw = -(-(w - x0) // xs) if w > x0 else 0
+                ph = -(-(h - y0) // ys) if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                stride = -(-pw * depth // 8)
+                need = ph * (1 + stride)
+                idx[y0::ys, x0::xs] = unpack(
+                    _png_unfilter(raw[off:off + need], ph, stride, 1),
+                    pw)
+                off += need
+        if ctype_i == 3:
+            if plte is None:
+                raise ValueError("png: palette image without PLTE")
+            if int(idx.max()) >= len(plte):
+                raise ValueError("png: palette index out of range")
+            return plte[idx]
+        scale = 255 // ((1 << depth) - 1)
+        return np.repeat((idx * scale).astype(np.uint8)[:, :, None],
+                         3, axis=2)
     bps = depth // 8
     bpp = ch * bps
     if interlace == 0:

@@ -114,8 +114,10 @@ def test_unsupported_and_malformed():
     with pytest.raises(ValueError):  # jpeg decodes for REAL now (r5):
         # garbage after SOI is malformed data, not a missing codec
         M._decode_pixels(b"\xff\xd8\xff garbage")
-    with pytest.raises(NotImplementedError):  # sub-byte depth PNG
-        M._decode_pixels(_png(2, 2, 0, bytes(4), depth=4))
+    with pytest.raises(NotImplementedError):  # depth 3 is not a PNG
+        M._decode_pixels(_png(2, 2, 0, bytes(4), depth=3))
+    with pytest.raises(ValueError):  # sub-byte RGB is illegal
+        M._decode_pixels(_png(2, 2, 2, bytes(4), depth=4))
     with pytest.raises(NotImplementedError):  # 16-bit palette illegal
         M._decode_pixels(_png(2, 2, 3, bytes(6), plte=bytes(9),
                               depth=16))
@@ -251,3 +253,63 @@ def test_16bit_interlaced_gray():
     payload = _png(w, h, 0, _adam7_encode(flat), depth=16, interlace=1)
     dec = M._decode_pixels(payload)
     assert np.array_equal(dec, np.repeat(hi, 3, axis=2))
+
+
+def _pack_bits(samples: np.ndarray, depth: int) -> bytes:
+    """Filter-0 scanlines of MSB-first packed sub-byte samples."""
+    h, w = samples.shape
+    out = bytearray()
+    for y in range(h):
+        bits = []
+        for v in samples[y]:
+            bits += [int(b) for b in format(int(v), f"0{depth}b")]
+        while len(bits) % 8:
+            bits.append(0)
+        row = bytes(int("".join(map(str, bits[i:i + 8])), 2)
+                    for i in range(0, len(bits), 8))
+        out += b"\x00" + row
+    return bytes(out)
+
+
+def test_subbyte_gray_decode():
+    """1/2/4-bit grayscale (icon-era web PNGs): samples unpack
+    MSB-first and scale to the full 8-bit range."""
+    g1 = np.array([[0, 1, 1, 0, 1], [1, 0, 0, 1, 0],
+                   [1, 1, 1, 0, 0]], dtype=np.uint8)
+    dec = M._decode_pixels(_png(5, 3, 0, _pack_bits(g1, 1), depth=1))
+    assert np.array_equal(dec, np.repeat((g1 * 255)[:, :, None], 3,
+                                         axis=2))
+    g2 = np.array([[0, 1, 2, 3, 2], [3, 2, 1, 0, 1]], dtype=np.uint8)
+    dec = M._decode_pixels(_png(5, 2, 0, _pack_bits(g2, 2), depth=2))
+    assert np.array_equal(dec, np.repeat((g2 * 85)[:, :, None], 3,
+                                         axis=2))
+    g4 = np.array([[0, 15, 7, 3]], dtype=np.uint8)
+    dec = M._decode_pixels(_png(4, 1, 0, _pack_bits(g4, 4), depth=4))
+    assert np.array_equal(dec, np.repeat((g4 * 17)[:, :, None], 3,
+                                         axis=2))
+
+
+def test_subbyte_palette_decode_and_overflow():
+    plte = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    p4 = np.array([[0, 15, 7], [3, 9, 12]], dtype=np.uint8)
+    dec = M._decode_pixels(_png(3, 2, 3, _pack_bits(p4, 4),
+                                plte=plte.tobytes(), depth=4))
+    assert np.array_equal(dec, plte[p4])
+    with pytest.raises(ValueError, match="palette index"):
+        M._decode_pixels(_png(1, 1, 3,
+                              _pack_bits(np.array([[5]], np.uint8), 4),
+                              plte=bytes(9), depth=4))
+
+
+def test_subbyte_interlaced_gray():
+    g = (np.arange(9 * 13) % 2).astype(np.uint8).reshape(9, 13)
+    out = bytearray()
+    for x0, xs, y0, ys in M._ADAM7_PASSES:
+        sub = g[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        out += _pack_bits(sub, 1)
+    dec = M._decode_pixels(_png(13, 9, 0, bytes(out), depth=1,
+                                interlace=1))
+    assert np.array_equal(dec, np.repeat((g * 255)[:, :, None], 3,
+                                         axis=2))
