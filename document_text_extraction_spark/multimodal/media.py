@@ -17,9 +17,11 @@ deterministic stored-block zlib container), so ``ahash_images`` and
 decode is REAL too (r5, ``jpegcodec`` — from-scratch Huffman + IDCT,
 baseline and progressive incl. successive approximation; the phash
 registry row plants lossy-re-encoded JPEG copies that only a true
-pixel decode can pair up). Video frame codecs remain the deployment
-hook (``NotImplementedError`` → documented deterministic fake;
-LIMITS.md §5).
+pixel decode can pair up). WAV/PCM audio and AVI/MJPEG video decode
+for real too (``multimodal/av.py``); only compressed-audio and
+inter-frame video codecs remain the deployment hook
+(``NotImplementedError`` → documented deterministic fake; LIMITS.md
+§5).
 """
 
 from __future__ import annotations
