@@ -155,16 +155,24 @@ def _png_bytes(width: int, height: int, seed: int) -> bytes:
 
 def synth_media_row(i: int) -> tuple:
     """ONE deterministic synthetic media row for id ``i`` (images as
-    REAL decodable PNGs, audio/video as sniffable stubs; durations use
-    co-prime strides so small id ranges still spread across the full
-    duration band). Pure function of ``i`` — generated executor-side
-    by the registry's media queries, driver-side by tests."""
+    REAL decodable PNGs, audio as REAL decodable 16-bit PCM WAV —
+    44-byte header + 236 md5-derived samples = the same 516 bytes the
+    oracle's n_bytes arithmetic always assumed — video as an mp4-
+    sniffable stub, the declared inter-frame-codec hook; durations
+    use co-prime strides so small id ranges still spread across the
+    full duration band). Pure function of ``i`` — generated
+    executor-side by the registry's media queries, driver-side by
+    tests."""
     kind = ["image", "audio", "video"][i % 3]
     if kind == "image":
         w, h = 16 + (i % 64) * 8, 16 + (i % 48) * 8
         return (i, kind, _png_bytes(w, h, i), "image/png", w, h, -1)
     if kind == "audio":
-        payload = b"RIFF" + hashlib.md5(b"a:%d" % i).digest() * 32
+        from . import av
+        base = np.frombuffer(hashlib.md5(b"a:%d" % i).digest() * 30,
+                             dtype=np.uint8)[:236].astype(np.int16)
+        payload = av.encode_wav(((base - 128) * 200).astype(np.int16),
+                                rate=16000, bits=16)
         return (i, kind, payload, "audio/wav", -1, -1,
                 1000 + (i * 797) % 60000)
     payload = (b"\x00\x00\x00\x18ftypmp42"

@@ -49,10 +49,12 @@ class TestWav:
         t = np.arange(48000)  # 3 s at 16 kHz
         tone = (10000 * np.sign(np.sin(t / 5.0))).astype(np.int16)
         wav = av.encode_wav(tone, rate=16000)
+        import hashlib
+        stub = b"RIFF" + hashlib.md5(b"a:1").digest() * 32  # not WAVE
         rows = [
             (0, "audio", wav, "audio/wav", -1, -1, 3000),
-            (1, "audio", M.synth_media_row(1)[2], "audio/wav", -1, -1,
-             7000),  # corpus RIFF stub → fake features
+            (1, "audio", stub, "audio/wav", -1, -1,
+             7000),  # codec-absent RIFF → fake features
             (2, "audio", b"RIFF\x04\x00\x00\x00WAVE", "audio/wav", -1,
              -1, 1000),  # malformed
         ]
