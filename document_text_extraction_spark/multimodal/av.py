@@ -309,3 +309,85 @@ def video_frame_hashes(media: DataFrame, every_ms: int = 1000,
     vids = media.filter(F.col("kind") == "video")
     keyed = vids.repartition(partitions or 64, F.xxhash64("media_id"))
     return keyed.mapInPandas(batch, schema=FRAME_HASH_SCHEMA)
+
+
+# ---------------------------------------------------------------- MP4
+
+
+def encode_mp4_stub(duration_ms: int, width: int, height: int,
+                    timescale: int = 1000) -> bytes:
+    """Minimal ISO-BMFF metadata skeleton (ftyp + moov/mvhd +
+    trak/tkhd) — no media data, just the boxes ``mp4_metadata`` reads;
+    the fixture for the header-parse path (inter-frame sample decode
+    stays the deployment hook)."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    mvhd = box(b"mvhd", b"\x00" + b"\x00" * 3 + b"\x00" * 8
+               + struct.pack(">II", timescale,
+                             duration_ms * timescale // 1000)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00" + b"\x00\x00\x07" + b"\x00" * 8
+               + struct.pack(">I", 1) + b"\x00" * 4
+               + struct.pack(">I", duration_ms * timescale // 1000)
+               + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+               + struct.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return box(b"ftyp", b"mp42\x00\x00\x00\x00mp42isom") + moov
+
+
+def mp4_metadata(payload: bytes) -> tuple[int, int, int] | None:
+    """(duration_ms, width, height) from an ISO-BMFF (mp4/mov)
+    container's moov boxes — a pure header walk, no sample decode.
+    Returns None when no moov/mvhd is present (e.g. a bare ftyp stub
+    or moov-at-end-of-truncated-file); width/height are -1 when no
+    sized track exists. Best-effort: a malformed box size stops the
+    walk at that level (garbage after ftyp must not crash a feature
+    kernel), keeping whatever metadata was already found."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    dur_ms = None
+    w = h = -1
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal dur_ms, w, h
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", payload[pos:pos + 4])
+            btype = payload[pos + 4:pos + 8]
+            if size == 0:
+                size = hi - pos  # box extends to end
+            if size < 8 or pos + size > hi:
+                return  # garbage/truncation: keep what we have
+            body_lo, body_hi = pos + 8, pos + size
+            if btype in (b"moov", b"trak") and depth < 4:
+                walk(body_lo, body_hi, depth + 1)
+            elif btype == b"mvhd" and body_hi - body_lo >= 24:
+                ver = payload[body_lo]
+                if ver == 1 and body_hi - body_lo >= 32:
+                    ts, = struct.unpack(
+                        ">I", payload[body_lo + 20:body_lo + 24])
+                    dur, = struct.unpack(
+                        ">Q", payload[body_lo + 24:body_lo + 32])
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", payload[body_lo + 12:body_lo + 20])
+                if ts:
+                    dur_ms = int(dur * 1000 // ts)
+            elif btype == b"tkhd":
+                # width/height trail version+flags(4) ctime/mtime
+                # (8 or 16) track_id+reserved+duration(12 or 16)
+                # reserved(8) layer/alt/volume/reserved(8) matrix(36)
+                ver = payload[body_lo]
+                off = body_lo + (88 if ver == 1 else 76)
+                if off + 8 <= body_hi:
+                    fw, fh = struct.unpack(
+                        ">II", payload[off:off + 8])
+                    if fw and fh and w < 0:
+                        w, h = fw >> 16, fh >> 16  # 16.16 fixed point
+            pos += size
+
+    walk(0, len(payload), 0)
+    if dur_ms is None:
+        return None
+    return dur_ms, w, h

@@ -448,6 +448,10 @@ def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 sniffed[i] = "riff"
             elif h[4:8] == b"ftyp":
                 sniffed[i] = "mp4"
+                from . import av
+                meta = av.mp4_metadata(payloads[i])
+                if meta is not None and meta[1] > 0:
+                    hw[i], hh[i] = meta[1], meta[2]
         status = np.where(lens == 0, "empty_payload", "ok")
         yield pd.DataFrame({
             "media_id": b["media_id"].to_numpy(),

@@ -141,3 +141,41 @@ class TestAviMjpeg:
         df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
         got = av.video_frame_hashes(df, partitions=1).collect()
         assert [r.status for r in got] == ["decode_error"]
+
+
+class TestMp4Metadata:
+    def test_duration_and_dims(self):
+        stub = av.encode_mp4_stub(12500, 640, 360)
+        assert av.mp4_metadata(stub) == (12500, 640, 360)
+
+    def test_v1_mvhd_64bit(self):
+        import struct
+
+        def box(t, b):
+            return struct.pack(">I", len(b) + 8) + t + b
+
+        mvhd1 = box(b"mvhd", b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                    + struct.pack(">I", 600) + struct.pack(">Q", 3000))
+        stub = box(b"ftyp", b"mp42====") + box(b"moov", mvhd1)
+        assert av.mp4_metadata(stub) == (5000, -1, -1)
+
+    def test_best_effort_on_garbage(self):
+        # corpus mp4 stub: bare ftyp + md5 garbage → None, never raise
+        assert av.mp4_metadata(M.synth_media_row(2)[2]) is None
+        assert av.mp4_metadata(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) is None
+        import struct
+        bad = (b"\x00\x00\x00\x10ftypmp42mp42"
+               + struct.pack(">I", 4) + b"moov")
+        assert av.mp4_metadata(bad) is None
+
+    def test_feature_kernel_reports_mp4_dims(self, spark):
+        stub = av.encode_mp4_stub(9000, 320, 180)
+        rows = [(0, "video", stub, "video/mp4", -1, -1, 9000),
+                (1, "video", M.synth_media_row(2)[2], "video/mp4", -1,
+                 -1, 9000)]
+        df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+        got = {r.media_id: (r.sniffed, r.header_width, r.header_height)
+               for r in M.extract_media_features(df,
+                                                 partitions=1).collect()}
+        assert got[0] == ("mp4", 320, 180)
+        assert got[1] == ("mp4", -1, -1)  # corpus stub has no moov
