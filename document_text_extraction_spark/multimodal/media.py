@@ -545,8 +545,9 @@ def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64,
 
 def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     """Audio chunking plan: one row per (media_id, chunk_start_ms) —
-    JVM-side explode over the duration; decode happens per chunk in the
-    deployment's decoder (same shape as frame_sample_plan)."""
+    JVM-side explode over the DECLARED duration; the decode step it
+    points at is ``av.audio_chunk_features`` (real WAV/PCM decode,
+    r5 — same shape as frame_sample_plan)."""
     # duration_ms == -1 is the schema's 'n/a' sentinel: such rows have
     # nothing plannable (the old greatest() guard emitted a chunk whose
     # end preceded its start) — they are skipped, not given fake work
@@ -572,7 +573,9 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts) —
-    the explode is JVM-side; actual frame decode is the stubbed hook."""
+    the explode is JVM-side; the decode step it points at is
+    ``av.video_frame_hashes`` / ``av.decode_video_frame`` (real for
+    AVI/MJPEG, r5; inter-frame codecs remain the hook)."""
     # duration_ms <= 0 (the -1 'n/a' sentinel, or zero-length media)
     # has no frames to plan — and sequence(0, -1, step) is a runtime
     # error (> 0, matching audio_chunk_plan: a duration-0 video must
