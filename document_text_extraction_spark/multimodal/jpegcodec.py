@@ -514,6 +514,9 @@ def _scan_interleaved(reader, frame, scan, coefs, htables,
                         blk = grid[my * vs + by, mx * hs + bx]
                         if ah == 0:  # DC first pass
                             t = _decode_huff(reader, dc_tbls[si])
+                            if t > 15:  # corrupt DHT: category is <= 15
+                                raise ValueError(
+                                    "jpeg: bad DC magnitude category")
                             diff = _extend(reader.read_bits(t), t
                                            ) if t else 0
                             pred[ci] += diff

@@ -1,0 +1,122 @@
+"""No-crash + determinism fuzz for the media decoders — the same gate
+the charset sniffer has (test_charset_sniff): at crawl scale malformed
+payloads are guaranteed, and a decode kernel may reject them
+(ValueError/NotImplementedError) but must never hang, segfault-level
+crash, or behave nondeterministically. Seeds are fixed, so failures
+reproduce."""
+
+import numpy as np
+import pytest
+
+from document_text_extraction_spark.multimodal import av
+from document_text_extraction_spark.multimodal import jpegcodec as J
+from document_text_extraction_spark.multimodal import media as M
+
+OK_ERRORS = (ValueError, NotImplementedError)
+
+
+def _blobs(seed, n, max_len=4096):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        ln = int(rng.integers(0, max_len))
+        out.append(rng.integers(0, 256, size=ln, dtype=np.uint8).tobytes())
+    return out
+
+
+def _call_twice(fn, payload):
+    """Run the decoder twice; equal outcome (same exception type+msg or
+    identical array) is the determinism contract."""
+    outs = []
+    for _ in range(2):
+        try:
+            r = fn(payload)
+            outs.append(("ok", r.tobytes() if hasattr(r, "tobytes")
+                         else repr(r)))
+        except OK_ERRORS as e:
+            outs.append((type(e).__name__, str(e)))
+    assert outs[0] == outs[1]
+    return outs[0]
+
+
+class TestJpegFuzz:
+    def test_random_blobs_never_crash(self):
+        for i, blob in enumerate(_blobs(1234, 150)):
+            _call_twice(J.decode_jpeg, blob)
+            # SOI-prefixed garbage exercises the segment walk deeper
+            _call_twice(J.decode_jpeg, b"\xff\xd8" + blob)
+
+    def test_mutated_valid_streams_never_crash(self):
+        base = J.encode_jpeg(M._synth_pixels(40, 24, 7), quality=85)
+        prog = J.encode_jpeg(M._synth_pixels(40, 24, 7), quality=85,
+                             progressive=True, successive=True)
+        rng = np.random.default_rng(99)
+        for src in (base, prog):
+            arr = np.frombuffer(src, dtype=np.uint8)
+            for _ in range(60):
+                mut = arr.copy()
+                k = int(rng.integers(1, 4))
+                idx = rng.integers(0, len(mut), size=k)
+                mut[idx] ^= rng.integers(1, 256, size=k).astype(np.uint8)
+                _call_twice(J.decode_jpeg, mut.tobytes())
+
+    def test_truncations_never_crash(self):
+        enc = J.encode_jpeg(M._synth_pixels(40, 24, 7), quality=85)
+        for cut in range(0, len(enc), 97):
+            _call_twice(J.decode_jpeg, enc[:cut])
+
+
+class TestPngFuzz:
+    def test_sig_prefixed_garbage(self):
+        for blob in _blobs(55, 150):
+            _call_twice(M._decode_pixels, M._PNG_SIG + blob)
+
+    def test_mutated_valid_png(self):
+        base = M._png_bytes(48, 32, 3)
+        rng = np.random.default_rng(7)
+        arr = np.frombuffer(base, dtype=np.uint8)
+        for _ in range(80):
+            mut = arr.copy()
+            idx = rng.integers(8, len(mut), size=2)  # keep the sig
+            mut[idx] ^= rng.integers(1, 256, size=2).astype(np.uint8)
+            _call_twice(M._decode_pixels, mut.tobytes())
+
+
+class TestAvFuzz:
+    def test_wav_garbage_and_mutations(self):
+        for blob in _blobs(11, 100):
+            _call_twice(av.decode_wav, b"RIFF" + blob)
+            _call_twice(av.decode_wav,
+                        b"RIFF\xff\xff\x00\x00WAVE" + blob)
+        base = av.encode_wav(np.arange(500, dtype=np.int16))
+        rng = np.random.default_rng(3)
+        arr = np.frombuffer(base, dtype=np.uint8)
+        for _ in range(60):
+            mut = arr.copy()
+            idx = rng.integers(0, len(mut), size=2)
+            mut[idx] ^= rng.integers(1, 256, size=2).astype(np.uint8)
+            _call_twice(av.decode_wav, mut.tobytes())
+
+    def test_avi_garbage_and_mutations(self):
+        fn = lambda p: av.decode_video_frame(p, 0)  # noqa: E731
+        for blob in _blobs(21, 100):
+            _call_twice(fn, b"RIFF\xff\xff\x00\x00AVI " + blob)
+        frames = [J.encode_jpeg(M._synth_pixels(16, 16, s), 90)
+                  for s in (1, 2)]
+        base = av.encode_avi_mjpeg(frames, fps=2, size=(16, 16))
+        rng = np.random.default_rng(13)
+        arr = np.frombuffer(base, dtype=np.uint8)
+        for _ in range(60):
+            mut = arr.copy()
+            idx = rng.integers(0, len(mut), size=2)
+            mut[idx] ^= rng.integers(1, 256, size=2).astype(np.uint8)
+            _call_twice(fn, mut.tobytes())
+
+    def test_mp4_metadata_total_function(self):
+        """mp4_metadata is best-effort: it may return None or a tuple
+        but NEVER raises on arbitrary ftyp-prefixed bytes."""
+        for blob in _blobs(31, 150):
+            p = b"\x00\x00\x00\x10ftypmp42mp42" + blob
+            a = av.mp4_metadata(p)
+            assert a == av.mp4_metadata(p)
+            assert a is None or (isinstance(a, tuple) and len(a) == 3)
