@@ -144,6 +144,12 @@ _PROG_AC_SYMBOLS = ([((r << 4) | s) for s in range(1, 11)
 HUFF_AC_PROG = ([0] * 8 + [len(_PROG_AC_SYMBOLS)] + [0] * 7,
                 _PROG_AC_SYMBOLS)
 
+# decode-side resource cap: a corrupt SOF can declare 65535x65535
+# (a ~34 GB coefficient store and hours of entropy decode per
+# component) — reject past 64 MP, far above real crawl imagery, so a
+# malformed payload can never OOM an executor
+MAX_PIXELS = 64_000_000
+
 # orthonormal 8-point DCT-II basis: C[k, n] = s(k) * cos((2n+1)kπ/16)
 _N = np.arange(8, dtype=np.float64)
 _DCT_BASIS = np.cos((2.0 * _N[None, :] + 1.0) * _N[:, None] * np.pi / 16.0)
@@ -400,6 +406,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
                         "jpeg: sampling factors beyond 2 not supported")
+            if fh * fw > MAX_PIXELS:
+                raise ValueError(
+                    "jpeg: dimensions exceed the decode cap "
+                    f"({fh}x{fw} > {MAX_PIXELS}px)")
             progressive = marker == 0xC2
             frame = (fh, fw, comps, progressive)
         elif marker == 0xDD:  # DRI

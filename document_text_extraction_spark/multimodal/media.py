@@ -301,8 +301,18 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(f"png: bad color type {ctype_i}")
     if w <= 0 or h <= 0:
         raise ValueError("png: bad dimensions")
+    if w * h > 64_000_000:  # same 64 MP executor-memory cap as JPEG
+        raise ValueError(
+            f"png: dimensions exceed the decode cap ({h}x{w})")
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # cap inflation at the bytes the declared geometry can use —
+        # a zip-bomb IDAT must not expand past the cap (Adam7 splits
+        # rows across passes; w*h*bpp + 4h + 64 over-covers the extra
+        # per-pass filter bytes)
+        bpp_cap = max(1, ch * ((depth + 7) // 8))
+        bound = w * h * bpp_cap + 4 * h + 64
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), bound)
     except zlib.error as e:
         raise ValueError(f"png: bad IDAT stream: {e}") from e
     if depth < 8:  # 1/2/4-bit gray or palette (icon-era web PNGs):

@@ -120,3 +120,52 @@ class TestAvFuzz:
             a = av.mp4_metadata(p)
             assert a == av.mp4_metadata(p)
             assert a is None or (isinstance(a, tuple) and len(a) == 3)
+
+
+class TestResourceBombs:
+    """Corrupt headers must not become executor OOMs: dimension caps
+    reject absurd geometry instantly, and PNG inflation is bounded by
+    the declared geometry (zip-bomb IDATs cannot expand past it)."""
+
+    def test_huge_png_dims_rejected_fast(self):
+        import struct
+        import zlib
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+        bomb = (M._PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+                + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="decode cap"):
+            M._decode_pixels(bomb)
+
+    def test_png_zip_bomb_inflation_bounded(self):
+        import struct
+        import zlib
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        # 2x2 image whose IDAT would inflate to 100 MB: the capped
+        # decompress stops at the declared geometry's byte budget and
+        # the first rows decode normally
+        idat = zlib.compress(b"\x00" * (100 * 1024 * 1024), 9)
+        assert len(idat) < 200_000  # it IS a bomb
+        small = (M._PNG_SIG
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2,
+                                              0, 0, 0))
+                 + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+        dec = M._decode_pixels(small)
+        assert dec.shape == (2, 2, 3)
+
+    def test_huge_jpeg_dims_rejected_fast(self):
+        import struct
+        hdr = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17)
+               + struct.pack(">BHHB", 8, 65535, 65535, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        with pytest.raises(ValueError, match="decode cap"):
+            J.decode_jpeg(hdr + b"\xff\xd9")
