@@ -133,6 +133,23 @@ def canonical_text_col(text: Column) -> Column:
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
 
 
+def _explode_nonnull(df: DataFrame, arr_col: str, out_col: str,
+                     keep: list[str]) -> DataFrame:
+    """``explode`` an expensive generated array WITHOUT the
+    InferFiltersFromGenerate tax: a plain ``explode`` makes Catalyst
+    synthesize a ``size(arr) > 0`` predicate and push it below the
+    projection, which re-evaluates the entire (interpreted,
+    higher-order) array expression once more per row inside a
+    non-codegen Filter — measured at sf1.0 on the shingle array:
+    0.9 s (outer form) vs 12.9 s (plain explode) for the identical
+    result. The outer form infers nothing; fingerprint-less rows yield
+    one null that a cheap attribute filter drops. (Same hazard class
+    as the winnow note below — now applied to every expensive explode
+    in this module.)"""
+    return (df.select(*keep, F.explode_outer(arr_col).alias(out_col))
+            .filter(F.col(out_col).isNotNull()))
+
+
 def minhash_signature_df(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 3,
                          num_hashes: int = 32) -> DataFrame:
@@ -152,9 +169,7 @@ def minhash_signature_df(df: DataFrame, id_col: str = "doc_id",
     0/32 signature agreement). Seeds are now plain column args."""
     sh_arr = F.array_distinct(shingles_col(F.col(text_col), k))
     base = df.select(F.col(id_col), sh_arr.alias("shingles"))
-    exploded = base.select(
-        F.col(id_col), F.explode("shingles").alias("s")
-    )
+    exploded = _explode_nonnull(base, "shingles", "s", [id_col])
     mins = exploded.groupBy(id_col).agg(*[
         F.min(F.xxhash64("s", F.lit(h))).alias(f"h{h}")
         for h in range(num_hashes)
@@ -178,7 +193,7 @@ def minhash_near_duplicates(
     rows = num_hashes // bands
     sh_arr = F.array_distinct(shingles_col(F.col(text_col), k))
     base = df.select(F.col(id_col), sh_arr.alias("shingles"))
-    exploded = base.select(F.col(id_col), F.explode("shingles").alias("s"))
+    exploded = _explode_nonnull(base, "shingles", "s", [id_col])
     sig = exploded.groupBy(id_col).agg(*[
         F.min(F.xxhash64("s", F.lit(h))).alias(f"h{h}")
         for h in range(num_hashes)
@@ -259,7 +274,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     sh_arr = F.array_distinct(shingles_col(F.col(text_col), k))
     base = df.select(F.col(id_col), sh_arr.alias("shingles"))
-    sh = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sh = _explode_nonnull(base, "shingles", "shingle", [id_col])
     if max_shingle_doc_freq is None:
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         a = sh.alias("a")
@@ -292,20 +307,32 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         )
     # hot-shingle-capped candidate generation + exact verification.
-    # Shape notes (measured at sf0.1): a separate hot-set groupBy +
-    # anti-join + array_intersect verification recomputed the shingle
-    # explode ~6x and ran SLOWER than the uncapped path on mild skew;
-    # this form does ONE window pass over the exploded shingles for the
-    # per-shingle document frequency (same shuffle the candidate
-    # self-join needs), generates candidates only from cold shingles,
-    # and verifies with count-based inter/union over the full shingle
-    # set — no array columns, and the self-join reuses the window's
-    # exchange.
-    from pyspark.sql import Window as W
-    freq = F.count("*").over(W.partitionBy("shingle"))
-    cold = (sh.withColumn("df", freq)
-            .filter(F.col("df") <= max_shingle_doc_freq)
-            .select(id_col, "shingle"))
+    # Shape (r6, guide §2.3 "aggregate before you shuffle"): the old
+    # form computed per-shingle document frequency with a WINDOW over
+    # the full exploded table — shuffling every (id, shingle) row — and
+    # verified candidates through two more full-explode joins plus a
+    # per-doc sizes groupBy: 4-5 full shuffles of the explode to emit a
+    # few thousand pairs (measured at sf1.0: 2.85 M exploded rows,
+    # 2 874 candidates, 29.3 s noop-isolated). Now:
+    # * doc frequency is a map-side-combined groupBy(shingle) — the
+    #   shuffle carries one row per distinct shingle per map partition,
+    #   never more than the window's full-row shuffle and typically
+    #   orders of magnitude less;
+    # * only shingles with 2 <= df <= cap generate candidates (df=1
+    #   cannot form a pair — a pure pruning, not a semantics change);
+    #   AQE broadcasts the surviving shingle set when it is small and
+    #   falls back to a shuffle join when it is not;
+    # * verification recomputes inter/union from the full DISTINCT
+    #   shingle ARRAYS of just the candidate pairs (map-only re-derive
+    #   + two joins whose small side is the candidate set) — both
+    #   arrays are distinct, so size(array_intersect) equals the old
+    #   count-based inter and size(shingles) equals n_sh.
+    # Result set is identical (same candidates, same exact jaccard).
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    cold_sh = (freq.filter((F.col("df") >= 2)
+                           & (F.col("df") <= max_shingle_doc_freq))
+               .select("shingle"))
+    cold = sh.join(cold_sh, "shingle")
     a = cold.alias("a")
     b = cold.alias("b")
     cand = (
@@ -315,30 +342,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                 F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"),
-                   F.col("shingle").alias("shingle"))
-    sb = sh.select(F.col(id_col).alias("id_b"),
-                   F.col("shingle").alias("shingle"))
-    pair_inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    cand = (
+        cand.join(base.select(F.col(id_col).alias("id_a"),
+                              F.col("shingles").alias("sh_a")), "id_a")
+        .join(base.select(F.col(id_col).alias("id_b"),
+                          F.col("shingles").alias("sh_b")), "id_b")
     )
-    sza = sizes.select(F.col(id_col).alias("id_a"),
-                       F.col("n_sh").alias("n_a"))
-    szb = sizes.select(F.col(id_col).alias("id_b"),
-                       F.col("n_sh").alias("n_b"))
-    jac_raw = (F.col("inter")
-               / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-    # no broadcast hints: pair_inter is the small side (bounded by
-    # near-dup density) while sizes is one row per document — AQE's
-    # runtime join selection broadcasts the right side at any scale
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac_raw = (inter
+               / (F.size("sh_a") + F.size("sh_b") - inter))
     return (
-        pair_inter.join(sza, "id_a")
-        .join(szb, "id_b")
-        .filter(jac_raw >= threshold)
+        cand.filter(jac_raw >= threshold)
         .select("id_a", "id_b",
                 (F.floor(jac_raw * 1e6) / 1e6).alias("jaccard"))
     )
@@ -421,11 +435,18 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                       F.explode_outer("fps").alias("fp"))
            .filter(F.col("fp").isNotNull()))
     if max_fp_doc_freq is not None:
-        from pyspark.sql import Window as W
-        freq = F.count("*").over(W.partitionBy("fp"))
-        fps = (fps.withColumn("df", freq)
-               .filter(F.col("df") <= max_fp_doc_freq)
-               .select(id_col, "fp"))
+        # r6 (guide §2.3): document frequency via a map-side-combined
+        # groupBy instead of a window over the full exploded table —
+        # the window shuffled every (id, fp) row (5.86 M at sf1.0) to
+        # keep 3.7 k cold rows. The groupBy shuffles one row per
+        # distinct fp per map partition; fps with df == 1 cannot form a
+        # pair and are pruned outright (pure pruning, same output);
+        # AQE broadcasts the surviving fp set when small.
+        freq = fps.groupBy("fp").agg(F.count("*").alias("df"))
+        cold_fp = (freq.filter((F.col("df") >= 2)
+                               & (F.col("df") <= max_fp_doc_freq))
+                   .select("fp"))
+        fps = fps.join(cold_fp, "fp")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
@@ -467,8 +488,9 @@ def simhash_df(df: DataFrame, id_col: str = "doc_id",
             return F.xxhash64(t)
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).select(F.col(id_col), token_hash(F.col("tok")).alias("th"))
+        F.explode_outer(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok").isNotNull()).select(
+        F.col(id_col), token_hash(F.col("tok")).alias("th"))
     bit_votes = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
@@ -546,8 +568,12 @@ def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
         lambda i: F.md5(F.encode(F.array_join(F.slice(toks, i, k), " "),
                                  "UTF-8")),
     )
-    return (df.select(F.col(id_col), F.posexplode(grams)
+    # posexplode_outer + null filter, NOT posexplode: see
+    # _explode_nonnull — the inferred size() predicate would re-run the
+    # whole gram-hash transform per row in an interpreted Filter.
+    return (df.select(F.col(id_col), F.posexplode_outer(grams)
                       .alias("p0", "g"))
+            .filter(F.col("g").isNotNull())
             .select(F.col(id_col), (F.col("p0") + 1).alias("pos"), "g"))
 
 

@@ -113,6 +113,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism floor for CPU-heavy map work over an unsplittable
+    input (guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read").
+
+    The driver's tables are ONE parquet file with ONE row group, so a
+    scan is a single task and every expensive map expression above it
+    (shingle/gram/fingerprint building) serializes onto one core —
+    measured at sf1.0: the shingle-array map alone is 12.1 s as a
+    single scan task vs 1.0 s after this repartition. The repartition
+    is scale-adaptive (defaultParallelism, i.e. cluster width — no
+    constant tuned to this box) and a no-op when the source already
+    has enough splits, which is exactly the production case (a 100 TB
+    table arrives as many files/row-groups; this helper then returns
+    the input unchanged and costs nothing). Used only by queries whose
+    downstream aggregation is order-insensitive (counts/mins/hashes —
+    no floating-point accumulation across rows)."""
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NTZ→timestamp casts go through the session timezone; pin UTC so
     # unix_micros matches DuckDB's epoch_us regardless of the driver's
@@ -131,7 +155,7 @@ def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    return d.select("doc_id", "text").unionAll(extra)
+    return _spread(d.select("doc_id", "text").unionAll(extra))
 
 
 DUP_DOCS_SQL = (
@@ -149,7 +173,7 @@ def _near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.regexp_replace("text", r"\s\S+$", "").alias("text"),
     )
-    return d.select("doc_id", "text").unionAll(extra)
+    return _spread(d.select("doc_id", "text").unionAll(extra))
 
 
 NEAR_DOCS_SQL = (
@@ -1366,7 +1390,7 @@ def _curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = d.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.regexp_replace("text", r"\s\S+$", "").alias("text"))
-    return d.unionAll(exact).unionAll(near)
+    return _spread(d.unionAll(exact).unionAll(near))
 
 
 CURATION_DOCS_SQL = (
@@ -1831,7 +1855,7 @@ def q_winnow_fingerprints(spark, sf_dir):
     set. Every 5th document, full fingerprint set serialized — the
     oracle recomputes the identical selection in DuckDB via the
     cross-engine md5-60bit gram hash (production default: xxhash64)."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    d = _spread(_docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0))
     fpd = dedup.winnow_fingerprints_df(
         d, token_hash=dedup.md5_token_hash)
     return fpd.select(
@@ -1866,7 +1890,7 @@ def q_winnow_overlap(spark, sf_dir):
                  F.substring(F.col("text"), 50, 400),
                  F.lit(" spliced outro")).alias("text"),
     )
-    wd = d.unionAll(spliced)
+    wd = _spread(d.unionAll(spliced))
     return dedup.winnow_overlap_pairs(
         wd, min_shared=2, max_fp_doc_freq=6,
         token_hash=dedup.md5_token_hash)
