@@ -101,7 +101,9 @@ def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
     while i < n:
         txt = parts[i]
         if txt:
-            t = unescape(txt)
+            # inline the unescape fast path: most pieces carry no
+            # entity, and the call per piece was visible in the profile
+            t = unescape(txt) if "&" in txt else txt
             if t:
                 pieces.append(t)
                 if link_depth > 0:
@@ -113,7 +115,9 @@ def _scan_html_doc(data: bytes) -> tuple[list[tuple[int, str, str]],
         if i + 3 >= n:
             break
         closing = parts[i + 1]
-        name = parts[i + 2].lower()
+        name = parts[i + 2]
+        if not name.islower():   # tag names are already lowercase on
+            name = name.lower()  # real pages; skip the allocation
         if name in block_tags:
             if pieces:
                 kind = _KIND_BOILER if any_boiler else base_kind
@@ -230,12 +234,11 @@ def _classify_html_blocks(
         _KIND_BOILER,
         base_kinds,
     )
-    out = pd.DataFrame({
-        "doc": doc_idx[nonempty],
-        "text": full_n[nonempty],
-        "kind": _KIND_NAMES[kind[nonempty]],
-    })
-    return out
+    # plain lists, not a DataFrame: the caller iterates element-wise,
+    # and list iteration is ~2-3x faster than numpy object indexing
+    return (doc_idx[nonempty].tolist(),
+            full_n[nonempty].tolist(),
+            _KIND_NAMES[kind[nonempty]].tolist())
 
 
 def _order_pdf_shows(shows_df: pd.DataFrame) -> pd.DataFrame:
@@ -290,11 +293,11 @@ _JOB_TRIGGER_RE = re.compile(
     r"Engineer|Developer|Manager|Analyst|Consultant|Intern")
 
 
-def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
-    """Batch regex field extraction over the extracted-text Series:
+def _fields_batch(texts: list[str], headings: list[list[str]]) -> list[dict]:
+    """Batch regex field extraction over the extracted-text list:
     one cheap trigger scan per family, then the family's compiled
     findall only over triggered documents."""
-    arr = texts.to_numpy()
+    arr = texts
     email_find = EMAIL_RE.findall
     digit_search = _DIGIT_SEARCH_RE.search
     emails = [
@@ -342,27 +345,24 @@ def _fields_batch(texts: pd.Series, headings: pd.Series) -> pd.Series:
     skills = [
         [w for w in vocab if w in s] for s in (t.lower() for t in arr)
     ]
-    return pd.Series(
-        [
-            {
-                "emails": e, "phones": p, "links": l, "headings": h,
-                "name": nm,
-                "address": addr,
-                "institutions": ins,
-                "positions": [t for t, _ in jb],
-                "companies": [c for _, c in jb],
-                "skills": sk,
-                "outlinks": [],
-                "anchors": [],
-                "meta_robots": "",
-            }
-            for e, p, l, h, nm, addr, ins, jb, sk in zip(
-                emails, phones, links, headings, names, addresses,
-                institutions, jobs, skills,
-            )
-        ],
-        index=texts.index,
-    )
+    return [
+        {
+            "emails": e, "phones": p, "links": l, "headings": h,
+            "name": nm,
+            "address": addr,
+            "institutions": ins,
+            "positions": [t for t, _ in jb],
+            "companies": [c for _, c in jb],
+            "skills": sk,
+            "outlinks": [],
+            "anchors": [],
+            "meta_robots": "",
+        }
+        for e, p, l, h, nm, addr, ins, jb, sk in zip(
+            emails, phones, links, headings, names, addresses,
+            institutions, jobs, skills,
+        )
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -443,9 +443,11 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         elapsed[i] = (time.perf_counter() - t0) * 1000.0
 
     # ---- batch classification: HTML ----------------------------------
-    spans_per_doc: dict[int, list[dict]] = {}
-    content_text: dict[int, list[str]] = {}
-    headings_per_doc: dict[int, list[str]] = {}
+    # preallocated per-doc lists (direct index, no dict hashing /
+    # setdefault churn — the assembly glue measured ~24% of kernel CPU)
+    spans_per_doc: list[list[dict]] = [[] for _ in range(n)]
+    content_text: list[list[str]] = [[] for _ in range(n)]
+    headings_per_doc: list[list[str]] = [[] for _ in range(n)]
 
     for doc, sp in docx_spans.items():
         if status[doc] != "ok":
@@ -454,25 +456,24 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         content_text[doc] = [s["text"] for s in sp]
 
     if html_blocks_doc:
-        hb = _classify_html_blocks(
+        hb_docs, hb_texts, hb_kinds = _classify_html_blocks(
             np.array(html_blocks_doc),
             pd.Series(html_blocks_full),
             pd.Series(html_blocks_link),
             np.array(html_blocks_kind),
         )
-        for doc, text, kind in zip(
-            hb["doc"].to_numpy(), hb["text"].to_numpy(), hb["kind"].to_numpy()
-        ):
-            sp = spans_per_doc.setdefault(doc, [])
+        content_kinds = CONTENT_KINDS
+        for doc, text, kind in zip(hb_docs, hb_texts, hb_kinds):
+            sp = spans_per_doc[doc]
             sp.append({
                 "page": 0, "block": len(sp),
                 "x0": 0.0, "y0": 0.0, "x1": 0.0, "y1": 0.0,
                 "kind": kind, "text": text,
             })
-            if kind in CONTENT_KINDS:
-                content_text.setdefault(doc, []).append(text)
+            if kind in content_kinds:
+                content_text[doc].append(text)
             if kind == "heading":
-                headings_per_doc.setdefault(doc, []).append(text)
+                headings_per_doc[doc].append(text)
 
     # ---- batch ordering: PDF ------------------------------------------
     if pdf_rows:
@@ -484,22 +485,23 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         ordered = ordered.assign(text=ordered["text"].str.strip())
         ordered = ordered[ordered["text"].str.len() > 0]
         for doc, page, x, y, text in zip(
-            ordered["doc"].to_numpy(), ordered["page"].to_numpy(),
-            ordered["x"].to_numpy(), ordered["y"].to_numpy(),
-            ordered["text"].to_numpy(),
+            ordered["doc"].tolist(), ordered["page"].tolist(),
+            ordered["x"].tolist(), ordered["y"].tolist(),
+            ordered["text"].tolist(),
         ):
-            sp = spans_per_doc.setdefault(doc, [])
+            sp = spans_per_doc[doc]
             sp.append({
                 "page": int(page), "block": len(sp),
                 "x0": float(x), "y0": float(y),
                 "x1": float(x), "y1": float(y),
                 "kind": "block", "text": text,
             })
-            content_text.setdefault(doc, []).append(text)
+            content_text[doc].append(text)
 
     # ---- assemble ------------------------------------------------------
+    ok_mask = status == "ok"
     text_list = [
-        "\n".join(content_text.get(i, [])) if status[i] == "ok" else ""
+        "\n".join(content_text[i]) if ok_mask[i] else ""
         for i in range(n)
     ]
     # OCR-budget split (shared with oracle.extract_document): a PDF
@@ -511,42 +513,39 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
         if routes[i] == "pdf" and status[i] == "ok" and not text_list[i]:
             status[i] = "parse_failure"
             reasons[i] = oracle.classify_pdf_no_text(payload_arr[i])
-    texts = pd.Series(text_list)
-    headings = pd.Series(
-        [headings_per_doc.get(i, []) if status[i] == "ok" else []
-         for i in range(n)]
-    )
-    spans = [spans_per_doc.get(i, []) if status[i] == "ok" else []
-             for i in range(n)]
+    ok = (status == "ok").tolist()  # post-OCR-budget status, as a list
+    headings = [headings_per_doc[i] if ok[i] else [] for i in range(n)]
+    spans = [spans_per_doc[i] if ok[i] else [] for i in range(n)]
     # shared per-doc section fold (measured ~1% of batch time; a
     # reuse-the-joined-text fast path was tried and was SLOWER)
-    sections = [oracle.sections_from_spans(sp) if status[i] == "ok" else []
+    sections_of = oracle.sections_from_spans
+    sections = [sections_of(sp) if ok[i] else []
                 for i, sp in enumerate(spans)]
-    fields = _fields_batch(texts, headings)
+    # fields as a plain list of dicts: index updates below were pandas
+    # .iloc lookups before (measured in the profile), now direct
+    fields = _fields_batch(text_list, headings)
     for i, uris in pdf_link_uris.items():
-        if status[i] == "ok":
-            oracle.merge_link_uris(fields.iloc[i], uris)
+        if ok[i]:
+            oracle.merge_link_uris(fields[i], uris)
     for i, hrefs in html_outlinks.items():
-        if status[i] == "ok":
-            fields.iloc[i]["outlinks"] = hrefs
-            fields.iloc[i]["anchors"] = html_anchors[i]
+        if ok[i]:
+            fields[i]["outlinks"] = hrefs
+            fields[i]["anchors"] = html_anchors[i]
     for i, robots in html_robots.items():
-        if status[i] == "ok":
-            fields.iloc[i]["meta_robots"] = robots
-    empty_fields = dict(oracle.EMPTY_FIELDS)
-    fields = pd.Series(
-        [f if status[i] == "ok" else dict(empty_fields)
-         for i, f in enumerate(fields)]
-    )
+        if ok[i]:
+            fields[i]["meta_robots"] = robots
+    empty_fields = oracle.EMPTY_FIELDS
+    fields = [f if ok[i] else dict(empty_fields)
+              for i, f in enumerate(fields)]
     n_pages = np.where(status == "ok", n_pages, 0)
     return pd.DataFrame({
         "url": urls.to_numpy(),
         "status": status,
         "route": routes,
         "reason": reasons,
-        "extracted_text": texts.to_numpy(),
+        "extracted_text": text_list,
         "spans": spans,
-        "fields": fields.to_numpy(),
+        "fields": fields,
         "sections": sections,
         "n_pages": n_pages,
         "n_blocks": np.array([len(s) for s in spans], dtype=np.int64),

@@ -1282,7 +1282,7 @@ def q_line_dedup(spark, sf_dir):
     no cross join, no Python. Reference analogue: the per-page
     boilerplate stripping (``grid_detector_v1.py:24-85``) lifted to
     corpus scope."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     lines = d.select(
         "doc_id",
         F.posexplode(chunk_lines_col()).alias("pos", "line"),
@@ -3990,7 +3990,7 @@ def q_kmv_distinct(spark, sf_dir):
     count-distinct cannot. Oracle replicates hash, minima, merge, and
     the (k-1)/h_k estimator bit-for-bit."""
     from .operators import sketches as sk
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "source", "lang",
         F.explode(chunk_lines_col()).alias("line"))
     sketches = sk.kmv_sketch(d, ["source", "lang"], "line", k=64)
@@ -4203,7 +4203,7 @@ def _templated_docs(spark, sf_dir):
     planted site template. Exactly 10 words, so the golden 10-word
     chunking yields the banner as its own line and leaves every
     following line identical to the unplanted text's."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     host = _host_col_of(F.col("doc_id"))
     banner = F.concat_ws(" ", F.lit(_BANNER_PREFIX), host,
                          F.lit(_BANNER_SUFFIX))

@@ -74,14 +74,25 @@ def synth_web_pages(spark: SparkSession, n: int,
 
 
 def web_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wrap the driver's ``documents`` table into deterministic pages."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Wrap the driver's ``documents`` table into deterministic pages.
+
+    The source table is one parquet file with a single row group, so
+    without the repartition the per-doc Python generator (and any
+    Python extraction kernel above it) runs as ONE scan task — the
+    repartition spreads the cheap (id, text) rows across the cluster
+    first (guide §2.5 "unsplittable input file"; scale-adaptive — a
+    no-op for a production table that already has enough splits).
+    Page content is a pure per-row function of the doc row, so
+    partitioning never changes values."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source", "lang")
+    want = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             yield _rows_to_pages(b["doc_id"], b["text"], b["source"],
                                  b["lang"])
 
-    return docs.select("doc_id", "text", "source", "lang").mapInPandas(
-        gen, schema=WEB_PAGES_SCHEMA
-    )
+    return docs.mapInPandas(gen, schema=WEB_PAGES_SCHEMA)
