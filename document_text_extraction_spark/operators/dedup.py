@@ -307,32 +307,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         )
     # hot-shingle-capped candidate generation + exact verification.
-    # Shape (r6, guide §2.3 "aggregate before you shuffle"): the old
-    # form computed per-shingle document frequency with a WINDOW over
-    # the full exploded table — shuffling every (id, shingle) row — and
-    # verified candidates through two more full-explode joins plus a
-    # per-doc sizes groupBy: 4-5 full shuffles of the explode to emit a
-    # few thousand pairs (measured at sf1.0: 2.85 M exploded rows,
-    # 2 874 candidates, 29.3 s noop-isolated). Now:
-    # * doc frequency is a map-side-combined groupBy(shingle) — the
-    #   shuffle carries one row per distinct shingle per map partition,
-    #   never more than the window's full-row shuffle and typically
-    #   orders of magnitude less;
-    # * only shingles with 2 <= df <= cap generate candidates (df=1
-    #   cannot form a pair — a pure pruning, not a semantics change);
-    #   AQE broadcasts the surviving shingle set when it is small and
-    #   falls back to a shuffle join when it is not;
+    # Shape (r6): the shingle map is the expensive half (the explode
+    # subtree costs ~1 s fully parallel at sf1.0 and used to be
+    # re-evaluated up to 5x), so
+    # * the doc-frequency cap stays a WINDOW over the exploded shingles
+    #   — its exchange is reused by BOTH sides of the candidate
+    #   self-join, so the explode runs once for the whole candidate
+    #   stage (a groupBy-freq + join-back restructure was tried and
+    #   re-ran the explode per join side: slower);
     # * verification recomputes inter/union from the full DISTINCT
-    #   shingle ARRAYS of just the candidate pairs (map-only re-derive
-    #   + two joins whose small side is the candidate set) — both
-    #   arrays are distinct, so size(array_intersect) equals the old
+    #   shingle ARRAYS of just the candidate pairs (two map-only
+    #   re-derives joined against the tiny candidate set) instead of
+    #   the old two full-explode joins + per-doc sizes groupBy — both
+    #   arrays are distinct, so size(array_intersect) equals the
     #   count-based inter and size(shingles) equals n_sh.
-    # Result set is identical (same candidates, same exact jaccard).
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    cold_sh = (freq.filter((F.col("df") >= 2)
-                           & (F.col("df") <= max_shingle_doc_freq))
-               .select("shingle"))
-    cold = sh.join(cold_sh, "shingle")
+    # Result set is identical (same candidates, same exact jaccard);
+    # measured at sf1.0: 2.85 M exploded rows, 2 874 candidates,
+    # 29.3 s (r5 form, single-task scan) -> ~3.5 s.
+    from pyspark.sql import Window as W
+    freq = F.count("*").over(W.partitionBy("shingle"))
+    cold = (sh.withColumn("df", freq)
+            .filter(F.col("df") <= max_shingle_doc_freq)
+            .select(id_col, "shingle"))
     a = cold.alias("a")
     b = cold.alias("b")
     cand = (
@@ -435,18 +431,20 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                       F.explode_outer("fps").alias("fp"))
            .filter(F.col("fp").isNotNull()))
     if max_fp_doc_freq is not None:
-        # r6 (guide §2.3): document frequency via a map-side-combined
-        # groupBy instead of a window over the full exploded table —
-        # the window shuffled every (id, fp) row (5.86 M at sf1.0) to
-        # keep 3.7 k cold rows. The groupBy shuffles one row per
-        # distinct fp per map partition; fps with df == 1 cannot form a
-        # pair and are pruned outright (pure pruning, same output);
-        # AQE broadcasts the surviving fp set when small.
-        freq = fps.groupBy("fp").agg(F.count("*").alias("df"))
-        cold_fp = (freq.filter((F.col("df") >= 2)
-                               & (F.col("df") <= max_fp_doc_freq))
-                   .select("fp"))
-        fps = fps.join(cold_fp, "fp")
+        # frequency cap via ONE window over the exploded fingerprints,
+        # NOT a groupBy + join-back: the fingerprint map above is the
+        # expensive part (3.0-3.2 s at sf1.0 even fully parallel), and
+        # the window's exchange is REUSED by both sides of the pair
+        # self-join below, so the map runs exactly once. A groupBy-freq
+        # + join restructure was tried this round and re-evaluated the
+        # map on both self-join sides: 7.2 s vs 3.8 s for the window
+        # form (r6 probe). The window's shuffle of every (id, fp) row
+        # is the cheaper currency here.
+        from pyspark.sql import Window as W
+        freq = F.count("*").over(W.partitionBy("fp"))
+        fps = (fps.withColumn("df", freq)
+               .filter(F.col("df") <= max_fp_doc_freq)
+               .select(id_col, "fp"))
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
