@@ -528,7 +528,17 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         ])).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bv")
     l, r = banded.alias("l"), banded.alias("r")
-    cand = (
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # Hamming filter BEFORE the pair dedup (r6): band values are weakly
+    # selective on a monolingual corpus (per-bit majority votes
+    # correlate across documents — measured at sf1.0: 33 M candidate
+    # rows out of the band join for ~54 k docs), and the old shape
+    # shuffled all of them through dropDuplicates before filtering.
+    # The filter is a map-side codegen'd bit_count on the join output,
+    # so only true Hamming<=max pairs reach the dedup shuffle.
+    # Identical output: hamming is a pure function of the pair, and
+    # filter∘distinct ≡ distinct∘filter for a deterministic predicate.
+    return (
         l.join(r, (F.col("l.band") == F.col("r.band"))
                & (F.col("l.bv") == F.col("r.bv"))
                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
@@ -536,12 +546,9 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                 F.col(f"r.{id_col}").alias("id_b"),
                 F.col("l.simhash").alias("ha"),
                 F.col("r.simhash").alias("hb"))
+        .filter(hamming <= max_hamming)
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -561,10 +568,14 @@ def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
     starts = F.when(
         n >= k, F.sequence(F.lit(1), n - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
+    # unhex(md5) → 16-byte binary key: same equality semantics as the
+    # 32-char hex string but half the shuffle/groupBy width (guide §2.3
+    # "narrower types"); the hash never reaches any output column.
     grams = F.transform(
         starts,
-        lambda i: F.md5(F.encode(F.array_join(F.slice(toks, i, k), " "),
-                                 "UTF-8")),
+        lambda i: F.unhex(
+            F.md5(F.encode(F.array_join(F.slice(toks, i, k), " "),
+                           "UTF-8"))),
     )
     # posexplode_outer + null filter, NOT posexplode: see
     # _explode_nonnull — the inferred size() predicate would re-run the
