@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles_col
+from .dedup import _explode_nonnull, shingles_col
 
 DEFAULT_NGRAM = 8
 
@@ -40,11 +40,12 @@ def benchmark_ngrams(bench: DataFrame, k: int = DEFAULT_NGRAM,
                      text_col: str = "text") -> DataFrame:
     """Distinct ``(bench_id, shingle)`` word-k-gram pairs of the
     evaluation set — the broadcast probe side."""
-    return bench.select(
+    arr = bench.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), k)))
-        .alias("shingle"),
-    ).dropDuplicates([id_col, "shingle"])
+        F.array_distinct(shingles_col(F.col(text_col), k))
+        .alias("__sh"))
+    return (_explode_nonnull(arr, "__sh", "shingle", [id_col])
+            .dropDuplicates([id_col, "shingle"]))
 
 
 def contamination_report(docs: DataFrame, bench: DataFrame,
@@ -61,11 +62,15 @@ def contamination_report(docs: DataFrame, bench: DataFrame,
     so they never reach the aggregation).
     """
     probe = benchmark_ngrams(bench, k, bench_id_col, bench_text_col)
-    doc_sh = docs.select(
+    # outer-explode + null filter: a plain explode of the 8-gram array
+    # re-evaluates the whole shingle expression per row through
+    # Catalyst's inferred size() filter (see dedup._explode_nonnull) —
+    # on the corpus side that doubled the dominant map cost.
+    doc_arr = docs.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), k)))
-        .alias("shingle"),
-    )
+        F.array_distinct(shingles_col(F.col(text_col), k))
+        .alias("__sh"))
+    doc_sh = _explode_nonnull(doc_arr, "__sh", "shingle", [id_col])
     hits = doc_sh.join(F.broadcast(probe), "shingle")
     return hits.groupBy(id_col).agg(
         F.countDistinct("shingle").cast("long").alias("n_hit_ngrams"),

@@ -146,7 +146,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # _spread: the table is one row group (single scan task) and every
+    # consumer's map side is expensive interpreted vector arithmetic
+    # (argmin/dot folds or the semdedup kernel); all consumers are
+    # per-row deterministic or sort their bounded samples by id, so
+    # partitioning never changes results.
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,11 +1229,11 @@ def q_repetition_stats(spark, sf_dir):
     word fraction (the duplicate-n-gram family of Gopher/C4 cleaning).
     Bigram counting is explode → map-side-combined groupBy — no
     per-document Python, scale-safe."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     bg = d.select(
         "doc_id",
-        F.explode(ts.bigrams_col(F.col("text"))).alias("bg"),
-    )
+        F.explode_outer(ts.bigrams_col(F.col("text"))).alias("bg"),
+    ).filter(F.col("bg").isNotNull())
     top = (
         bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
         .groupBy("doc_id")
@@ -1342,7 +1347,7 @@ def q_pii_scrub(spark, sf_dir):
     same planting in the oracle), then scrub email → ip → phone with
     typed placeholders and count what was removed. Pure JVM
     regexp_replace chain — codegen'd, no shuffle at all."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     planted = _planted_pii_col()
     return d.select(
         "doc_id",
@@ -1548,7 +1553,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     integer ranking keys so cross-engine ln() rounding cannot reorder);
     smoothed TF-IDF score emitted rounded (operators/terms.py)."""
     from .operators.terms import tfidf_top_terms
-    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    return tfidf_top_terms(_spread(_docs(spark, sf_dir)), k=3)
 
 
 SQL_TFIDF = (
@@ -1703,7 +1708,7 @@ SQL_INTRADOC_LINE_DEDUP = (
 
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID heuristic."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     return d.select(
         "doc_id", ts.lang_id_col(F.col("text")).alias("lang_pred")
     )
@@ -3368,7 +3373,7 @@ def q_contamination(spark, sf_dir):
     collide with its source document (plus any near-duplicates). The
     probe side is broadcast; the corpus side never shuffles before the
     tiny hit aggregation (operators/contamination.py)."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     toks = F.split(F.col("text"), " ")
     bench = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"),
@@ -3418,7 +3423,7 @@ def q_decontaminate_count(spark, sf_dir):
     """The decontamination *transform* result, summarized: surviving-doc
     count + total surviving chars (aggregate so the oracle compares a
     stable scalar row, not the whole corpus)."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
     toks = F.split(F.col("text"), " ")
     bench = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"),
@@ -4031,8 +4036,8 @@ def q_cooccurrence_pmi(spark, sf_dir):
     oracle replicates with a positions self-join (fine at oracle
     scale) and the identical integer ranking key."""
     from .operators.terms import cooccurrence_pmi
-    return cooccurrence_pmi(_docs(spark, sf_dir), window=2, k=30,
-                            min_pair_count=2)
+    return cooccurrence_pmi(_spread(_docs(spark, sf_dir)), window=2,
+                            k=30, min_pair_count=2)
 
 
 SQL_COOCCURRENCE_PMI = (
