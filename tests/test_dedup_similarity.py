@@ -512,3 +512,51 @@ def test_trained_codebook_deterministic_and_recalls(spark):
     assert 0 in ivf  # the query vector itself always survives
     with pytest.raises(ValueError, match="sample has"):
         km.train_codebook(df.filter(F.col("vec_id") < 2), k=4)
+
+
+def test_semdedup_kernel_matches_join_formulation(spark):
+    """r6: semdedup's dropped-id set now comes from the per-cluster
+    Arrow Gram kernel; it must equal the cluster-equi-join + JVM-fold
+    formulation (semantic_duplicate_pairs) bit-for-bit on real data at
+    a threshold low enough to exercise real drops."""
+    from document_text_extraction_spark.operators import semdedup as sd
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    extra = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01))
+        .alias("embedding"))
+    emb = base.unionAll(extra)
+    cb = sd.fixed_codebook(emb, n_clusters=8)
+    tau = 0.3
+    assigned = sd.assign_clusters(emb, cb)
+    join_dropped = {
+        r.id_b for r in sd.semantic_duplicate_pairs(
+            assigned, threshold=tau).collect()}
+    kept = {r.vec_id for r in sd.semdedup(emb, cb, threshold=tau)
+            .collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert join_dropped, "threshold must exercise real drops"
+    assert kept == all_ids - join_dropped
+
+
+def test_explode_nonnull_equals_plain_explode(spark):
+    """r6: _explode_nonnull (the outer-explode form that avoids the
+    InferFiltersFromGenerate re-evaluation) must produce exactly the
+    rows of a plain explode — including dropping empty/one-token
+    edge-case arrays."""
+    from document_text_extraction_spark.operators.dedup import (
+        _explode_nonnull,
+        shingles_col,
+    )
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x"), (3, ""), (4, "p q")],
+        "doc_id long, text string")
+    arr = df.select(
+        "doc_id",
+        F.array_distinct(shingles_col(F.col("text"), 3)).alias("sh"))
+    plain = sorted(map(tuple, arr.select(
+        "doc_id", F.explode("sh")).collect()))
+    outer = sorted(map(tuple, _explode_nonnull(
+        arr, "sh", "s", ["doc_id"]).collect()))
+    assert plain == outer and len(plain) >= 4
