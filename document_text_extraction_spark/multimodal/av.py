@@ -222,8 +222,13 @@ def _avi_frames_and_fps(payload: bytes) -> tuple[list, int]:
     frames: list = []
     fps = 0
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
         nonlocal fps
+        # depth cap mirrors mp4_metadata's: a crafted AVI can nest a
+        # LIST every ~12 bytes and recurse past Python's limit
+        # (ADVICE r5); real containers are 2-3 levels deep
+        if depth > 16:
+            raise ValueError("avi: LIST nesting too deep")
         pos = lo
         while pos + 8 <= hi:
             cid = payload[pos:pos + 4]
@@ -233,7 +238,7 @@ def _avi_frames_and_fps(payload: bytes) -> tuple[list, int]:
             if body_hi > hi:
                 raise ValueError("avi: truncated chunk")
             if cid == b"LIST":
-                walk(body_lo + 4, body_hi)  # skip the list type tag
+                walk(body_lo + 4, body_hi, depth + 1)  # skip list tag
             elif cid == b"strh" and clen >= 32:
                 scale, rate = struct.unpack(
                     "<II", payload[body_lo + 20:body_lo + 28])
@@ -374,10 +379,12 @@ def mp4_metadata(payload: bytes) -> tuple[int, int, int] | None:
                         ">II", payload[body_lo + 12:body_lo + 20])
                 if ts:
                     dur_ms = int(dur * 1000 // ts)
-            elif btype == b"tkhd":
+            elif btype == b"tkhd" and body_hi - body_lo >= 1:
                 # width/height trail version+flags(4) ctime/mtime
                 # (8 or 16) track_id+reserved+duration(12 or 16)
                 # reserved(8) layer/alt/volume/reserved(8) matrix(36)
+                # (empty-body guard: a size-8 tkhd at end of payload
+                # must not IndexError — ADVICE r5)
                 ver = payload[body_lo]
                 off = body_lo + (88 if ver == 1 else 76)
                 if off + 8 <= body_hi:

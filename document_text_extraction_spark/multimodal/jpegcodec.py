@@ -383,6 +383,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             sp = 0
             while sp < len(seg):
+                if len(seg) < sp + 17:
+                    raise ValueError("jpeg: short huffman header")
                 tc, th = seg[sp] >> 4, seg[sp] & 0x0F
                 bits = list(seg[sp + 1:sp + 17])
                 nv = sum(bits)
@@ -392,7 +394,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[(tc, th)] = _build_decode_table(bits, values)
                 sp += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 progressive
+            # validate the declared body length BEFORE indexing: a
+            # declared-consistent-but-short SOF must fail as ValueError
+            # (the kernels' decode_error contract), not IndexError /
+            # struct.error (ADVICE r5)
+            if len(seg) < 6:
+                raise ValueError("jpeg: short SOF body")
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("jpeg: SOF body shorter than declared "
+                                 "component count")
             if prec != 8:
                 raise NotImplementedError("jpeg: 12-bit precision")
             if nc not in (1, 3):
@@ -413,6 +424,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             progressive = marker == 0xC2
             frame = (fh, fw, comps, progressive)
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("jpeg: short DRI body")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
@@ -429,7 +442,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 for _, hs, vs, tq in comps:
                     coefs.append(np.zeros((mcuy * vs, mcux * hs, 64),
                                           dtype=np.int64))
+            if not seg:
+                raise ValueError("jpeg: empty SOS body")
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("jpeg: SOS body shorter than declared "
+                                 "component count")
             scan = []  # (comp_idx, dc_tbl_id, ac_tbl_id)
             comp_ids = [c[0] for c in comps]
             for si in range(ns):

@@ -276,6 +276,10 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
         if len(data) != clen:
             raise ValueError("png: truncated chunk")
         if ctype == b"IHDR":
+            if clen != 13:
+                # spec length is fixed; a lying chunk must fail as
+                # ValueError (decode_error), not struct.error (ADVICE r5)
+                raise ValueError("png: IHDR length != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
@@ -374,7 +378,12 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
     if ctype_i == 3:
         if plte is None:
             raise ValueError("png: palette image without PLTE")
-        return plte[px[:, :, 0]]
+        idx = px[:, :, 0]
+        # mirror the sub-byte path's bounds check: an out-of-range
+        # palette index is corrupt data, not an engine IndexError
+        if idx.size and int(idx.max()) >= len(plte):
+            raise ValueError("png: palette index out of range")
+        return plte[idx]
     if ch == 1:
         return np.repeat(px, 3, axis=2)
     if ch == 2:  # gray + alpha → replicate gray

@@ -44,6 +44,16 @@ def train_codebook(df: DataFrame, k: int = 8, iters: int = 2,
     if len(rows) < k:
         raise ValueError(
             f"train_codebook: sample has {len(rows)} rows < k={k}")
+    # init = the first k id-ordered rows; the oracle's c0 CTE selects
+    # `id < k`, so these must be the SAME rows — on a corpus with any
+    # of 0..k-1 missing the two silently diverge (ADVICE r5). Assert
+    # the equivalence instead of desyncing (fixed_codebook's rule).
+    init_ids = [int(r[id_col]) for r in rows[:k]]
+    if init_ids != list(range(k)):
+        raise ValueError(
+            f"train_codebook: init requires ids 0..{k - 1} present "
+            f"(got {init_ids}); on a corpus with sparse ids pass an "
+            "explicit init or re-key the sample")
     X = np.asarray([[float(x) for x in r[vec_col]] for r in rows],
                    dtype=np.float64)
     C = X[:k].copy()

@@ -169,3 +169,106 @@ class TestResourceBombs:
                + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
         with pytest.raises(ValueError, match="decode cap"):
             J.decode_jpeg(hdr + b"\xff\xd9")
+
+
+def test_declared_short_segments_raise_valueerror():
+    """ADVICE r5: declared-consistent-but-short marker segments (SOS
+    with ns=5 but a 1-byte body, tiny SOF/DRI/DHT) must fail inside
+    the ValueError/NotImplementedError contract the kernels catch,
+    never IndexError/struct.error."""
+    import struct
+
+    import pytest
+
+    from document_text_extraction_spark.multimodal.jpegcodec import (
+        decode_jpeg,
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    soi = b"\xff\xd8"
+    cases = [
+        soi + seg(0xC0, b"\x08"),                      # 1-byte SOF
+        soi + seg(0xC0, b"\x08\x00\x10\x00\x10\x03"),  # nc=3, no comps
+        soi + seg(0xDD, b"\x01"),                      # short DRI
+        soi + seg(0xC4, b"\x00\x01"),                  # short DHT header
+        # SOF ok, then SOS declaring 5 components with a 1-byte body
+        soi + seg(0xC0, b"\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+        + seg(0xDA, b"\x05"),
+        soi + seg(0xDA, b""),                          # empty SOS body
+    ]
+    for payload in cases:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(payload)
+
+
+def test_png_corrupt_headers_raise_valueerror():
+    """ADVICE r5: IHDR with a lying length and out-of-range 8-bit
+    palette indices must raise ValueError, not struct.error/IndexError."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from document_text_extraction_spark.multimodal.media import (
+        _decode_pixels,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    # IHDR length 12 (must be 13)
+    bad_ihdr = sig + chunk(b"IHDR", struct.pack(">IIBBBB", 4, 4, 8, 0, 0, 0))
+    with pytest.raises(ValueError):
+        _decode_pixels(bad_ihdr)
+
+    # valid 8-bit palette image whose pixel index exceeds the palette
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+    plte = chunk(b"PLTE", bytes([10, 20, 30]))       # 1 entry
+    raw = b"\x00" + bytes([0, 5])                    # index 5 >= 1
+    idat = chunk(b"IDAT", zlib.compress(raw))
+    bad_pal = sig + ihdr + plte + idat + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        _decode_pixels(bad_pal)
+
+
+def test_avi_deep_list_nesting_raises_valueerror():
+    """ADVICE r5: a crafted AVI nesting a LIST every ~12 bytes must be
+    rejected by the depth cap, not blow the recursion limit."""
+    import struct
+
+    import pytest
+
+    from document_text_extraction_spark.multimodal.av import (
+        _avi_frames_and_fps,
+    )
+
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"x   " + inner
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError):
+        _avi_frames_and_fps(payload)
+
+
+def test_mp4_tiny_tkhd_no_crash():
+    """ADVICE r5: a size-8 tkhd at end of payload must not IndexError
+    (mp4_metadata is a total function for the feature kernel)."""
+    import struct
+
+    from document_text_extraction_spark.multimodal.av import mp4_metadata
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    mvhd = box(b"mvhd", b"\x00" * 4 + b"\x00" * 8
+               + struct.pack(">II", 1000, 2000) + b"\x00" * 80)
+    moov = box(b"moov", mvhd + box(b"trak", box(b"tkhd", b"")))
+    payload = box(b"ftyp", b"mp42\x00\x00\x00\x00mp42isom") + moov
+    out = mp4_metadata(payload)     # must not raise
+    assert out is not None and out[0] == 2000
