@@ -214,44 +214,46 @@ def _sniff_batch(payloads: pd.Series) -> np.ndarray:
 
 
 def _classify_html_blocks(
-    doc_idx: np.ndarray, fulls: pd.Series, links: pd.Series,
-    base_kinds: np.ndarray,
-) -> pd.DataFrame:
-    """Vectorized classification of every HTML block in the batch.
+    doc_idx: list, fulls: list, links: list, base_kinds: list,
+) -> tuple[list, list, list]:
+    """Classification of every HTML block in the batch, one fused pass.
 
-    Normalization + density + kind assignment are single pandas/numpy
-    expressions over the all-blocks arrays (the batch analogue of
-    ``oracle.extract_html``'s per-block logic).
+    Normalization + density + kind assignment per block (the batch
+    analogue of ``oracle.extract_html``'s per-block logic). One Python
+    loop instead of the previous 6 numpy-object-array passes (norm
+    listcomp, len listcomp, link-nlen listcomp, two np.where, masked
+    tolist): object-dtype numpy ops iterate in Python anyway, so the
+    fused loop is strictly less work — and it skips the link-text
+    split entirely for boiler-ancestor and linkless blocks.
+
+    ' '.join(s.split()) ≡ re.sub(r'\\s+', ' ', s).strip(): CPython's
+    sre \\s and str.isspace() share the same Unicode whitespace table
+    (equivalence guarded by the oracle-parity property tests). The
+    normalized LENGTH of the link text is sum(len(tok)) + gaps — no
+    join allocation.
     """
-    # ' '.join(s.split()) ≡ re.sub(r'\s+', ' ', s).strip(): CPython's
-    # sre \s and str.isspace() share the same Unicode whitespace table,
-    # and the C-level split/join is ~3.5x faster than the per-element
-    # regex sub pandas .str.replace runs (measured on this corpus;
-    # equivalence guarded by the oracle-parity property tests)
-    full_n = np.array(
-        [" ".join(s.split()) for s in fulls.to_numpy()], dtype=object)
-    full_len = np.array([len(s) for s in full_n], dtype=np.int64)
-
-    # only the normalized LENGTH of the link text feeds density — the
-    # length of " ".join(toks) is sum(len(tok)) + gaps, no join alloc
-    def _nlen(s: str) -> int:
-        toks = s.split()
-        return sum(map(len, toks)) + len(toks) - 1 if toks else 0
-
-    link_len = np.array(
-        [_nlen(s) for s in links.to_numpy()], dtype=np.int64)
-    nonempty = full_len > 0
-    density = np.where(full_len > 0, link_len / np.maximum(full_len, 1), 0.0)
-    kind = np.where(
-        (base_kinds == _KIND_BOILER) | (density > LINK_DENSITY_MAX),
-        _KIND_BOILER,
-        base_kinds,
-    )
-    # plain lists, not a DataFrame: the caller iterates element-wise,
-    # and list iteration is ~2-3x faster than numpy object indexing
-    return (doc_idx[nonempty].tolist(),
-            full_n[nonempty].tolist(),
-            _KIND_NAMES[kind[nonempty]].tolist())
+    out_docs: list = []
+    out_texts: list = []
+    out_kinds: list = []
+    ad, at, ak = out_docs.append, out_texts.append, out_kinds.append
+    names = _KIND_NAMES
+    boiler_name = names[_KIND_BOILER]
+    ldm = LINK_DENSITY_MAX
+    for doc, full, link, base in zip(doc_idx, fulls, links, base_kinds):
+        fn = " ".join(full.split())
+        if not fn:
+            continue
+        if base == _KIND_BOILER:
+            ad(doc); at(fn); ak(boiler_name)
+            continue
+        if link:
+            toks = link.split()
+            ll = sum(map(len, toks)) + len(toks) - 1 if toks else 0
+            if ll / len(fn) > ldm:
+                ad(doc); at(fn); ak(boiler_name)
+                continue
+        ad(doc); at(fn); ak(names[base])
+    return out_docs, out_texts, out_kinds
 
 
 def _order_pdf_shows(shows_df: pd.DataFrame) -> pd.DataFrame:
@@ -470,10 +472,8 @@ def extract_batch(urls: pd.Series, payloads: pd.Series) -> pd.DataFrame:
 
     if html_blocks_doc:
         hb_docs, hb_texts, hb_kinds = _classify_html_blocks(
-            np.array(html_blocks_doc),
-            pd.Series(html_blocks_full),
-            pd.Series(html_blocks_link),
-            np.array(html_blocks_kind),
+            html_blocks_doc, html_blocks_full, html_blocks_link,
+            html_blocks_kind,
         )
         content_kinds = CONTENT_KINDS
         for doc, text, kind in zip(hb_docs, hb_texts, hb_kinds):

@@ -34,6 +34,20 @@ def get_spark(
         # the 64MB SQL default would coalesce it into minute-long tasks
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.session.timeZone", "UTC")
+        # HotSpot never JIT-compiles methods above 8000 bytecode bytes
+        # (-XX:DontCompileHugeMethods, default on), so a whole-stage-
+        # codegen method between 8000 and Spark's 65535 default limit
+        # runs in the BYTECODE INTERPRETER for the stage's lifetime.
+        # The wide-aggregate plans here (32 min(xxhash64) columns in
+        # the MinHash signature, the simhash bit majorities) generate
+        # exactly such methods: measured on the minhash query at sf1.0,
+        # first-run 153 s / steady-state 129 s with the default vs
+        # 7.6 s / 3.6 s with the limit at the HotSpot threshold, which
+        # makes Spark fall back to its interpreted-expression path
+        # (many small, JIT-able methods) for those stages only. Not a
+        # local-mode tweak: every fresh executor JVM on a cluster pays
+        # the same penalty.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

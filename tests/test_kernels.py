@@ -119,3 +119,30 @@ def test_hypothesis_like_fuzz_payloads(seed):
         ref = oracle.extract_document(r["html"])
         assert out.iloc[i]["status"] == ref["status"]
         assert out.iloc[i]["extracted_text"] == ref["extracted_text"]
+
+
+def test_tag_regex_possessive_equivalence_and_linearity():
+    """The possessive attrs form of _TAG_RE (r6 optimization) matches
+    the exact language of the old per-char alternation
+    ``(?:\"[^\"]*\"|'[^']*'|[^>\"'])*`` — and fails in linear time on
+    unterminated tags, where a greedy run-based form would backtrack
+    exponentially."""
+    import random
+    import re
+    import time
+
+    legacy = re.compile(
+        r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
+    rng = random.Random(11)
+    alpha = "abAB01 <>/\"'=&-\n\t"
+    for _ in range(5000):
+        s = "".join(rng.choice(alpha)
+                    for _ in range(rng.randrange(0, 90)))
+        assert legacy.split(s) == oracle._TAG_RE.split(s), repr(s)
+    # adversarial: long unterminated tags must not blow up
+    for s in ("<a " + "x" * 20000, "<a \"" + "y" * 20000,
+              "<a b='c'" + "d" * 20000 + " e"):
+        t0 = time.perf_counter()
+        got = oracle._TAG_RE.split(s)
+        assert time.perf_counter() - t0 < 0.2
+        assert got == legacy.split(s)
