@@ -4314,16 +4314,10 @@ def q_media_phash(spark, sf_dir):
 
     from .multimodal import media as M
     # spread payload synthesis across tasks: the JPEG encodes are the
-    # expensive generator step (pure-Python entropy coding; ~0.27 s per
-    # planted id vs ~3 ms for a plain row), and the 300-id scan
-    # otherwise lands in one or two input splits. RANGE partitioning,
-    # not hash: the 25 heavy ids sit every 12th id, so ~9-id ranges
-    # carry at most ONE heavy encode each (hash(doc_id) into 16 left
-    # 3-4 heavy ids on one straggler task — guide §2.5); width follows
-    # the scheduler, not a host constant.
-    par = spark.sparkContext.defaultParallelism
+    # expensive generator step (pure-Python entropy coding), and the
+    # 300-id scan otherwise lands in one or two input splits
     ids = _docs(spark, sf_dir).select("doc_id").filter(
-        F.col("doc_id") < 300).repartitionByRange(par, F.col("doc_id"))
+        F.col("doc_id") < 300).repartition(16, F.col("doc_id"))
 
     def gen(batches):
         from .multimodal import jpegcodec as J
@@ -4346,10 +4340,7 @@ def q_media_phash(spark, sf_dir):
             yield pd.DataFrame(rows, columns=cols)
 
     media = ids.mapInPandas(gen, schema=M.MEDIA_SCHEMA)
-    # decode side: the 25 lossy-JPEG rows (~0.3 s each to entropy-decode)
-    # hash-spread over 2x the core count so the max per-task heavy count
-    # is ~2 (balls-in-bins), instead of 3-4 at 16 partitions
-    hashes = M.ahash_images(media, partitions=2 * par)
+    hashes = M.ahash_images(media, partitions=16)
     return M.phash_near_duplicates(hashes, max_hamming=3, n_bands=4)
 
 
