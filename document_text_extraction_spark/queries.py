@@ -160,7 +160,12 @@ def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    return _spread(d.select("doc_id", "text").unionAll(extra))
+    # no _spread here: this helper also feeds md5-cheap consumers
+    # (dedup_exact, keep_first) where a 32-way repartition of a toy
+    # table costs more than the map it parallelizes (measured sf0.1:
+    # 0.25 s -> 0.52 s, and sf1.0: 0.44 -> 0.87). The gram-heavy
+    # exact-substring consumers apply _spread at their call sites.
+    return d.select("doc_id", "text").unionAll(extra)
 
 
 DUP_DOCS_SQL = (
@@ -977,7 +982,7 @@ def q_exact_substring_spans(spark, sf_dir):
     whole-document spans in both copies; natural shared passages yield
     partial spans."""
     spans = dedup.duplicated_spans(
-        _dup_docs(spark, sf_dir), k=_EXSUB_K)
+        _spread(_dup_docs(spark, sf_dir)), k=_EXSUB_K)
     return spans.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("span_start").cast("long").alias("span_start"),
@@ -1027,7 +1032,7 @@ def q_exact_substring_dedup(spark, sf_dir):
     empty text in BOTH members (the published tool removes every
     occurrence, not all-but-one)."""
     out = dedup.remove_duplicated_spans(
-        _dup_docs(spark, sf_dir), k=_EXSUB_K)
+        _spread(_dup_docs(spark, sf_dir)), k=_EXSUB_K)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "dedup_text",
@@ -3995,7 +4000,11 @@ def q_kmv_distinct(spark, sf_dir):
     count-distinct cannot. Oracle replicates hash, minima, merge, and
     the (k-1)/h_k estimator bit-for-bit."""
     from .operators import sketches as sk
-    d = _spread(_docs(spark, sf_dir)).select(
+    # no _spread: the line-chunk map is cheap next to the two
+    # count-distinct shuffles, and the repartition was a pure fixed
+    # cost at every measured scale (sf0.1: 0.58 s -> 1.05 s with it;
+    # sf1.0 flat at ~2.0 s either way)
+    d = _docs(spark, sf_dir).select(
         "source", "lang",
         F.explode(chunk_lines_col()).alias("line"))
     sketches = sk.kmv_sketch(d, ["source", "lang"], "line", k=64)
