@@ -230,3 +230,12 @@ def test_domain_quota_no_window_over_bare_hot_key(spark):
     # offsets table back onto the hot rows
     assert "__band" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_session_caps_codegen_at_hotspot_jit_limit(spark):
+    """r6: generated whole-stage methods between 8000 and 65535
+    bytecode bytes can never be JIT-compiled (HotSpot
+    DontCompileHugeMethods), so the session must cap
+    spark.sql.codegen.hugeMethodLimit at the HotSpot threshold —
+    measured 153s -> 7.6s first-run on the minhash signature stage."""
+    assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
