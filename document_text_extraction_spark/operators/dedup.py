@@ -373,6 +373,69 @@ def char_kgram_hashes_col(text: Column, k: int = 8,
     return F.transform(idx, lambda i: token_hash(F.substring(text, i, k)))
 
 
+def _winnow_fps_md5_kernel(df: DataFrame, id_col: str, text_col: str,
+                           k: int, w: int) -> DataFrame:
+    """Arrow-batch winnowing fingerprints for the md5 token hash —
+    bit-identical to the expression form (r6; differential-pinned in
+    tests/test_dedup_similarity.py).
+
+    Why: the expression form evaluates an interpreted
+    ``conv(substring(md5(substring(text,i,k)),1,15),16,10)`` tree per
+    CHARACTER position (~16 M evaluations at sf1.0, ~3 s fully
+    parallel — the dominant cost of the winnow queries). Here the
+    grams hash through C-level ``hashlib.md5`` and the window minima
+    are one vectorized ``sliding_window_view().min`` per document
+    (guide §4.2: hand whole batches to native code). Exact-equivalence
+    notes: Spark's ``substring`` counts code points, as does Python
+    ``str`` slicing; ``conv(hex,16,10).cast(long)`` over 15 hex digits
+    is ``int(hexdigest()[:15], 16)`` (60 bits, always fits, always
+    positive); ``array_sort(array_distinct(...))`` is ``np.unique``;
+    a NULL text yields ``[NULL]`` in both forms (Spark's ``greatest``
+    skips nulls, so the start sequence is [1] and the single gram hash
+    is null)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    schema = T.StructType([
+        T.StructField(id_col, id_field.dataType),
+        T.StructField("fps", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for b in batches:
+            out = []
+            for t in b[text_col]:
+                if t is None:
+                    # expression-form parity: greatest(NULL, 1) = 1 in
+                    # Spark (greatest skips nulls), so a NULL text
+                    # yields ONE null gram hash -> fps = [NULL], not a
+                    # NULL array
+                    out.append([None])
+                    continue
+                n = len(t)
+                ng = n - (k - 1) if n - (k - 1) > 1 else 1
+                hs = np.fromiter(
+                    (int(md5(t[i:i + k].encode("utf-8"))
+                         .hexdigest()[:15], 16)
+                     for i in range(ng)),
+                    dtype=np.int64, count=ng)
+                if ng >= w:
+                    mins = sliding_window_view(hs, w).min(axis=1)
+                else:
+                    mins = hs.min(keepdims=True)
+                out.append(np.unique(mins).tolist())
+            yield pd.DataFrame({id_col: b[id_col], "fps": out})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def winnow_fingerprints_df(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 8,
                            w: int = 4, token_hash=None) -> DataFrame:
@@ -392,7 +455,16 @@ def winnow_fingerprints_df(df: DataFrame, id_col: str = "doc_id",
     the window-min pass — nesting it as a subexpression inside the
     per-window lambda makes Spark re-evaluate the entire hash array
     for every window (O(grams²) hashing; measured 50× slower at
-    sf0.001)."""
+    sf0.001).
+
+    The md5 token hash (the cross-engine-reproducible one the
+    oracle-checked queries use) dispatches to the Arrow-batch kernel
+    above — per-character interpreted md5+conv trees were the dominant
+    winnow cost; the kernel is differential-pinned bit-identical. The
+    default xxhash64 stays on the expression path (no compatible
+    Python xxh64 in the sanctioned import surface)."""
+    if token_hash is md5_token_hash:
+        return _winnow_fps_md5_kernel(df, id_col, text_col, k, w)
     hs = char_kgram_hashes_col(F.col(text_col), k, token_hash)
     step1 = df.select(F.col(id_col), hs.alias("__hs"))
     n_h = F.size(F.col("__hs"))

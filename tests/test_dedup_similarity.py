@@ -560,3 +560,35 @@ def test_explode_nonnull_equals_plain_explode(spark):
     outer = sorted(map(tuple, _explode_nonnull(
         arr, "sh", "s", ["doc_id"]).collect()))
     assert plain == outer and len(plain) >= 4
+
+
+def test_winnow_md5_kernel_matches_expression_form(spark):
+    """r6: the Arrow-batch md5 winnowing kernel must be bit-identical
+    to the expression form on corpus text, unicode, and degenerate
+    lengths. `lambda t: md5_token_hash(t)` is deliberately NOT the
+    md5_token_hash object, so it takes the expression path."""
+    import pandas as pd
+
+    from document_text_extraction_spark.operators import dedup as D
+
+    texts = [
+        "", "a", "short", "exactly8", "just over eight chars",
+        "x" * 7, "y" * 8, "z" * 9,
+        "the quick brown fox jumps over the lazy dog " * 10,
+        "unicode éè€ 你好世界 "
+        "\U0001f600 mixed ascii tail " * 5,
+        "tabs\tand\nnewlines\r\nand  double  spaces",
+        None,
+    ] + [f"doc {i} " + " ".join(f"w{j}" for j in range(i % 40))
+         for i in range(60)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    for k, w in ((8, 4), (5, 3), (3, 7)):
+        expr = D.winnow_fingerprints_df(
+            df, k=k, w=w,
+            token_hash=lambda t: D.md5_token_hash(t)).collect()
+        kern = D.winnow_fingerprints_df(
+            df, k=k, w=w, token_hash=D.md5_token_hash).collect()
+        e = {r["doc_id"]: r["fps"] for r in expr}
+        g = {r["doc_id"]: r["fps"] for r in kern}
+        assert e == g, (k, w)
