@@ -541,6 +541,60 @@ def md5_token_hash(tok: Column) -> Column:
                   16, 10).cast("long")
 
 
+def _simhash_md5_kernel(df: DataFrame, id_col: str, text_col: str,
+                        bits: int) -> DataFrame:
+    """Arrow-batch SimHash for the md5 token hash — bit-identical to
+    the explode + 60-aggregate expression form (r6;
+    differential-pinned in tests/test_dedup_similarity.py).
+
+    Why: the expression form explodes every token (one interpreted
+    md5+conv tree per token) and shuffles (id, hash) rows into a
+    ``bits``-column conditional-sum aggregate; per document the whole
+    computation is a closed function of its token list, so it runs
+    here as one numpy pass (C-level hashlib per token, vectorized bit
+    votes) with NO shuffle at all. Exact-equivalence notes: Spark's
+    ``split(text, ' ')`` is Java ``split(regex, -1)`` — trailing empty
+    strings kept, ``''`` splits to ``['']`` — matching Python
+    ``str.split(' ')``; only NULL tokens are filtered (empty tokens
+    vote like any other); a NULL text explodes to a single null row
+    and is filtered, so the document has no group row — the kernel
+    likewise emits nothing for it."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    schema = T.StructType([
+        T.StructField(id_col, id_field.dataType),
+        T.StructField("simhash", T.LongType()),
+    ])
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for b in batches:
+            ids = []
+            out = []
+            for i, t in zip(b[id_col], b[text_col]):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                hs = np.fromiter(
+                    (int(md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                     for tok in toks),
+                    dtype=np.int64, count=len(toks))
+                votes = (((hs[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+                sh = int(((votes > 0).astype(np.int64) << shifts).sum())
+                ids.append(i)
+                out.append(sh)
+            yield pd.DataFrame({id_col: ids, "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def simhash_df(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text",
                bits: int = SIMHASH_BITS,
@@ -551,8 +605,12 @@ def simhash_df(df: DataFrame, id_col: str = "doc_id",
     aggregates (map-side combined); assembly is a sum of shifted bit
     flags — everything whole-stage-codegen'd. ``token_hash`` swaps the
     per-token hash (default xxhash64; :func:`md5_token_hash` for the
-    cross-engine-checkable form).
+    cross-engine-checkable form, which dispatches to the Arrow kernel
+    above — one shuffle-free numpy pass instead of a token explode
+    through a 60-aggregate shuffle).
     """
+    if token_hash is md5_token_hash:
+        return _simhash_md5_kernel(df, id_col, text_col, bits)
     if token_hash is None:
         def token_hash(t):
             return F.xxhash64(t)

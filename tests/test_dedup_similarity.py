@@ -592,3 +592,30 @@ def test_winnow_md5_kernel_matches_expression_form(spark):
         e = {r["doc_id"]: r["fps"] for r in expr}
         g = {r["doc_id"]: r["fps"] for r in kern}
         assert e == g, (k, w)
+
+
+def test_simhash_md5_kernel_matches_expression_form(spark):
+    """r6: the Arrow-batch md5 SimHash kernel must be bit-identical to
+    the explode + bit-vote expression form, including empty tokens
+    from runs of spaces, unicode, and the no-row NULL-text case."""
+    import pandas as pd
+
+    from document_text_extraction_spark.operators import dedup as D
+
+    texts = [
+        "", " ", "  double  spaces ", "a", "one two three",
+        "unicode éè€ 你好 \U0001f600 tail",
+        "trailing space ", " leading", None,
+        "the quick brown fox " * 30,
+    ] + [f"doc {i} " + " ".join(f"w{j}" for j in range(i % 25))
+         for i in range(40)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    expr = D.simhash_df(
+        df, token_hash=lambda t: D.md5_token_hash(t)).collect()
+    kern = D.simhash_df(df, token_hash=D.md5_token_hash).collect()
+    e = {r["doc_id"]: r["simhash"] for r in expr}
+    g = {r["doc_id"]: r["simhash"] for r in kern}
+    assert e == g
+    null_id = texts.index(None)
+    assert null_id not in g and null_id not in e  # null doc: no row
